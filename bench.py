@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count);
+a warmup query first amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mcyj_datapipeline_spark import registry
+from mcyj_datapipeline_spark.session import get_spark
+
+HEADLINE = [
+    "a01_pricing_summary",
+    "e3_flagship_revenue_rollup",
+    "j01_left_enrich_join",
+    "j06_anti_join_new_work",
+    "a05_explode_word_count",
+    "w1_first_row_per_key",
+    "st_sessionization",
+    "st_tumbling_window_counts",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_bruteforce",
+    "text_token_stats",
+    "text_fingerprint",
+    "f08_multiformat_date_parse",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="mcyj-bench")
+
+    qs = registry.queries()
+    # Warmup: JVM + codegen + parquet footer reads.
+    qs["a01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

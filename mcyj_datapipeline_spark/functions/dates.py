@@ -1,0 +1,44 @@
+"""Multi-format date parsing (SURVEY §2.8 F8, F24).
+
+The reference parses dates with try-format cascades in four places
+(``website/generate_website_data.py:23-62``, ``run_full_pipeline.py:118-127``,
+``get_download_list.py:45``, ``mcyj_download.py:66-71``). Here it is one
+``coalesce(try_to_date...)`` chain — JVM-side, codegen'd, null on failure
+exactly like the reference's ``except ValueError: continue``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Formats accepted by the website date normalizer
+# (generate_website_data.py:23-62), in the reference's priority order.
+WEBSITE_DATE_FORMATS = [
+    "M/d/yyyy",
+    "MMMM d, yyyy",
+    "MMM d, yyyy",
+    "yyyy-MM-dd",
+]
+
+# API timestamp formats (run_full_pipeline.py:118-127).
+API_TS_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss.SSSX",
+    "yyyy-MM-dd",
+]
+
+
+def parse_date_multi(col: Column, formats: list[str] | None = None) -> Column:
+    """F8: first format that parses wins; null if none do. The reference
+    additionally validity-checks (rejects month>12 etc.) — ``try_to_date``
+    does the same under the CORRECTED parser policy."""
+    fmts = formats or WEBSITE_DATE_FORMATS
+    return F.coalesce(*[F.try_to_date(col, f) for f in fmts])
+
+
+def parse_iso_timestamp(col: Column) -> Column:
+    """F8 API variant: ISO-with-millis else bare date → timestamp."""
+    return F.coalesce(
+        F.try_to_timestamp(col, F.lit(API_TS_FORMATS[0])),
+        F.try_to_timestamp(col, F.lit(API_TS_FORMATS[1])),
+    )

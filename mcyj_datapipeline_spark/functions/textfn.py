@@ -1,0 +1,116 @@
+"""String / JSON / normalization column builders (SURVEY §2.8 F9–F23).
+
+All JVM-side built-ins; the only procedural fallback in the whole
+reference surface (brace-matching JSON salvage, F16) lives in
+``operators.procedural`` as a pandas UDF and is used only when
+``from_json`` on the regex-extracted candidate fails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sanitize_filename(col: Column) -> Column:
+    """F9 (reference download_pdf.py:118-141): strip ``[<>:"/\\|?*]`` → ``_``,
+    collapse whitespace."""
+    cleaned = F.regexp_replace(col, r'[<>:"/\\|?*]', "_")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def generated_filename(*parts: Column) -> Column:
+    """F9: join sanitized parts with ``_`` and force a ``.pdf`` suffix
+    (reference download_pdf.py:143-175)."""
+    stem = F.concat_ws("_", *[sanitize_filename(p) for p in parts])
+    return F.when(F.lower(stem).endswith(".pdf"), stem).otherwise(
+        F.concat(stem, F.lit(".pdf"))
+    )
+
+
+def strip_date_suffix(col: Column) -> Column:
+    """F10 (reference get_download_list.py:21): drop trailing
+    ``_YYYY-MM-DD.pdf`` for join-key normalization."""
+    return F.regexp_replace(col, r"_\d{4}-\d{2}-\d{2}\.pdf$", "")
+
+
+def infer_content_document_id(stem: Column) -> Column:
+    """F11 (reference backfill_download_metadata.py:36-50): trailing
+    15–18-char alnum id on the filename stem."""
+    return F.nullif(
+        F.regexp_extract(stem, r"_([A-Za-z0-9]{15,18})$", 1), F.lit("")
+    )
+
+
+def normalize_violation_level(col: Column) -> Column:
+    """F13 (reference update_violation_levels.py:182-204): lowercase;
+    exact {low, moderate, severe}; contains-fallbacks (medium→moderate,
+    high→severe); else ``''``."""
+    lc = F.lower(F.trim(col))
+    return (
+        F.when(lc.isin("low", "moderate", "severe"), lc)
+        .when(lc.contains("low"), F.lit("low"))
+        .when(lc.contains("medium") | lc.contains("moderate"), F.lit("moderate"))
+        .when(lc.contains("high") | lc.contains("severe"), F.lit("severe"))
+        .otherwise(F.lit(""))
+    )
+
+
+def normalize_violation_yn(col: Column) -> Column:
+    """F14 (reference update_sir_summaries.py:234-244): lowercase y/n;
+    else 'y' iff the text claims a substantiated violation."""
+    lc = F.lower(F.trim(col))
+    return (
+        F.when(lc.isin("y", "n"), lc)
+        .when(lc.contains("yes") | lc.contains("substantiated"), F.lit("y"))
+        .otherwise(F.lit("n"))
+    )
+
+
+_LLM_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("summary", T.StringType()),
+        T.StructField("violation", T.StringType()),
+    ]
+)
+
+
+def extract_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
+    """F15 (reference update_sir_summaries.py:226-249): pull the first
+    flat ``{...}`` object containing the expected keys out of free-form
+    LLM text, then parse. ``from_json`` returns null on malformed input
+    exactly like the reference's try/except."""
+    candidate = F.regexp_extract(
+        col, r'(\{[^{}]*"summary"[^{}]*"violation"[^{}]*\})', 1
+    )
+    return F.from_json(F.nullif(candidate, F.lit("")), schema or _LLM_JSON_SCHEMA)
+
+
+def keywords_from_json(col: Column) -> Column:
+    """F17 (reference generate_website_data.py:104-111): JSON-encoded
+    array<string> in a CSV cell → real array; null/'' → empty array."""
+    parsed = F.from_json(col, T.ArrayType(T.StringType()))
+    return F.coalesce(parsed, F.array().cast(T.ArrayType(T.StringType())))
+
+
+def keywords_to_json(col: Column) -> Column:
+    """F17 inverse (reference update_violation_levels.py:485)."""
+    return F.to_json(col)
+
+
+def parse_bool_string(col: Column) -> Column:
+    """F18 (reference generate_website_data.py:151,199): 'true'/'1'/'yes'
+    (case-insensitive) → true."""
+    return F.lower(F.trim(col)).isin("true", "1", "yes")
+
+
+def sha256_of(content: Column) -> Column:
+    """F19 (reference run_full_pipeline.py:53-61): sha256 hex digest of
+    binary content — distributed ``sha2``, not a driver-side loop."""
+    return F.sha2(content, 256)
+
+
+def decode_base64_pdf(col: Column) -> Column:
+    """F20 (reference download_pdf.py:90-91)."""
+    return F.unbase64(col)

@@ -1,0 +1,150 @@
+"""Sources & sinks (SURVEY.md §2.1, operators S1–S9 / K1–K6).
+
+All reads go through ``spark.read`` so Catalyst gets schema pruning and
+predicate pushdown into the scan; all multi-file "union of batches"
+semantics (reference: glob + per-file read + concat, e.g.
+``pdf_parsing/extract_pdf_text.py:50-70``) are native directory reads
+here — Spark unions the files in one distributed scan.
+
+Sinks preserve the reference's observable behavior (deterministic order,
+header handling, append-only batches) without its single-file
+bottlenecks, except where single-file output is the explicit contract
+(K1) in which case we ``coalesce(1)`` only at the final write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S3: parquet scan (single file or directory-union of batch files).
+
+    The driver's ``events`` table stores ``ts`` as TIMESTAMP(NANOS),
+    which Spark has no type for; with ``nanosAsLong`` the scan yields
+    int64 nanos and we normalize to a microsecond timestamp here, at the
+    ingestion boundary (SURVEY §1.3: normalize once, never downstream)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: ns/1000 through a double would round-drift.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver testdata tables by name."""
+    use = names or TPCH_TABLES
+    return {n: read_table(spark, sf_dir, n) for n in use}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    quote_all: bool = False,
+) -> DataFrame:
+    """S1/S2: header CSV scan. With ``schema`` the read is typed and the
+    scan prunes columns; without, Spark infers (header-only string cols,
+    matching the reference's ``csv.DictReader`` view of the world,
+    ``run_full_pipeline.py:36-41``)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", False)
+    return reader.csv(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """S5: binary/PDF directory scan → (path, modificationTime, length,
+    content). Reference: ``extract_pdf_text.py:147,185``. The case-insensitive
+    ``*.pdf``+``*.PDF`` double-glob becomes one post-scan predicate."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .load(path)
+    )
+    suffix = glob.lstrip("*").lower()
+    return df.filter(F.lower(F.col("path")).endswith(suffix))
+
+
+def from_api_rows(
+    spark: SparkSession, rows: list[dict], schema: T.StructType
+) -> DataFrame:
+    """S6/S7: REST JSON source materialized driver-side. The reference
+    fetches nested JSON (``pull_agency_info_api.py:10-41``) and unnests
+    ``returnValue.objectData.responseResult[]``; here the fetch client is
+    injectable and the unnested rows become a typed DataFrame."""
+    return spark.createDataFrame(rows, schema)
+
+
+def unnest_response(df: DataFrame, array_col: str) -> DataFrame:
+    """Unnest an API payload column ``returnValue.*.responseResult[]``
+    into one row per element (reference ``run_full_pipeline.py:348-352``)."""
+    return df.select(F.explode(F.col(array_col)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Sinks
+# ---------------------------------------------------------------------------
+
+
+def write_csv_single(
+    df: DataFrame,
+    path: str,
+    order_by: list[str] | None = None,
+    quote_all: bool = False,
+) -> None:
+    """K1: deterministic single-file CSV with stable sort. Reference:
+    ``run_full_pipeline.py:150-171,406-409``. ``coalesce(1)`` only at the
+    write so the upstream plan keeps full parallelism; at 100 TB you would
+    drop the coalesce and accept a sharded sink."""
+    out = df.orderBy(*order_by) if order_by else df
+    writer = out.coalesce(1).write.mode("overwrite").option("header", True)
+    if quote_all:
+        writer = writer.option("quoteAll", True)
+    writer.csv(path)
+
+
+def append_csv(df: DataFrame, path: str) -> None:
+    """K2: CSV append sink (reference ``update_sir_summaries.py:399-413``)."""
+    df.write.mode("append").option("header", True).csv(path)
+
+
+def append_parquet_batch(df: DataFrame, path: str) -> None:
+    """K3: append-only parquet batch sink, zstd (reference
+    ``extract_pdf_text.py:174-176,235-241``). The timestamped-filename
+    convention is subsumed by Spark's unique part-file names; the logical
+    table is the directory union, exactly as in the reference."""
+    df.write.mode("append").option("compression", "zstd").parquet(path)
+
+
+def write_json(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """K4/K6: JSON sink, optionally partitioned."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def write_json_per_key(df: DataFrame, path: str, key: str) -> None:
+    """K5: per-key JSON store (reference one ``{sha256}.json`` per row,
+    ``export_parquet_to_json.py:269-276``). Expressed as a key-partitioned
+    JSON sink — random access by key becomes partition pruning instead of
+    a filesystem lookup, which is the scalable equivalent."""
+    df.write.mode("overwrite").partitionBy(key).json(path)

@@ -1,0 +1,189 @@
+"""Aggregations (SURVEY §2.4 A1–A12) and the keyword layer (F12, A5, X1).
+
+The reference aggregates with ``defaultdict`` accumulation in a single
+process; here every aggregate is a ``groupBy`` that Spark executes with
+map-side partial aggregation (HashAggregate partial → shuffle by group
+key → final), so the shuffle carries only the partial states — the
+pattern that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def nest_documents_per_agency(
+    docs: DataFrame,
+    key: str = "agency_id",
+    name_col: str = "agency_name",
+    order_col: str = "date_iso",
+    doc_cols: list[str] | None = None,
+) -> DataFrame:
+    """A1 + W2 (reference generate_website_data.py:164-221,305-323):
+    group documents under their agency; per group keep the doc structs
+    (newest-first, via sort_array on a desc-ordered struct key), a
+    ``total_reports`` count, and the last-seen agency name."""
+    cols = doc_cols or [c for c in docs.columns if c != key]
+    struct_col = F.struct(F.col(order_col), *[F.col(c) for c in cols if c != order_col])
+    return docs.groupBy(key).agg(
+        F.reverse(F.sort_array(F.collect_list(struct_col))).alias("documents"),
+        F.count(F.lit(1)).alias("total_reports"),
+        F.max(name_col).alias(name_col),
+    )
+
+
+def group_count_sorted(
+    df: DataFrame, group_col: str, null_label: str = "Unknown"
+) -> DataFrame:
+    """A3 (reference FacilitiesPage.jsx:41-60): count per group value,
+    descending, null key → 'Unknown'."""
+    g = F.coalesce(F.col(group_col), F.lit(null_label)).alias(group_col)
+    return (
+        df.select(g)
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col(group_col))
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """A6 (reference App.jsx:133-149): dropdown domain."""
+    return df.select(col).where(F.col(col).isNotNull()).distinct().orderBy(col)
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """A7 (reference check_unique_hashes.py:46-77): keys appearing more
+    than once, with counts."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") > 1)
+        .orderBy(F.desc("count"), F.col(key))
+    )
+
+
+def uniqueness_report(df: DataFrame, key: str) -> DataFrame:
+    """A7 summary: total vs distinct (the CI invariant check)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct(key).alias("distinct_keys"),
+    )
+
+
+def explode_count(
+    df: DataFrame,
+    array_col: Column,
+    out_name: str = "keyword",
+    per_row_distinct: bool = True,
+) -> DataFrame:
+    """A5 (reference trie.js:36-39 keywordCounts): element → number of
+    rows containing it. ``per_row_distinct`` reproduces the reference's
+    per-doc dedup (a keyword twice in one doc counts once)."""
+    arr = F.array_distinct(array_col) if per_row_distinct else array_col
+    return (
+        df.select(F.explode(arr).alias(out_name))
+        .groupBy(out_name)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col(out_name))
+    )
+
+
+def value_distribution(df: DataFrame, col: str) -> DataFrame:
+    """A9 (reference update_violation_levels.py:529-533)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(col)
+
+
+def pre_post_filter_counts(
+    df: DataFrame, key: str, predicate: Column
+) -> DataFrame:
+    """A11 (reference App.jsx:275,322-328): per-group original count,
+    surviving count, and filtered_out count — one aggregation pass using
+    conditional counts instead of two jobs + join."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("original_total_reports"),
+        F.sum(F.when(predicate, 1).otherwise(0)).alias("surviving_reports"),
+        F.sum(F.when(predicate, 0).otherwise(1)).alias("filtered_out_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword reduction (F12) + inverted index (X1)
+# ---------------------------------------------------------------------------
+
+
+def reduce_keywords(
+    docs: DataFrame,
+    mapping: DataFrame,
+    keywords_col: str = "keywords",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """F12 (reference website/keyword_reduction.py:14-77): map each
+    keyword through the curation table (identity when unmapped, drop when
+    mapped to ''), dedup preserving first-occurrence order.
+
+    Plan: posexplode → broadcast join on the 1.6k-row mapping →
+    re-collect ordered by original position → array_distinct (which
+    preserves first-occurrence order, matching the reference's seen-set
+    loop). The mapping is always broadcast; the doc side never shuffles
+    beyond the final per-key collect."""
+    keys = key_cols or ["sha256"]
+    m = F.broadcast(
+        mapping.select(
+            F.col("original_keyword").alias("_orig"),
+            F.col("reduced_keyword").alias("_red"),
+        )
+    )
+    exploded = docs.select(
+        *keys, F.posexplode_outer(F.col(keywords_col)).alias("_pos", "_kw")
+    )
+    mapped = (
+        exploded.join(m, exploded["_kw"] == m["_orig"], "left")
+        .withColumn("_out", F.coalesce(F.col("_red"), F.col("_kw")))
+        .filter(F.col("_out").isNotNull() & (F.col("_out") != ""))
+    )
+    recollected = mapped.groupBy(*keys).agg(
+        F.array_distinct(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_out"))),
+                lambda s: s["_out"],
+            )
+        ).alias(keywords_col)
+    )
+    return docs.drop(keywords_col).join(recollected, on=keys, how="left").withColumn(
+        keywords_col,
+        F.coalesce(F.col(keywords_col), F.array().cast("array<string>")),
+    )
+
+
+def build_inverted_index(
+    df: DataFrame, phrase_col: str, weight_col: str = "count"
+) -> DataFrame:
+    """X1 (reference website/src/trie.js:13-41): term → phrase index.
+    Each phrase is indexed under itself and under each of its words;
+    prefix search becomes a ``startswith`` filter over this table."""
+    words = df.select(
+        F.col(phrase_col).alias("phrase"),
+        F.col(weight_col).alias("weight"),
+        F.explode(
+            F.array_union(
+                F.array(F.lower(F.col(phrase_col))),
+                F.split(F.lower(F.trim(F.col(phrase_col))), r"\s+"),
+            )
+        ).alias("term"),
+    )
+    return words.filter(F.col("term") != "")
+
+
+def prefix_search(
+    index: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """X1 query side (reference trie.js:43-87): prefix-match terms,
+    rank distinct phrases by weight desc, limit k."""
+    return (
+        index.filter(F.col("term").startswith(query.lower()))
+        .groupBy("phrase")
+        .agg(F.max("weight").alias("count"))
+        .orderBy(F.desc("count"), F.col("phrase"))
+        .limit(k)
+    )

@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all
+expressed as declarative DataFrame plans:
+
+- **Exact** is one partial-aggregated groupBy on a 256-bit content hash;
+  at 100 TB the shuffle carries (hash, min_id) pairs only, never text.
+- **MinHash+LSH** is the scale path for near-dup: shingle → 16-perm
+  signature (narrow, per-row), band → explode (×4), bucket self-join
+  (shuffle on band key — bounded, because bucket sizes are the only
+  quadratic term), then exact-Jaccard verification of candidates only.
+- **SimHash** gives a 64-bit per-doc fingerprint; near-dup = small
+  Hamming distance, found by pigeonhole banding on 16-bit chunks
+  (any pair within distance d < 4 shares at least one of 4 chunks).
+- **n-gram Jaccard** (all-pairs on shared shingles) is the exact
+  quadratic baseline used to validate the sketches at test scale.
+
+All hashes go through :mod:`hashing` so every operator here has a
+DuckDB-SQL oracle twin in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.operators.hashing import (
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    hash60,
+)
+
+
+def exact_dedup_winners(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one surviving (minimum) id per distinct content hash,
+    plus the duplicate count. groupBy on sha2 — map-side partial agg,
+    shuffle of digests only."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col)
+        )
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a space-tokenized text column."""
+    words = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes reduced mod MINHASH_PRIME."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, n), lambda s: hash60(s) % MINHASH_PRIME)
+    )
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """16-permutation MinHash signature: sig_i = min((a_i*x + b_i) mod P)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+                )
+            )
+            for a, b in MINHASH_PERMS
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document (id, shingle-hash set, MinHash signature)."""
+    return df.select(
+        F.col(id_col),
+        shingle_hashes(F.col(text_col), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0).withColumn(
+        "signature", minhash_signature(F.col("shingles"))
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each signature into LSH_BANDS band keys."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("signature")[b * LSH_ROWS_PER_BAND + r]
+                        for r in range(LSH_ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Candidate generation is the banded bucket self-join (sub-quadratic:
+    only same-bucket pairs are formed); verification joins the shingle
+    sets back and keeps pairs with true Jaccard ≥ threshold. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, deduped across bands."""
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    bands = lsh_bands(sigs, id_col)
+    left = bands.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    candidates = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shared-shingle inverted
+    index: explode shingles, self-join on shingle (pairs sharing ≥1
+    shingle only — never a full cross join), count shared, then
+    |A∩B| / (|A| + |B| − |A∩B|). The quadratic baseline that validates
+    MinHash at test scale; at 100 TB you cap bucket fan-out first."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y"), on="shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over space-tokenized words: for each bit position,
+    majority vote of token-hash bits (+1/−1), bit set iff sum > 0.
+    Assembled as sum of 2^i over winning bits — pure higher-order column
+    expressions, no UDF."""
+    tokens = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(tokens, lambda t: hash60(t))
+    # For bits 0..59 (hash60 yields 60 bits), vote and assemble.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                ),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.transform(F.sequence(F.lit(0), F.lit(59)), lambda i: i.cast("long")),
+            lambda bit, i: bit * F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 60-bit fingerprint into 4
+    15-bit chunks; by pigeonhole any pair with Hamming distance ≤ 3
+    agrees on ≥1 chunk, so the chunk self-join finds all such pairs
+    without a cross join. Verify with exact ``bit_count(xor)``."""
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), c * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_val").alias("chunk_val"))
+    a = chunks.select(
+        "chunk", "chunk_val", F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = chunks.select(
+        "chunk", "chunk_val", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(b, on=["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

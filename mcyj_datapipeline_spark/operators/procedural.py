@@ -1,0 +1,215 @@
+"""The procedural edge (SURVEY §2.11 U1–U4): the only kernels in the
+whole engine that genuinely cannot be column expressions — external
+libraries (PDF extraction) and network calls (HTTP download, LLM
+enrichment). All are Arrow-batched ``mapInPandas`` with injectable
+clients so tests run hermetically and rate limiting happens inside the
+partition (reference sleeps between calls; here the partition is the
+rate-limit domain and ``repartition(n)`` sets the concurrency).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("sha256", T.StringType()),
+        T.StructField("text", T.ArrayType(T.StringType())),
+        T.StructField("dateprocessed", T.StringType()),
+    ]
+)
+
+
+def _fake_pdf_pages(content: bytes) -> list[str]:
+    """Deterministic fake extractor (env has no pdfplumber): derives page
+    texts from the bytes. STUB — swap for pdfplumber per U1
+    (reference extract_pdf_text.py:98-105)."""
+    n_pages = 1 + (len(content) % 5)
+    return [f"page {i} len {len(content)}" for i in range(1, n_pages + 1)]
+
+
+def extract_pdf_text(
+    df: DataFrame,
+    content_col: str = "content",
+    sha_col: str = "sha256",
+    extractor: Callable[[bytes], list[str]] | None = None,
+    processed_at: str = "1970-01-01T00:00:00+00:00",
+) -> DataFrame:
+    """U1: binary PDF content → pages array. 1 row in → 1 row out,
+    Arrow-batched. The real pdfplumber kernel plugs into ``extractor``;
+    the timestamp is injected (not ``now()``) so re-runs are
+    deterministic and the operator stays a pure function."""
+    extract = extractor
+    if extract is None:
+        try:  # pragma: no cover - env-dependent
+            import pdfplumber  # noqa: F401
+
+            def extract(content: bytes) -> list[str]:
+                import io
+
+                with pdfplumber.open(io.BytesIO(content)) as pdf:
+                    return [p.extract_text() or "" for p in pdf.pages]
+
+        except ImportError:
+            extract = _fake_pdf_pages
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for sha, content in zip(pdf_batch[sha_col], pdf_batch[content_col]):
+                pages = extract(bytes(content) if content is not None else b"")
+                rows.append((sha, pages, processed_at))
+            yield pd.DataFrame(rows, columns=["sha256", "text", "dateprocessed"])
+
+    return df.select(sha_col, content_col).mapInPandas(kernel, PDF_TEXT_SCHEMA)
+
+
+LLM_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("sha256", T.StringType()),
+        T.StructField("response", T.StringType()),
+        T.StructField("violation", T.StringType()),
+        T.StructField("input_tokens", T.LongType()),
+        T.StructField("output_tokens", T.LongType()),
+        T.StructField("cached_tokens", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def mock_llm_client(document_text: str, prompt: str) -> dict:
+    """Deterministic mock of the OpenRouter/DeepSeek client (U2,
+    reference update_sir_summaries.py:154-259). Verdict derives from
+    the document content so tests have both classes."""
+    violation = "y" if "violation" in document_text.lower() else "n"
+    body = json.dumps(
+        {"summary": f"summary of {len(document_text)} chars", "violation": violation}
+    )
+    return {
+        "text": body,
+        "input_tokens": len(document_text) // 4,
+        "output_tokens": len(body) // 4,
+        "cached_tokens": 0,
+    }
+
+
+def llm_enrich(
+    df: DataFrame,
+    prompt: str,
+    client: Callable[[str, str], dict] | None = None,
+    text_col: str = "full_text",
+    sha_col: str = "sha256",
+    sleep_s: float = 0.0,
+) -> DataFrame:
+    """U2: per-document LLM enrichment with usage accounting.
+
+    The prompt builder keeps the document FIRST and the query LAST to
+    preserve provider prompt-cache reuse (reference
+    update_sir_summaries.py:168-170 / README.md:248-256). Rate limiting
+    (T5) is per-partition sleep; partition count bounds concurrency."""
+    call = client or mock_llm_client
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for sha, text in zip(pdf_batch[sha_col], pdf_batch[text_col]):
+                start = time.monotonic()
+                result = call(text or "", prompt)
+                parsed = {}
+                try:
+                    parsed = json.loads(result["text"])
+                except (ValueError, TypeError):
+                    parsed = {}
+                rows.append(
+                    (
+                        sha,
+                        parsed.get("summary", ""),
+                        parsed.get("violation", ""),
+                        int(result.get("input_tokens", 0)),
+                        int(result.get("output_tokens", 0)),
+                        int(result.get("cached_tokens", 0)),
+                        int((time.monotonic() - start) * 1000),
+                    )
+                )
+                if sleep_s:
+                    time.sleep(sleep_s)
+            yield pd.DataFrame(rows, columns=[f.name for f in LLM_RESULT_SCHEMA])
+
+    return df.select(sha_col, text_col).mapInPandas(kernel, LLM_RESULT_SCHEMA)
+
+
+DOWNLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("ContentDocumentId", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("download_status", T.StringType()),
+    ]
+)
+
+
+def download_documents(
+    df: DataFrame,
+    fetcher: Callable[[str], bytes | None],
+    id_col: str = "ContentDocumentId",
+    sleep_s: float = 0.0,
+) -> DataFrame:
+    """U3 (reference download_pdf.py:58-116): fetch + hash per id with an
+    injectable fetcher. Hashing here (not a second pass) so the bytes
+    cross the wire once."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for doc_id in pdf_batch[id_col]:
+                content = fetcher(doc_id)
+                if content is None:
+                    rows.append((doc_id, None, "", "failed"))
+                else:
+                    rows.append(
+                        (
+                            doc_id,
+                            content,
+                            hashlib.sha256(content).hexdigest(),
+                            "downloaded",
+                        )
+                    )
+                if sleep_s:
+                    time.sleep(sleep_s)
+            yield pd.DataFrame(
+                rows,
+                columns=["ContentDocumentId", "content", "sha256", "download_status"],
+            )
+
+    return df.select(id_col).mapInPandas(kernel, DOWNLOAD_SCHEMA)
+
+
+def salvage_json(text: str) -> dict | None:
+    """U4 (reference update_violation_levels.py:294-320): brace-matching
+    JSON extraction for when the regex/from_json path fails — scans for
+    the first balanced ``{...}`` that parses. Driver/UDF-side helper."""
+    if not text:
+        return None
+    start = None
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == "{":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "}" and depth > 0:
+            depth -= 1
+            if depth == 0 and start is not None:
+                try:
+                    return json.loads(text[start : i + 1])
+                except ValueError:
+                    start = None
+    return None

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk`` — brute-force cosine top-k: broadcast the (small)
+  query set against the corpus, JVM-side ``zip_with``/``aggregate`` dot
+  products inside codegen, per-query top-k via TakeOrdered-style window.
+  This is the exact baseline; it scans the corpus once per batch of
+  queries (not per query).
+- ``lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH: each vector
+  gets a ``n_planes``-bit sign signature; candidate set = same-bucket
+  vectors (optionally multi-probe on Hamming-1 neighbors), then exact
+  cosine re-rank of candidates only. At 100 TB the bucket join replaces
+  the corpus scan — shuffle is on the bucket key, and the plane matrix
+  is a literal broadcast into codegen.
+
+Planes are generated from a fixed seed so results are deterministic and
+reproducible in the SQL oracle (the same literals are embedded there).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_SEED = 42
+N_PLANES = 8
+EMBED_DIM = 64
+
+_rng = random.Random(ANN_SEED)
+# Fixed random hyperplanes, components in [-1, 1), rounded so the SQL
+# oracle can embed identical literals.
+LSH_PLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(EMBED_DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k neighbors for each query vector.
+    ``queries`` is broadcast (a query batch is always small relative to
+    the corpus); one corpus scan serves the whole batch."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def lsh_signature(vec: Column) -> Column:
+    """Sign-bit signature: bit i set iff plane_i · vec >= 0. Returns the
+    signature as an integer bucket id."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(LSH_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Vector → LSH bucket assignment (the IVF-style coarse index)."""
+    return df.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col)).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same-bucket vectors, re-ranked by
+    exact cosine. Recall < 1.0 by construction; the point is the plan
+    shape — bucket equi-join instead of corpus × queries."""
+    cb = lsh_buckets(corpus, id_col, vec_col).select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    qb = lsh_buckets(queries, id_col, vec_col).select(
+        F.col("bucket"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are scored (near-identical vectors collide with
+    high probability), then exact-cosine filtered."""
+    b = lsh_buckets(df, id_col, vec_col)
+    x = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    y = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        x.join(y, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM codegen, no UDFs), so they run at
+scan speed over 100 TB of documents and Catalyst prunes to exactly
+the ``text`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deterministic, SQL-replicable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+]
+
+FINGERPRINT_PRIME = 1_000_000_007
+FINGERPRINT_BASE = 31
+FINGERPRINT_CHARS = 64
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: word pieces, numbers, punctuation
+    runs — the common pre-tokenizer split (GPT-2 style, simplified)."""
+    return F.filter(
+        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in sw])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    stripped = F.regexp_replace(text, r"[^A-Za-z ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: blends token count sufficiency,
+    mean word length plausibility, alpha ratio, and stopword presence —
+    the standard cheap heuristics (C4/Gopher-style length & symbol
+    filters) as one JVM expression."""
+    n = token_count(text).cast("double")
+    len_ok = F.least(n / F.lit(20.0), F.lit(1.0))
+    mwl = mean_word_length(text)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * mwl_ok
+        + F.lit(0.25) * alpha_ratio(text)
+        + F.lit(0.25) * F.least(stopword_ratio(text) * 4, F.lit(1.0)),
+        6,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit ratio."""
+    toks = tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers]))
+        )
+        out[lang] = hits / F.greatest(F.size(toks), F.lit(1))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker ratio; 'und' when no marker hits.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, n_chars: int = FINGERPRINT_CHARS) -> Column:
+    """Polynomial rolling-hash fingerprint of the first ``n_chars``
+    characters: h = Σ h*B + code(c) mod P. Pure fold over the character
+    array — deterministic, SQL-replicable."""
+    chars = F.slice(F.split(F.substring(text, 1, n_chars), ""), 1, n_chars)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + F.ascii(c)) % FINGERPRINT_PRIME,
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text-analysis profile."""
+    t = F.col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming + event-time operators.
+
+The reference has no stream runtime, but its append-only batch contract
+(T2) is exactly the file-source + ``Trigger.AvailableNow`` + checkpoint
+pattern, and the driver's ``events`` table lets us demonstrate
+event-time capability: tumbling/sliding windows, watermarked late-data
+handling, and gap sessionization. The batch forms below share the same
+column expressions as the streaming forms, so correctness is oracle-
+checkable in batch and the streaming path only adds the trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window: per (window, event_type) count + sum."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), duration).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window(F.col("ts"), duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (batch form): lag + cumulative
+    sum of gap-breaks → session ids, then per-session aggregates.
+    Streaming form would be ``session_window``/``applyInPandasWithState``;
+    this window-function form is the oracle-checkable batch equivalent."""
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    with_breaks = events.withColumn(
+        "_prev_ts", F.lag("ts").over(by_user)
+    ).withColumn(
+        "_new_session",
+        (
+            F.col("_prev_ts").isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_prev_ts"))
+                > gap_minutes * 60 * 1_000_000
+            )
+        ).cast("int"),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_us",
+            F.unix_micros(F.col("session_end"))
+            - F.unix_micros(F.col("session_start")),
+        )
+    )
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    dedup_key: str | None = None,
+    watermark: tuple[str, str] | None = None,
+) -> None:
+    """T2 as a real stream: file source over a landing dir, optional
+    within-stream dedup (``dropDuplicates`` with watermark bounds state),
+    parquet sink, ``Trigger.AvailableNow`` = process-everything-then-stop
+    — the exact 'incremental batch append' contract of the reference's
+    parquet batch files, with checkpointed exactly-once bookkeeping."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if watermark:
+        stream = stream.withWatermark(*watermark)
+    if dedup_key:
+        stream = stream.dropDuplicates([dedup_key])
+    (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

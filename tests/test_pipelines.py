@@ -1,0 +1,186 @@
+"""E3 website pipeline + incremental state (T1–T6) + procedural kernels
+(U1–U4) + multimodal plumbing on reference-shaped fixtures."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mcyj_datapipeline_spark.operators import multimodal as MM
+from mcyj_datapipeline_spark.operators import procedural as PR
+from mcyj_datapipeline_spark.plans import website as W
+from mcyj_datapipeline_spark.plans.document_info import document_info
+from mcyj_datapipeline_spark.streaming.incremental import (
+    ParquetStateTable,
+    pending_work,
+    three_way_download_decision,
+)
+from tests.fixtures import make_documents_raw, make_facilities
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("sha256", T.StringType()),
+        T.StructField("text", T.ArrayType(T.StringType())),
+        T.StructField("dateprocessed", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def doc_info(spark):
+    rows = make_documents_raw()
+    df = spark.createDataFrame(
+        [(r["sha256"], r["text"], r["dateprocessed"]) for r in rows], DOC_SCHEMA
+    )
+    return document_info(df).cache()
+
+
+def test_website_flat_and_nested(spark, doc_info):
+    shas = [r["sha256"] for r in doc_info.select("sha256").collect()]
+    summaries = spark.createDataFrame(
+        [(s, f"summary {i}", "y" if i % 2 else "n") for i, s in enumerate(shas[:20])],
+        ["sha256", "response", "violation"],
+    )
+    levels = spark.createDataFrame(
+        [
+            (s, ["low", "moderate", "severe"][i % 3], "because", json.dumps(["neglect", "injury"]))
+            for i, s in enumerate(shas[:10])
+        ],
+        ["sha256", "level", "justification", "keywords"],
+    )
+    staffing = spark.createDataFrame(
+        [(s, "True" if i % 2 else "False", "high", "shift_coverage_gap") for i, s in enumerate(shas[:10])],
+        ["sha256", "staffing_problem", "confidence", "primary_reason"],
+    )
+    facilities = spark.createDataFrame(make_facilities())
+    kw_map = spark.createDataFrame(
+        [("neglect", "inadequate supervision"), ("injury", "")],
+        ["original_keyword", "reduced_keyword"],
+    )
+    flat = W.build_flat_table(doc_info, summaries, levels, staffing, facilities, kw_map)
+    assert flat.count() == doc_info.count()  # left joins never drop docs
+
+    # F12 applied: 'injury' dropped, 'neglect' merged.
+    kws = flat.filter(F.size("keywords") > 0).select("keywords").first()
+    assert kws["keywords"] == ["inadequate supervision"]
+
+    # P6-P12 parameterized filters compose.
+    sirs = W.interactive_filter(flat, sir_only=True)
+    assert sirs.count() == doc_info.filter("is_special_investigation").count()
+    sev = W.interactive_filter(flat, sir_only=True, severity=["severe"])
+    assert sev.count() <= sirs.count()
+
+    nested = W.nest_agencies(flat, ["sha256", "document_title"])
+    total = nested.agg(F.sum("total_reports")).first()[0]
+    assert total == doc_info.count()
+    # Newest-first within each agency (W2).
+    docs0 = nested.filter(F.size("documents") > 1).first()["documents"]
+    dates = [d["date_iso"] for d in docs0]
+    assert dates == sorted(dates, reverse=True)
+
+
+def test_state_table_merge_idempotent(spark, tmp_path):
+    state = ParquetStateTable(spark, str(tmp_path / "state"), "id")
+    base = spark.createDataFrame(
+        [("a", "x", ""), ("b", "", "p2")], ["id", "sha", "path"]
+    )
+    state.write_initial(base)
+    updates = spark.createDataFrame(
+        [("b", "sha-b", ""), ("c", "sha-c", "p3")], ["id", "sha", "path"]
+    )
+    merged = state.update(updates, ["sha", "path"])
+    got = {r["id"]: (r["sha"], r["path"]) for r in merged.collect()}
+    assert got == {
+        "a": ("x", None),  # untouched
+        "b": ("sha-b", "p2"),  # update filled sha, kept existing path
+        "c": ("sha-c", "p3"),  # new row
+    }
+    # Idempotent re-run: same updates → same state.
+    again = state.update(updates, ["sha", "path"])
+    assert {r["id"]: (r["sha"], r["path"]) for r in again.collect()} == got
+
+
+def test_pending_work_bounded_deterministic(spark):
+    cands = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    state = spark.createDataFrame(
+        [(str(i), "done" if i % 2 == 0 else "") for i in range(50)], ["k", "status"]
+    )
+    work = pending_work(cands, state, "k", F.col("status") != "", limit=10)
+    keys = [r["k"] for r in work.collect()]
+    assert len(keys) == 10
+    assert keys == sorted(keys)
+    assert all(int(k) % 2 == 1 or int(k) >= 50 for k in keys)
+
+
+def test_three_way_download_decision(spark):
+    api = spark.createDataFrame([("d1",), ("d2",), ("d3",)], ["ContentDocumentId"])
+    state = spark.createDataFrame(
+        [("d1", "sha1", "/p1"), ("d2", "", "/p2")],
+        ["ContentDocumentId", "sha256", "downloaded_path"],
+    )
+    out = {
+        r["ContentDocumentId"]: r["decision"]
+        for r in three_way_download_decision(api, state).collect()
+    }
+    assert out == {"d1": "skip", "d2": "backfill", "d3": "download"}
+
+
+def test_u1_pdf_extract_kernel(spark):
+    df = spark.createDataFrame(
+        [("s1", bytearray(b"%PDF-fake-bytes")), ("s2", bytearray(b"%PDF-other"))],
+        ["sha256", "content"],
+    )
+    out = PR.extract_pdf_text(df, extractor=lambda b: [f"p{len(b)}"])
+    rows = {r["sha256"]: r["text"] for r in out.collect()}
+    assert rows == {"s1": ["p15"], "s2": ["p10"]}
+
+
+def test_u2_llm_enrich_mock(spark):
+    df = spark.createDataFrame(
+        [("s1", "clean text"), ("s2", "a violation occurred")],
+        ["sha256", "full_text"],
+    )
+    out = PR.llm_enrich(df, prompt="classify")
+    rows = {r["sha256"]: r for r in out.collect()}
+    assert rows["s1"]["violation"] == "n"
+    assert rows["s2"]["violation"] == "y"
+    assert rows["s2"]["input_tokens"] > 0
+
+
+def test_u3_download_kernel(spark):
+    df = spark.createDataFrame([("d1",), ("d2",)], ["ContentDocumentId"])
+    out = PR.download_documents(
+        df, fetcher=lambda i: b"bytes-" + i.encode() if i == "d1" else None
+    )
+    rows = {r["ContentDocumentId"]: r for r in out.collect()}
+    assert rows["d1"]["download_status"] == "downloaded"
+    assert len(rows["d1"]["sha256"]) == 64
+    assert rows["d2"]["download_status"] == "failed"
+
+
+def test_u4_salvage_json():
+    assert PR.salvage_json('noise {"a": {"b": 1}} tail')["a"]["b"] == 1
+    assert PR.salvage_json("{broken} {\"ok\": true}")["ok"] is True
+    assert PR.salvage_json("no json") is None
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff" + b"img-bytes" * 10)), (2, bytearray(b"\x89PNG\r\n"))],
+        ["media_id", "content"],
+    )
+    meta = MM.with_media_metadata(df)
+    sniffs = {r["media_id"]: r["format_sniff"] for r in meta.collect()}
+    assert sniffs == {1: "jpeg", 2: "png"}
+
+    feats = MM.extract_image_features(df).collect()
+    assert {f["media_id"] for f in feats} == {1, 2}
+    assert all(f["width"] >= 16 for f in feats)
+
+    frames = MM.sample_frames(df, every_n=2).collect()
+    assert len(frames) > 2  # 1:N fan-out
+    with pytest.raises(Exception):
+        MM.extract_image_features(df, strict=True).collect()
