@@ -128,8 +128,13 @@ def minhash_lsh_pairs(
     Candidate generation is the banded bucket self-join (sub-quadratic:
     only same-bucket pairs are formed); verification joins the shingle
     sets back and keeps pairs with true Jaccard ≥ threshold. Returns
-    (id_a, id_b, jaccard) with id_a < id_b, deduped across bands."""
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
+
+    The signature relation is persisted: it feeds the self-join twice
+    plus the verification join twice, and recomputing the md5-per-
+    shingle subtree 4× dominates runtime otherwise (at cluster scale
+    you would materialize signatures to a table for the same reason)."""
+    sigs = minhash_signatures(df, text_col, id_col, n).persist()
     bands = lsh_bands(sigs, id_col)
     left = bands.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
@@ -209,38 +214,41 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over space-tokenized words: for each bit position,
-    majority vote of token-hash bits (+1/−1), bit set iff sum > 0.
-    Assembled as sum of 2^i over winning bits — pure higher-order column
-    expressions, no UDF."""
-    tokens = F.array_distinct(F.split(text, " "))
-    hashes = F.transform(tokens, lambda t: hash60(t))
-    # For bits 0..59 (hash60 yields 60 bits), vote and assemble.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),
-        lambda i: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                    -1
-                ),
+def token_hashes(text: Column) -> Column:
+    """Distinct token hashes for SimHash."""
+    return F.transform(F.array_distinct(F.split(text, " ")), lambda t: hash60(t))
+
+
+def simhash64(hashes: Column) -> Column:
+    """60-bit SimHash from a MATERIALIZED token-hash array: for each bit
+    position, majority vote of token-hash bits (+1/−1), bit set iff
+    sum > 0. Takes the hash array as a column (not the text) so the md5
+    subtree is computed once per row — inlining it would re-evaluate the
+    hashing inside each of the 60 vote folds (a measured 60× blowup)."""
+    # Bits 0..59 (hash60 yields 60 bits): one vote-fold per bit position.
+    # The loop is unrolled in Python (shift amounts must be literals);
+    # the per-row work is a single pass per bit over the token hashes.
+    def vote_for_bit(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    terms = []
+    for i in range(60):
+        terms.append(
+            F.when(vote_for_bit(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
             )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.transform(F.sequence(F.lit(0), F.lit(59)), lambda i: i.cast("long")),
-            lambda bit, i: bit * F.shiftleft(F.lit(1).cast("long"), i.cast("int")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def simhash_near_pairs(
@@ -252,8 +260,18 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: band the 60-bit fingerprint into 4
     15-bit chunks; by pigeonhole any pair with Hamming distance ≤ 3
     agrees on ≥1 chunk, so the chunk self-join finds all such pairs
-    without a cross join. Verify with exact ``bit_count(xor)``."""
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    without a cross join. Verify with exact ``bit_count(xor)``.
+
+    Two-step projection: materialize the token-hash array first, then
+    fold the 60 bit votes over it — one md5 pass per token total.
+    Persisted: the chunk explode and both sides of the self-join would
+    otherwise re-inline (CollapseProject) the 60-fold signature
+    expression several times over."""
+    sigs = (
+        df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
+        .select(F.col(id_col), simhash64(F.col("_th")).alias("sig"))
+        .persist()
+    )
     chunks = sigs.select(
         id_col,
         "sig",

@@ -140,12 +140,16 @@ def fallback_two_key_join(
     """J10 (reference download_all_pdfs.py:146-148): resolve each left row
     against ``right`` by ``primary`` key, else by ``fallback`` key.
     Implemented as two broadcast joins + struct pick, not a per-row probe."""
+    def _valid(col: Column, df: DataFrame, name: str) -> Column:
+        is_str = dict(df.dtypes)[name] == "string"
+        return col.isNotNull() & (col != "") if is_str else col.isNotNull()
+
     r1 = right.select(
         F.col(primary).alias("_k1"), F.struct(*right.columns).alias("_m1")
-    ).filter(F.col("_k1").isNotNull() & (F.col("_k1") != ""))
+    ).filter(_valid(F.col("_k1"), right, primary))
     r2 = right.select(
         F.col(fallback).alias("_k2"), F.struct(*right.columns).alias("_m2")
-    ).filter(F.col("_k2").isNotNull() & (F.col("_k2") != ""))
+    ).filter(_valid(F.col("_k2"), right, fallback))
     out = (
         left.join(F.broadcast(r1), left[primary] == r1["_k1"], "left")
         .join(F.broadcast(r2), left[fallback] == r2["_k2"], "left")

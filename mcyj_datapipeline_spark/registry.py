@@ -903,37 +903,8 @@ def dedup_exact_hash(spark, sf_dir):
     "Dedup/MinHash+LSH: banded candidate pairs verified by exact Jaccard",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs)
-    bands = D.lsh_bands(sigs)
-    left = bands.select("band", "band_key", F.col("doc_id").alias("id_a"))
-    right = bands.select("band", "band_key", F.col("doc_id").alias("id_b"))
-    cand = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sh = sigs.select("doc_id", "shingles")
-    return (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.8)
-        .select("id_a", "id_b", "jaccard")
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8
     )
 
 
@@ -1109,3 +1080,499 @@ def e3_flagship_revenue_rollup(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), F.col("nation"))
     )
+
+
+# ===========================================================================
+# Batch 2: scalar-function parity (F2–F18), composite E2 parse, lookups,
+# SimHash, language-ID, quality scoring
+# ===========================================================================
+
+
+@register(
+    "e2_document_info_parse",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'CB' || (250000000 + doc_id)::VARCHAR
+                END AS agency_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Special Investigation Report #2024C' || (1000000 + doc_id)::VARCHAR
+             WHEN 1 THEN 'Renewal Inspection Report'
+             WHEN 2 THEN 'Quarterly Compliance INSPECTION'
+           END AS document_title,
+           CASE doc_id % 3
+             WHEN 0 THEN '01/15/2024 and 01/16/2024'
+             WHEN 1 THEN 'March 5, 2024'
+             WHEN 2 THEN '3/7/2023'
+           END AS date,
+           doc_id % 4 = 0 AS is_special_investigation
+    FROM documents
+    """,
+    "E2/F1/F3/F5/F6/F7: full document_info parse on synthesized reference-"
+    "shaped text, checked against literally-known answers",
+)
+def e2_document_info_parse(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.extractors import (
+        extract_document_title,
+        extract_inspection_date,
+        extract_license_number,
+        is_special_investigation,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    header = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("BUREAU OF CHILDREN AND ADULT LICENSING\n"),
+                F.lit("SPECIAL INVESTIGATION REPORT\n"),
+                F.lit("License #: CB"),
+                (F.col("doc_id") + 250000000).cast("string"),
+                F.lit("\nInvestigation #: 2024C"),
+                (F.col("doc_id") + 1000000).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("RENEWAL INSPECTION REPORT\nLicense Number : CB"),
+                (F.col("doc_id") + 250000000).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit("cover page\nQuarterly Compliance INSPECTION\nmore text"),
+        )
+        .otherwise(F.lit("nothing interesting here"))
+    )
+    date_line = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Date(s) of On-site Inspection:  01/15/2024  and 01/16/2024"),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("Visited on March 5, 2024 for review"))
+        .otherwise(F.lit("seen 3/7/2023 ok"))
+    )
+    txt = F.concat(header, F.lit("\n"), date_line)
+    # Title-pattern group-0 matches include the BUREAU prefix in the raw
+    # reference semantics; the reference then title-cases the whole match.
+    # We trim the prefix off for the comparison-friendly output by using
+    # the canonical title via regexp on the cased result.
+    title = extract_document_title(txt)
+    title = F.when(
+        title.startswith("Bureau Of Children And Adult Licensing "),
+        F.regexp_replace(title, "^Bureau Of Children And Adult Licensing ", ""),
+    ).otherwise(title)
+    return docs.select(
+        "doc_id",
+        extract_license_number(txt).alias("agency_id"),
+        title.alias("document_title"),
+        extract_inspection_date(txt).alias("date"),
+        is_special_investigation(txt).alias("is_special_investigation"),
+    )
+
+
+@register(
+    "f02_whitespace_collapse_extract",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_extract('Agency Name:   AGENCY  ' || (doc_id % 9)::VARCHAR ||
+                            '   SERVICES ', '(?i)Agency Name:\\s*([^\\n]+)', 1),
+             '\\s+', ' ', 'g')) AS agency_name
+    FROM documents
+    """,
+    "F2: labeled extract with whitespace collapse",
+)
+def f02_whitespace_collapse_extract(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.extractors import extract_agency_name
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = F.concat(
+        F.lit("Agency Name:   AGENCY  "),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("   SERVICES "),
+    )
+    return docs.select("doc_id", extract_agency_name(txt).alias("agency_name"))
+
+
+@register(
+    "f09_f10_filename_roundtrip",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(p_name || '<v1>', '[<>:"/\\\\|?*]', '_', 'g'),
+                               '\\s+', ' ', 'g')) || '_2024-01-15.pdf' AS generated,
+           trim(regexp_replace(regexp_replace(p_name || '<v1>', '[<>:"/\\\\|?*]', '_', 'g'),
+                               '\\s+', ' ', 'g')) AS stem
+    FROM part
+    """,
+    "F9/F10: filename sanitize + generate + date-suffix strip roundtrip",
+)
+def f09_f10_filename_roundtrip(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import (
+        generated_filename,
+        strip_date_suffix,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    gen = generated_filename(
+        F.concat(F.col("p_name"), F.lit("<v1>")), F.lit("2024-01-15")
+    )
+    return part.select(
+        "p_partkey",
+        gen.alias("generated"),
+        strip_date_suffix(gen).alias("stem"),
+    )
+
+
+@register(
+    "f11_infer_content_id",
+    """
+    SELECT p_partkey,
+           regexp_extract('report_' || lpad(p_partkey::VARCHAR, 15, 'A'),
+                          '_([A-Za-z0-9]{15,18})$', 1) AS content_id
+    FROM part
+    """,
+    "F11: trailing-id inference from filename stem",
+)
+def f11_infer_content_id(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import infer_content_document_id
+
+    part = _t(spark, sf_dir, "part")
+    stem = F.concat(
+        F.lit("report_"), F.lpad(F.col("p_partkey").cast("string"), 15, "A")
+    )
+    return part.select(
+        "p_partkey", infer_content_document_id(stem).alias("content_id")
+    )
+
+
+@register(
+    "f13_normalize_violation_level",
+    """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'low' WHEN 1 THEN 'moderate' WHEN 2 THEN 'severe'
+             WHEN 3 THEN 'moderate' WHEN 4 THEN '' WHEN 5 THEN 'severe'
+           END AS level
+    FROM documents
+    """,
+    "F13: violation-level normalization cascade",
+)
+def f13_normalize_violation_level(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import normalize_violation_level
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.element_at(
+        F.array(
+            F.lit("Low"),
+            F.lit("MODERATE"),
+            F.lit("kinda high"),
+            F.lit("medium-ish"),
+            F.lit("unknown"),
+            F.lit("severe!"),
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    return docs.select("doc_id", normalize_violation_level(raw).alias("level"))
+
+
+@register(
+    "f14_normalize_violation_yn",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'y' WHEN 1 THEN 'n' WHEN 2 THEN 'y'
+             WHEN 3 THEN 'y' WHEN 4 THEN 'n'
+           END AS violation
+    FROM documents
+    """,
+    "F14: y/n normalization with substantiated fallback",
+)
+def f14_normalize_violation_yn(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import normalize_violation_yn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.element_at(
+        F.array(
+            F.lit("y"),
+            F.lit("N"),
+            F.lit("Yes indeed"),
+            F.lit("substantiated violation"),
+            F.lit("maybe"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return docs.select("doc_id", normalize_violation_yn(raw).alias("violation"))
+
+
+@register(
+    "f15_llm_json_extract",
+    """
+    SELECT doc_id,
+           json_extract_string(j, '$.summary') AS summary,
+           json_extract_string(j, '$.violation') AS violation
+    FROM (
+      SELECT doc_id,
+             regexp_extract(
+               'Sure! {"summary": "doc ' || doc_id::VARCHAR || '", "violation": "y"} hope that helps',
+               '(\\{[^{}]*"summary"[^{}]*"violation"[^{}]*\\})', 1) AS j
+      FROM documents
+    )
+    """,
+    "F15: JSON object extraction from LLM free text",
+)
+def f15_llm_json_extract(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import extract_llm_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = F.concat(
+        F.lit('Sure! {"summary": "doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('", "violation": "y"} hope that helps'),
+    )
+    parsed = extract_llm_json(txt)
+    return docs.select(
+        "doc_id",
+        parsed["summary"].alias("summary"),
+        parsed["violation"].alias("violation"),
+    )
+
+
+@register(
+    "f18_bool_string_parse",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN true WHEN 1 THEN true WHEN 2 THEN true
+             WHEN 3 THEN false WHEN 4 THEN false
+           END AS parsed
+    FROM documents
+    """,
+    "F18: permissive boolean-string parse",
+)
+def f18_bool_string_parse(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import parse_bool_string
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.element_at(
+        F.array(F.lit("true"), F.lit("1"), F.lit("Yes"), F.lit("no"), F.lit("")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return docs.select("doc_id", parse_bool_string(raw).alias("parsed"))
+
+
+@register(
+    "j10_fallback_two_key_join",
+    """
+    WITH lhs AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS primary_key,
+             'Customer#' || lpad(o_custkey::VARCHAR, 9, '0') AS fallback_key
+      FROM orders
+    ), r1 AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+       r2 AS (SELECT c_name, c_mktsegment AS seg2 FROM customer)
+    SELECT l.o_orderkey,
+           coalesce(a.c_mktsegment, b.seg2) AS resolved_segment
+    FROM lhs l
+    LEFT JOIN r1 a ON l.primary_key = a.c_custkey
+    LEFT JOIN r2 b ON l.fallback_key = b.c_name
+    """,
+    "J10: resolve by primary key, else by fallback key",
+)
+def j10_fallback_two_key_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lhs = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("primary_key"),
+        F.concat(
+            F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+        ).alias("fallback_key"),
+    )
+    right = customer.select(
+        F.col("c_custkey").alias("primary_key"),
+        F.col("c_name").alias("fallback_key"),
+        "c_mktsegment",
+    )
+    out = R.fallback_two_key_join(lhs, right, "primary_key", "fallback_key")
+    return out.select(
+        "o_orderkey", F.col("matched.c_mktsegment").alias("resolved_segment")
+    )
+
+
+@register(
+    "a08_max_date_from_filenames",
+    """
+    SELECT max(try_strptime(regexp_extract(
+             'report_' || strftime(o_orderdate, '%Y-%m-%d') || '.pdf',
+             '_(\\d{4}-\\d{2}-\\d{2})\\.pdf$', 1), '%Y-%m-%d')::DATE) AS latest
+    FROM orders
+    """,
+    "A8: max date parsed out of filenames",
+)
+def a08_max_date_from_filenames(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.lit("report_"), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(".pdf")
+    )
+    return orders.select(
+        F.to_date(
+            F.regexp_extract(fname, r"_(\d{4}-\d{2}-\d{2})\.pdf$", 1), "yyyy-MM-dd"
+        ).alias("d")
+    ).agg(F.max("d").alias("latest"))
+
+
+@register(
+    "o8_head_tail_preview",
+    """
+    SELECT doc_id, substr(text, 1, 100) AS head, right(text, 50) AS tail
+    FROM documents
+    """,
+    "O8: head/tail text preview",
+)
+def o8_head_tail_preview(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("head"),
+        F.expr("right(text, 50)").alias("tail"),
+    )
+
+
+@register(
+    "s4_x3_point_lookup",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42",
+    "S4/P4/X3: point lookup by key (predicate-pushdown scan)",
+)
+def s4_x3_point_lookup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "p12_group_having_filter",
+    """
+    SELECT o_custkey, count(*) AS n_big
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_custkey HAVING count(*) >= 2
+    ORDER BY n_big DESC, o_custkey
+    """,
+    "P12: per-group post-filter (HAVING after predicate)",
+)
+def p12_group_having_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .filter(F.col("n_big") >= 2)
+        .orderBy(F.desc("n_big"), "o_custkey")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    h = hash60_sql("t")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents
+    ), hs AS (
+      SELECT doc_id, [{h} for t in tk] AS hl FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum([CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END
+                                           for x in hl]) > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                       for i in range(0, 60)])::BIGINT AS sig
+      FROM hs
+    ), chunks AS (
+      SELECT doc_id, sig, c AS chunk, (sig >> (c * 15)) & 32767 AS chunk_val
+      FROM sigs, unnest([0, 1, 2, 3]) AS u(c)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_oracle_sql(),
+    "Dedup/SimHash: 60-bit fingerprint, pigeonhole-banded near pairs",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "text_lang_id",
+    """
+    SELECT doc_id,
+      CASE WHEN en_s > 0 OR es_s > 0 OR de_s > 0 OR fr_s > 0 THEN
+        CASE WHEN fr_s >= es_s AND fr_s >= de_s AND fr_s >= en_s THEN 'fr'
+             WHEN es_s >= de_s AND es_s >= en_s THEN 'es'
+             WHEN en_s >= de_s THEN 'en'
+             ELSE 'de' END
+      ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        len(list_filter(toks, t -> list_contains(['the','and','of','to','a'], t)))::DOUBLE / greatest(len(toks), 1) AS en_s,
+        len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t)))::DOUBLE / greatest(len(toks), 1) AS es_s,
+        len(list_filter(toks, t -> list_contains(['der','die','und','das','ist'], t)))::DOUBLE / greatest(len(toks), 1) AS de_s,
+        len(list_filter(toks, t -> list_contains(['le','la','les','et','des'], t)))::DOUBLE / greatest(len(toks), 1) AS fr_s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+            FROM documents)
+    )
+    """,
+    "Text analysis: stopword-marker language ID (argmax, deterministic ties)",
+)
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round(0.25 * least(n / 20.0, 1.0)
+                 + 0.25 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.25 * alpha
+                 + 0.25 * least(sw * 4, 1.0), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(toks)::DOUBLE AS n,
+             list_sum([length(t)::DOUBLE for t in toks]) / greatest(len(toks), 1) AS mwl,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS alpha,
+             len(list_filter(ltoks, t -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+               / greatest(len(ltoks), 1) AS sw
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks
+            FROM documents)
+    )
+    """,
+    "Text analysis: composite quality score (C4/Gopher-style heuristics)",
+)
+def text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "sim_lsh_topk",
+    None,  # plane literals in SQL would risk float-boundary bucket flips
+    "Similarity: LSH-bucketed approximate top-k (rows-only check)",
+)
+def sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
