@@ -1,0 +1,112 @@
+"""Behavioral tests for dedup + similarity on constructed corpora with
+KNOWN near-duplicates — validates the sketches find what they must."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.operators import dedup as D
+from mcyj_datapipeline_spark.operators import similarity as S
+
+
+def _corpus(spark):
+    """40 base docs + engineered duplicates: exact copy of doc0,
+    one-word-change copy of doc1, unrelated docs elsewhere."""
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    near = rows[1][1].split()
+    near[10] = "CHANGED"
+    rows.append((101, " ".join(near)))  # near dup of doc 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _corpus(spark).cache()
+
+
+def test_exact_dedup_finds_copy(corpus):
+    winners = D.exact_dedup_winners(corpus)
+    dupes = winners.filter(F.col("n_copies") > 1).collect()
+    assert len(dupes) == 1
+    assert dupes[0]["keep_id"] == 0 and dupes[0]["n_copies"] == 2
+
+
+def test_minhash_finds_known_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 100) in pairs and pairs[(0, 100)] == 1.0
+    assert (1, 101) in pairs and 0.8 <= pairs[(1, 101)] < 1.0
+    # No false positives among unrelated random docs.
+    assert all(a in (0, 1) for a, b in pairs)
+
+
+def test_ngram_jaccard_agrees_with_minhash(corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert exact == {(0, 100), (1, 101)}
+
+
+def test_simhash_finds_exact_pair(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(corpus, max_hamming=6).collect()
+    }
+    assert pairs.get((0, 100)) == 0
+    assert (1, 101) in pairs  # one-word change → few flipped bits
+
+
+def _embeddings(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    # 100 = duplicate of 0; 101 = tiny perturbation of 1.
+    rows.append((100, rows[0][1]))
+    rows.append((101, [x + 0.001 for x in rows[1][1]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return _embeddings(spark).cache()
+
+
+def test_bruteforce_topk_finds_duplicate_first(vectors):
+    out = S.cosine_topk(vectors, vectors.filter(F.col("vec_id").isin(0, 1)), k=3)
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    assert sorted(by_query[0])[0][1] == 100  # rank-1 neighbor of 0 is its copy
+    assert sorted(by_query[1])[0][1] == 101
+    assert sorted(by_query[0])[0][2] >= 0.999999
+
+
+def test_lsh_topk_recall_on_near_dups(vectors):
+    """Near-identical vectors land in the same hyperplane bucket, so the
+    LSH path must recover them as rank-1 too."""
+    out = S.lsh_topk(vectors, vectors.filter(F.col("vec_id").isin(0, 1)), k=3)
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out.collect() if r["rank"] == 1}
+    assert rank1[0] == 100
+    assert rank1[1] == 101
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(vectors, 0.999).collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs

@@ -1,0 +1,96 @@
+"""Sources & sinks (S1–S5, K1–K5): CSV round trips, binary scan,
+parquet batch append, per-key JSON store."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mcyj_datapipeline_spark import io as MIO
+
+
+def test_csv_single_file_deterministic(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("b", "2"), ("a", "1"), ("c", "3")], ["agency_id", "doc"]
+    )
+    out = str(tmp_path / "out.csv")
+    MIO.write_csv_single(df, out, order_by=["agency_id"])
+    import glob
+
+    parts = glob.glob(f"{out}/part-*.csv")
+    assert len(parts) == 1  # K1: single deterministic file
+    lines = open(parts[0]).read().strip().splitlines()
+    assert lines[0] == "agency_id,doc"
+    assert [l.split(",")[0] for l in lines[1:]] == ["a", "b", "c"]
+
+    back = MIO.read_csv(spark, out)
+    assert back.count() == 3 and back.columns == ["agency_id", "doc"]
+
+
+def test_csv_typed_schema_read(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    p = str(tmp_path / "typed.csv")
+    spark.createDataFrame([("a", 1)], schema).write.option("header", True).csv(p)
+    back = MIO.read_csv(spark, p, schema=schema)
+    assert dict(back.dtypes) == {"k": "string", "n": "bigint"}
+
+
+def test_binary_scan_case_insensitive_pdf(spark, tmp_path):
+    (tmp_path / "a.pdf").write_bytes(b"%PDF-1")
+    (tmp_path / "b.PDF").write_bytes(b"%PDF-2")
+    (tmp_path / "c.txt").write_bytes(b"nope")
+    df = MIO.read_binary_files(spark, str(tmp_path))
+    assert df.count() == 2  # S5: *.pdf + *.PDF, not .txt
+    assert set(df.columns) >= {"path", "content", "length"}
+
+
+def test_parquet_batch_append_union(spark, tmp_path):
+    p = str(tmp_path / "batches")
+    d1 = spark.createDataFrame([("s1", ["p1"])], ["sha256", "text"])
+    d2 = spark.createDataFrame([("s2", ["p2"])], ["sha256", "text"])
+    MIO.append_parquet_batch(d1, p)
+    MIO.append_parquet_batch(d2, p)
+    # K3/S3: logical table = directory union of batch files.
+    assert spark.read.parquet(p).count() == 2
+
+
+def test_per_key_json_store_partition_pruned(spark, tmp_path):
+    p = str(tmp_path / "docstore")
+    df = spark.createDataFrame(
+        [("sha1", "doc one"), ("sha2", "doc two")], ["sha256", "body"]
+    )
+    MIO.write_json_per_key(df, p, "sha256")
+    back = spark.read.json(p)
+    one = back.filter(F.col("sha256") == "sha1")
+    assert one.count() == 1 and one.first()["body"] == "doc one"
+    # X3: the key lookup prunes to one partition directory.
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_api_rows_and_unnest(spark):
+    schema = T.StructType(
+        [
+            T.StructField(
+                "returnValue",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "responseResult",
+                            T.ArrayType(
+                                T.StructType(
+                                    [T.StructField("agencyId", T.StringType())]
+                                )
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    payload = [{"returnValue": {"responseResult": [{"agencyId": "a1"}, {"agencyId": "a2"}]}}]
+    df = MIO.from_api_rows(spark, payload, schema)
+    out = MIO.unnest_response(df, "returnValue.responseResult")
+    assert [r["agencyId"] for r in out.collect()] == ["a1", "a2"]
