@@ -87,6 +87,38 @@ def extract_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
     return F.from_json(F.nullif(candidate, F.lit("")), schema or _LLM_JSON_SCHEMA)
 
 
+def salvage_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
+    """F16/U4 (reference update_violation_levels.py:281-320): nested-safe
+    JSON extraction. Fast path: greedy first-``{``-to-last-``}`` slice +
+    ``from_json`` (handles nested objects, JVM-side). Fallback, only for
+    rows the fast path cannot parse: the brace-matching scanner
+    (``operators.procedural.salvage_json``) as a Python UDF.
+
+    Spark extracts Python UDFs into a separate BatchEvalPython stage, so
+    the fallback kernel is invoked per row even when the fast path hit —
+    at cluster scale, split with ``filter``/``unionByName`` so only the
+    failed slice pays the Python tax; at the reference's salvage rates
+    (rare LLM formatting glitches) either shape is fine."""
+    schema = schema or _LLM_JSON_SCHEMA
+    fast = F.from_json(
+        F.nullif(F.regexp_extract(col, r"(\{.*\})", 1), F.lit("")), schema
+    )
+
+    import json
+
+    from pyspark.sql.functions import udf
+
+    @udf(returnType=T.StringType())
+    def _salvage(text: str | None) -> str | None:
+        from mcyj_datapipeline_spark.operators.procedural import salvage_json
+
+        obj = salvage_json(text or "")
+        return json.dumps(obj) if obj is not None else None
+
+    slow = F.from_json(_salvage(col), schema)
+    return F.when(fast.isNotNull(), fast).otherwise(slow)
+
+
 def keywords_from_json(col: Column) -> Column:
     """F17 (reference generate_website_data.py:104-111): JSON-encoded
     array<string> in a CSV cell → real array; null/'' → empty array."""

@@ -1576,3 +1576,8 @@ def text_quality_score(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# Batch-3 entries register on import (module bottom so ``register`` and the
+# base entries above already exist; batch3 imports back into this module).
+from mcyj_datapipeline_spark import registry_batch3  # noqa: E402,F401

@@ -1,0 +1,745 @@
+"""Batch 3 registry entries: the remaining SURVEY §2 line items —
+dedicated F3/F4/F5 cascades, F16 brace-salvage, F17/F20/F21 codecs and
+array ops, P13, A2/A10/A12, O1, the T1 three-way decision, the E3
+website pipeline end-to-end, and oracle-checked queries for the
+multimodal (mapInPandas) and procedural (U1/U2) operators.
+
+Every kernel here is deterministic, so even the Arrow/mapInPandas
+operators get full DuckDB value-hash oracles: the SQL re-derives the
+fake-decoder outputs arithmetically from the same bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.operators import aggregates as A
+from mcyj_datapipeline_spark.operators import multimodal as MM
+from mcyj_datapipeline_spark.operators import procedural as PR
+from mcyj_datapipeline_spark.operators import text_analysis as TA
+from mcyj_datapipeline_spark.plans import website as WEB
+from mcyj_datapipeline_spark.registry import register
+from mcyj_datapipeline_spark.streaming.incremental import (
+    three_way_download_decision,
+)
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.8 — dedicated scalar cascades F3 / F4 / F5
+# ===========================================================================
+
+
+@register(
+    "f03_title_cascade",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'Special Investigation Report #2024C' || doc_id::VARCHAR
+             WHEN 1 THEN 'Interim Monitoring Report'
+             WHEN 2 THEN 'Inspection Report'
+             WHEN 3 THEN 'Annual safety review INSPECTION'
+             ELSE NULL
+           END AS document_title
+    FROM documents
+    """,
+    "F3: full title cascade — cover-letter branch + SIR# suffix, pattern "
+    "cascade with smart title-case, first-10-lines fallback, no-match null "
+    "(reference extract_document_info.py:68-148)",
+)
+def f03_title_cascade(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.extractors import (
+        extract_document_title,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(
+                    "Dear Director,\n"
+                    "Attached is the Special Investigation Report.\n"
+                    "Investigation #: 2024C"
+                ),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit("cover line\nINTERIM MONITORING REPORT\nbody"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.lit("header\nON-SITE   INSPECTION REPORT\nbody"),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.lit("Random Cover Line\nAnnual safety review INSPECTION\nrest"),
+        )
+        .otherwise(F.lit("nothing relevant in this text"))
+    )
+    return docs.select(
+        "doc_id", extract_document_title(txt).alias("document_title")
+    )
+
+
+@register(
+    "f04_investigation_number",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN '2024C' || doc_id::VARCHAR
+             WHEN 1 THEN '88B' || doc_id::VARCHAR
+             WHEN 2 THEN 'R' || doc_id::VARCHAR
+             ELSE NULL
+           END AS investigation_number
+    FROM documents
+    """,
+    "F4: investigation-number cascade (3 labeled patterns, first wins)",
+)
+def f04_investigation_number(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.extractors import (
+        extract_investigation_number,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("Investigation #: 2024C"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("SIR # : 88B"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("Report #: R"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit("no number"))
+    )
+    return docs.select(
+        "doc_id",
+        extract_investigation_number(txt).alias("investigation_number"),
+    )
+
+
+@register(
+    "f05_inspection_date",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN '01/15/2024 and 01/16/2024'
+             WHEN 1 THEN '02/01/2024'
+             WHEN 2 THEN 'March 5, 2024'
+             ELSE '3/7/2023'
+           END AS date
+    FROM documents
+    """,
+    "F5: inspection-date cascade — labeled lines (group 1) else bare "
+    "Month-name / M/D/YYYY (group 0), whitespace-collapsed",
+)
+def f05_inspection_date(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.extractors import (
+        extract_inspection_date,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("Date(s) of On-site Inspection:   01/15/2024  and  01/16/2024"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("Special Investigation Intake Date: 02/01/2024"),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("visited March 5, 2024 today"))
+        .otherwise(F.lit("on 3/7/2023."))
+    )
+    return docs.select("doc_id", extract_inspection_date(txt).alias("date"))
+
+
+# ===========================================================================
+# F16 — nested-safe JSON salvage (greedy from_json path + UDF fallback U4)
+# ===========================================================================
+
+
+@register(
+    "f16_json_salvage",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 's' || doc_id::VARCHAR
+             WHEN 1 THEN 'n' || doc_id::VARCHAR
+             ELSE 't' || doc_id::VARCHAR
+           END AS summary,
+           CASE doc_id % 3 WHEN 1 THEN 'n' ELSE 'y' END AS violation
+    FROM documents
+    """,
+    "F16/U4: nested-safe JSON extraction — greedy-brace from_json fast "
+    "path, brace-matching Python UDF fallback only for rows the fast path "
+    "cannot parse (reference update_violation_levels.py:281-320)",
+)
+def f16_json_salvage(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import salvage_llm_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('ok {"summary": "s'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "violation": "y"} thanks'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('x {"summary": "n'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "detail": {"depth": 2}, "violation": "n"} y'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('a {"summary": "t'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "violation": "y"} plus an unmatched } brace'),
+            )
+        )
+    )
+    parsed = salvage_llm_json(txt)
+    return docs.select(
+        "doc_id",
+        parsed["summary"].alias("summary"),
+        parsed["violation"].alias("violation"),
+    )
+
+
+# ===========================================================================
+# F17 / F20 / F21 — codecs and array ops
+# ===========================================================================
+
+
+@register(
+    "f17_keywords_json_roundtrip",
+    """
+    SELECT doc_id, unnest(w[1:5]) AS keyword
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+    "F17: keywords array → JSON text → array round trip (the CSV-boundary "
+    "serialization, reference update_violation_levels.py:485)",
+)
+def f17_keywords_json_roundtrip(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions.textfn import (
+        keywords_from_json,
+        keywords_to_json,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.col("text"), " "), 1, 5).alias("kws")
+    )
+    roundtrip = keywords_from_json(keywords_to_json(F.col("kws")))
+    return docs.select("doc_id", F.explode(roundtrip).alias("keyword"))
+
+
+@register(
+    "f20_base64_roundtrip",
+    """
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 40))) AS b64,
+           substr(text, 1, 40) AS decoded
+    FROM documents
+    """,
+    "F20: base64 encode/decode of binary payloads (API PDF body shape, "
+    "reference download_pdf.py:90-91)",
+)
+def f20_base64_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    head = F.substring(F.col("text"), 1, 40)
+    b64 = F.base64(F.encode(head, "UTF-8"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("decoded"),
+    )
+
+
+@register(
+    "f21_pages_array_ops",
+    """
+    SELECT doc_id,
+           len(pages) AS n_pages,
+           length(array_to_string(pages, chr(10))) AS n_chars
+    FROM (SELECT doc_id, string_split(text, '. ') AS pages FROM documents)
+    """,
+    "F21: array ops on the pages column — join, count, char count",
+)
+def f21_pages_array_ops(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pages = F.split(F.col("text"), r"\. ")
+    return docs.select(
+        "doc_id",
+        F.size(pages).alias("n_pages"),
+        F.length(F.array_join(pages, "\n")).alias("n_chars"),
+    )
+
+
+# ===========================================================================
+# P13 / A2 / A10 / A12 / O1
+# ===========================================================================
+
+
+@register(
+    "p13_file_extension_filter",
+    """
+    SELECT p_partkey, fname FROM (
+      SELECT p_partkey,
+             p_name || CASE p_partkey % 3 WHEN 0 THEN '.pdf'
+                                          WHEN 1 THEN '.PDF'
+                                          ELSE '.txt' END AS fname
+      FROM part
+    ) WHERE ends_with(lower(fname), '.pdf')
+    """,
+    "P13: case-insensitive file-extension predicate",
+)
+def p13_file_extension_filter(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    fname = F.concat(
+        F.col("p_name"),
+        F.when(F.col("p_partkey") % 3 == 0, ".pdf")
+        .when(F.col("p_partkey") % 3 == 1, ".PDF")
+        .otherwise(".txt"),
+    )
+    return (
+        part.select("p_partkey", fname.alias("fname"))
+        .filter(F.lower(F.col("fname")).endswith(".pdf"))
+    )
+
+
+@register(
+    "a02_global_sums",
+    """
+    SELECT count(*) AS total_reports,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    """,
+    "A2: global sums across all groups",
+)
+def a02_global_sums(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total_reports"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "a10_token_cost_sums",
+    """
+    SELECT lang,
+           sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))::BIGINT
+             AS total_tokens,
+           sum(length(text))::BIGINT AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "A10: token/cost accounting sums per group (LLM usage rollup shape)",
+)
+def a10_token_cost_sums(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(TA.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(TA.char_count(F.col("text"))).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "a12_status_counters",
+    """
+    SELECT CASE o_orderstatus WHEN 'F' THEN 'processed'
+                              WHEN 'O' THEN 'pending'
+                              ELSE 'partial' END AS status,
+           count(*) AS count
+    FROM orders GROUP BY 1 ORDER BY status
+    """,
+    "A12: processed/skipped/error run counters as groupBy-count",
+)
+def a12_status_counters(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "processed")
+        .when(F.col("o_orderstatus") == "O", "pending")
+        .otherwise("partial")
+    )
+    return (
+        orders.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "o1_multi_key_sort",
+    """
+    SELECT o_custkey, o_orderkey FROM orders
+    ORDER BY o_custkey, o_orderkey LIMIT 500
+    """,
+    "O1: deterministic multi-key sort before sink (stable CSV ordering)",
+)
+def o1_multi_key_sort(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )
+
+
+# ===========================================================================
+# T1 — three-way incremental download decision
+# ===========================================================================
+
+
+@register(
+    "t1_three_way_decision",
+    """
+    SELECT c_custkey::VARCHAR AS ContentDocumentId,
+           CASE c_custkey % 3 WHEN 0 THEN 'skip'
+                              WHEN 1 THEN 'backfill'
+                              ELSE 'download' END AS decision
+    FROM customer
+    """,
+    "T1: per-row skip/backfill/download decision — one left join + when "
+    "chain (reference run_full_pipeline.py:361-395)",
+)
+def t1_three_way_decision(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    api = customer.select(
+        F.col("c_custkey").cast("string").alias("ContentDocumentId")
+    )
+    state = (
+        customer.filter(F.col("c_custkey") % 3 != 2)
+        .select(
+            F.col("c_custkey").cast("string").alias("ContentDocumentId"),
+            F.when(
+                F.col("c_custkey") % 3 == 0,
+                F.concat(F.lit("sha"), F.col("c_custkey").cast("string")),
+            )
+            .otherwise(F.lit(""))
+            .alias("sha256"),
+            F.when(
+                F.col("c_custkey") % 3 == 1,
+                F.concat(F.lit("/dl/"), F.col("c_custkey").cast("string")),
+            )
+            .otherwise(F.lit(""))
+            .alias("downloaded_path"),
+        )
+    )
+    return three_way_download_decision(api, state).select(
+        "ContentDocumentId", "decision"
+    )
+
+
+# ===========================================================================
+# E3 website pipeline end-to-end (J1–J4 + F8 + F17/F18 + P6/P2)
+# ===========================================================================
+
+_E3_ORACLE = """
+    WITH document_info AS (
+      SELECT doc_id::VARCHAR AS sha256,
+             'AG' || (doc_id % 50)::VARCHAR AS agency_id,
+             'Agency ' || (doc_id % 50)::VARCHAR AS agency_name,
+             CASE WHEN doc_id % 2 = 0 THEN '01/15/2024' ELSE 'March 5, 2024' END AS date,
+             doc_id % 2 = 0 AS is_special_investigation
+      FROM documents
+    ), sir AS (
+      SELECT doc_id::VARCHAR AS sha256, 'sum' || doc_id::VARCHAR AS summary,
+             CASE WHEN doc_id % 6 = 0 THEN 'y' ELSE 'n' END AS violation
+      FROM documents WHERE doc_id % 3 = 0
+    ), lvl AS (
+      SELECT doc_id::VARCHAR AS sha256, 'severe' AS level
+      FROM documents WHERE doc_id % 6 = 0
+    ), staff AS (
+      SELECT doc_id::VARCHAR AS sha256, true AS staffing_problem, 'high' AS confidence
+      FROM documents WHERE doc_id % 4 = 0
+    ), fac AS (
+      SELECT DISTINCT 'AG' || (doc_id % 50)::VARCHAR AS agency_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'Regular' ELSE 'Closed' END AS LicenseStatus
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT d.sha256, d.agency_id, s.summary, l.level,
+           coalesce(st.staffing_problem, false) AS staffing_problem,
+           CASE WHEN d.date = '01/15/2024' THEN DATE '2024-01-15'
+                ELSE DATE '2024-03-05' END AS date_iso,
+           f.LicenseStatus
+    FROM document_info d
+    LEFT JOIN sir s ON d.sha256 = s.sha256
+    LEFT JOIN lvl l ON d.sha256 = l.sha256
+    LEFT JOIN staff st ON d.sha256 = st.sha256
+    LEFT JOIN fac f ON d.agency_id = f.agency_id
+    WHERE d.is_special_investigation AND f.LicenseStatus IN
+      ('Regular', 'Original', '1st Provisional', '2nd Provisional', 'Inspected')
+"""
+
+
+@register(
+    "e3_website_pipeline",
+    _E3_ORACLE,
+    "E3 end-to-end: build_flat_table (J1–J4 broadcast joins + F8 date "
+    "normalize + F17/F18 casts) + interactive_filter (P6 active-status, "
+    "P2 SIR-only) over reference-shaped frames",
+)
+def e3_website_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sha = F.col("doc_id").cast("string")
+    agid = F.concat(F.lit("AG"), (F.col("doc_id") % 50).cast("string"))
+    document_info = docs.select(
+        sha.alias("sha256"),
+        agid.alias("agency_id"),
+        F.concat(F.lit("Agency "), (F.col("doc_id") % 50).cast("string")).alias(
+            "agency_name"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, "01/15/2024")
+        .otherwise("March 5, 2024")
+        .alias("date"),
+        (F.col("doc_id") % 2 == 0).alias("is_special_investigation"),
+    )
+    sir = docs.filter(F.col("doc_id") % 3 == 0).select(
+        sha.alias("sha256"),
+        F.concat(F.lit("sum"), sha).alias("response"),
+        F.when(F.col("doc_id") % 6 == 0, "y").otherwise("n").alias("violation"),
+    )
+    lvl = docs.filter(F.col("doc_id") % 6 == 0).select(
+        sha.alias("sha256"),
+        F.lit("severe").alias("level"),
+        F.lit("justified").alias("justification"),
+        F.lit('["kw1", "kw2"]').alias("keywords"),
+    )
+    staff = docs.filter(F.col("doc_id") % 4 == 0).select(
+        sha.alias("sha256"),
+        F.lit("true").alias("staffing_problem"),
+        F.lit("high").alias("confidence"),
+        F.lit("reason").alias("primary_reason"),
+    )
+    fac = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            agid.alias("LicenseNumber"),
+            F.when(F.col("doc_id") % 2 == 0, "Regular")
+            .otherwise("Closed")
+            .alias("LicenseStatus"),
+        )
+        .distinct()
+    )
+    flat = WEB.build_flat_table(document_info, sir, lvl, staff, fac)
+    out = WEB.interactive_filter(
+        flat, license_statuses=WEB.ACTIVE_LICENSE_STATUSES, sir_only=True
+    )
+    return out.select(
+        "sha256",
+        "agency_id",
+        F.col("summary"),
+        "level",
+        F.coalesce(F.col("staffing_problem"), F.lit(False)).alias(
+            "staffing_problem"
+        ),
+        "date_iso",
+        "LicenseStatus",
+    )
+
+
+# ===========================================================================
+# Multimodal (opaque binary columns; Arrow-batched mapInPandas plumbing)
+# ===========================================================================
+
+
+def _media_df(spark, sf_dir):
+    """documents text re-cast as opaque media blobs with magic-number
+    prefixes — deterministic stand-in for image/audio bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("FFD8FFE0")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("89504E47")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("25504446")))
+        .otherwise(F.unhex(F.lit("00000000")))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("content"),
+    )
+
+
+_MM_BLOB_SQL = """
+      SELECT doc_id AS media_id,
+             CASE doc_id % 4 WHEN 0 THEN unhex('FFD8FFE0')
+                             WHEN 1 THEN unhex('89504E47')
+                             WHEN 2 THEN unhex('25504446')
+                             ELSE unhex('00000000') END || encode(text) AS content
+      FROM documents
+"""
+
+
+@register(
+    "mm_media_metadata",
+    f"""
+    SELECT media_id,
+           octet_length(content) AS n_bytes,
+           CASE left(hex(content), 8)
+             WHEN 'FFD8FFE0' THEN 'jpeg'
+             WHEN '89504E47' THEN 'png'
+             WHEN '25504446' THEN 'pdf'
+             ELSE 'unknown' END AS format_sniff
+    FROM ({_MM_BLOB_SQL})
+    """,
+    "Multimodal: JVM-side typed metadata over opaque binary (length, "
+    "magic-number sniff) — no decode, no Python",
+)
+def mm_media_metadata(spark, sf_dir):
+    meta = MM.with_media_metadata(_media_df(spark, sf_dir))
+    return meta.select("media_id", "n_bytes", "format_sniff")
+
+
+@register(
+    "mm_image_features",
+    f"""
+    SELECT media_id,
+           octet_length(content) AS n_bytes,
+           16 + (octet_length(content) % 241) AS width,
+           16 + ((octet_length(content) * 31) % 241) AS height
+    FROM ({_MM_BLOB_SQL})
+    """,
+    "Multimodal: decode/feature-extract via Arrow mapInPandas (1:1). "
+    "Decoder is a deterministic STUB, so the oracle re-derives the fake "
+    "geometry arithmetically — the Spark-side plumbing under test is real",
+)
+def mm_image_features(spark, sf_dir):
+    feats = MM.extract_image_features(_media_df(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+    SELECT media_id,
+           unnest(range(CAST(ceil(octet_length(content) / 160.0) AS BIGINT)))
+             AS frame_index
+    FROM ({_MM_BLOB_SQL}) WHERE octet_length(content) > 0
+    """,
+    "Multimodal: frame sampling via mapInPandas (1 row in → N frame rows "
+    "out, the generator/UDTF shape); fake demuxer chunks bytes",
+)
+def mm_frame_sample(spark, sf_dir):
+    frames = MM.sample_frames(_media_df(spark, sf_dir), every_n=10)
+    return frames.select(
+        "media_id", F.col("frame_index").cast("long").alias("frame_index")
+    )
+
+
+# ===========================================================================
+# Procedural edge U1 / U2 as oracle-checked queries
+# ===========================================================================
+
+
+@register(
+    "u1_pdf_extract",
+    """
+    SELECT doc_id::VARCHAR AS sha256,
+           1 + (octet_length(encode(text)) % 5) AS n_pages,
+           'page 1 len ' || octet_length(encode(text))::VARCHAR AS page1
+    FROM documents
+    """,
+    "U1: binary → pages-array extraction via Arrow mapInPandas (1:1). "
+    "pdfplumber kernel injectable; the deterministic fake extractor lets "
+    "the oracle re-derive page counts from byte lengths "
+    "(reference extract_pdf_text.py:98-105)",
+)
+def u1_pdf_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("sha256"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    out = PR.extract_pdf_text(docs, extractor=PR._fake_pdf_pages)
+    return out.select(
+        "sha256",
+        F.size("text").cast("long").alias("n_pages"),
+        F.element_at("text", 1).alias("page1"),
+    )
+
+
+@register(
+    "u2_llm_enrich",
+    """
+    SELECT doc_id::VARCHAR AS sha256,
+           'summary of ' || length(text)::VARCHAR || ' chars' AS response,
+           CASE WHEN contains(lower(text), 'violation') THEN 'y' ELSE 'n' END
+             AS violation,
+           length(text) // 4 AS input_tokens,
+           (50 + length(length(text)::VARCHAR)) // 4 AS output_tokens
+    FROM documents
+    """,
+    "U2: LLM enrichment via mapInPandas with usage accounting; document-"
+    "first prompt order preserved for provider cache reuse. Deterministic "
+    "mock client → full value oracle "
+    "(reference update_sir_summaries.py:154-259)",
+)
+def u2_llm_enrich(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("sha256"),
+        F.col("text").alias("full_text"),
+    )
+    out = PR.llm_enrich(docs, prompt="summarize; flag violation")
+    return out.select(
+        "sha256", "response", "violation", "input_tokens", "output_tokens"
+    )
+
+
+# ===========================================================================
+# A5 word-level inverted index with per-phrase insert semantics (X1 feed)
+# ===========================================================================
+
+
+@register(
+    "f22_phrase_to_words",
+    """
+    SELECT DISTINCT doc_id, word
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    )
+    """,
+    "F22: phrase → word explode for the word-level index (trie insert "
+    "feed, reference App.jsx:95-99)",
+)
+def f22_phrase_to_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda w: w != "",
+                    )
+                )
+            ).alias("word"),
+        )
+        .distinct()
+    )
