@@ -35,6 +35,9 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "f08_multiformat_date_parse",
+    "e3_website_pipeline",
+    "u2_llm_enrich",
+    "mm_image_features",
 ]
 
 

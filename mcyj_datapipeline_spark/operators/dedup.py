@@ -82,15 +82,43 @@ def minhash_signature(hashes: Column) -> Column:
     )
 
 
+def _spread_for_compute(df: DataFrame, key: str) -> DataFrame:
+    """Sketch stages are CPU-bound — see
+    :func:`mcyj_datapipeline_spark.operators.partitioning.spread_for_compute`."""
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(df, key)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Per-document (id, shingle-hash set, MinHash signature)."""
-    return df.select(
+    """Per-document (id, shingle-hash set, MinHash signature).
+
+    Shape: shingle → explode → one groupBy(doc) computing BOTH the
+    shingle set (``collect_list`` — input is already distinct) and the 16
+    permuted ``min`` aggregates. Flat (id, hash) rows keep the codegen
+    span small (vs 16 unrolled ``transform`` lambdas in
+    :func:`minhash_signature`, kept for composability), the aggregation
+    partial-aggregates map-side, and the shingles are hashed exactly
+    once. Docs with no shingles disappear at the explode, matching the
+    old ``size > 0`` filter."""
+    ex = _spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col),
-        shingle_hashes(F.col(text_col), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0).withColumn(
-        "signature", minhash_signature(F.col("shingles"))
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
+    )
+    return ex.groupBy(id_col).agg(
+        F.collect_list("h").alias("shingles"),
+        F.array(
+            *[
+                F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME)
+                for a, b in MINHASH_PERMS
+            ]
+        ).alias("signature"),
     )
 
 
@@ -181,7 +209,7 @@ def ngram_jaccard_pairs(
     shingle only — never a full cross join), count shared, then
     |A∩B| / (|A| + |B| − |A∩B|). The quadratic baseline that validates
     MinHash at test scale; at 100 TB you cap bucket fan-out first."""
-    sh = df.select(
+    sh = _spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
@@ -224,10 +252,12 @@ def simhash64(hashes: Column) -> Column:
     position, majority vote of token-hash bits (+1/−1), bit set iff
     sum > 0. Takes the hash array as a column (not the text) so the md5
     subtree is computed once per row — inlining it would re-evaluate the
-    hashing inside each of the 60 vote folds (a measured 60× blowup)."""
-    # Bits 0..59 (hash60 yields 60 bits): one vote-fold per bit position.
-    # The loop is unrolled in Python (shift amounts must be literals);
-    # the per-row work is a single pass per bit over the token hashes.
+    hashing inside each of the 60 vote folds (a measured 60× blowup).
+
+    Expression form kept for composability; :func:`simhash_signatures`
+    uses the explode+aggregate form (60 tiny ``sum`` aggregates over flat
+    rows) whose codegen is dramatically smaller than 60 unrolled
+    ``aggregate`` folds."""
     def vote_for_bit(i: int) -> Column:
         return F.aggregate(
             hashes,
@@ -251,6 +281,36 @@ def simhash64(hashes: Column) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document 60-bit SimHash via explode + 60-way vote aggregation:
+    token-hash rows → ``sum(±1)`` per bit (map-side partial agg; shuffle
+    carries (id, 60 ints) per doc) → one projection reassembling the
+    signature. Same values as :func:`simhash64`, flat codegen."""
+    ex = (
+        _spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(token_hashes(F.col(text_col))).alias("h"))
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    sig = None
+    for i in range(60):
+        term = F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -267,11 +327,7 @@ def simhash_near_pairs(
     Persisted: the chunk explode and both sides of the self-join would
     otherwise re-inline (CollapseProject) the 60-fold signature
     expression several times over."""
-    sigs = (
-        df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
-        .select(F.col(id_col), simhash64(F.col("_th")).alias("sig"))
-        .persist()
-    )
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunks = sigs.select(
         id_col,
         "sig",

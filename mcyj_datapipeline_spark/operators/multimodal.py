@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mcyj_datapipeline_spark.operators.partitioning import spread_for_compute
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -77,9 +79,8 @@ def extract_image_features(
                 rows, columns=["media_id", "n_bytes", "width", "height", "mean_luma"]
             )
 
-    return df.select(id_col, content_col).mapInPandas(
-        kernel, schema=IMAGE_FEATURES_SCHEMA
-    )
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(
@@ -104,9 +105,8 @@ def sample_frames(
                 rows, columns=["media_id", "frame_index", "frame_bytes"]
             )
 
-    return df.select(id_col, content_col).mapInPandas(
-        kernel, schema=FRAME_SAMPLE_SCHEMA
-    )
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:

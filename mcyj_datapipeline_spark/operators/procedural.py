@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from mcyj_datapipeline_spark.operators.partitioning import spread_for_compute
+
 PDF_TEXT_SCHEMA = T.StructType(
     [
         T.StructField("sha256", T.StringType()),
@@ -68,7 +70,8 @@ def extract_pdf_text(
                 rows.append((sha, pages, processed_at))
             yield pd.DataFrame(rows, columns=["sha256", "text", "dateprocessed"])
 
-    return df.select(sha_col, content_col).mapInPandas(kernel, PDF_TEXT_SCHEMA)
+    src = spread_for_compute(df.select(sha_col, content_col), sha_col)
+    return src.mapInPandas(kernel, PDF_TEXT_SCHEMA)
 
 
 LLM_RESULT_SCHEMA = T.StructType(
@@ -142,7 +145,8 @@ def llm_enrich(
                     time.sleep(sleep_s)
             yield pd.DataFrame(rows, columns=[f.name for f in LLM_RESULT_SCHEMA])
 
-    return df.select(sha_col, text_col).mapInPandas(kernel, LLM_RESULT_SCHEMA)
+    src = spread_for_compute(df.select(sha_col, text_col), sha_col)
+    return src.mapInPandas(kernel, LLM_RESULT_SCHEMA)
 
 
 DOWNLOAD_SCHEMA = T.StructType(

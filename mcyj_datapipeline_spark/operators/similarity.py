@@ -36,6 +36,14 @@ LSH_PLANES: list[list[float]] = [
 ]
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """See dedup._spread_for_compute: add partitions for a compute-bound
+    stage only when the scan is under-parallelized (single small file)."""
+    from mcyj_datapipeline_spark.operators.dedup import _spread_for_compute
+
+    return _spread_for_compute(df, key)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -67,7 +75,12 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # The dot-product scan is compute-bound: make sure it is spread over
+    # cores even when the corpus is one small parquet split. No shuffle is
+    # added when the scan already has enough splits (any real cluster).
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -167,7 +180,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     same-bucket pairs are scored (near-identical vectors collide with
     high probability), then exact-cosine filtered."""
-    b = lsh_buckets(df, id_col, vec_col)
+    b = lsh_buckets(_spread(df, id_col), id_col, vec_col)
     x = b.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     y = b.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
