@@ -94,3 +94,41 @@ def test_api_rows_and_unnest(spark):
     df = MIO.from_api_rows(spark, payload, schema)
     out = MIO.unnest_response(df, "returnValue.responseResult")
     assert [r["agencyId"] for r in out.collect()] == ["a1", "a2"]
+
+
+def test_csv_append_sink(spark, tmp_path):
+    p = str(tmp_path / "results")
+    d1 = spark.createDataFrame([("s1", "ok")], ["sha256", "status"])
+    d2 = spark.createDataFrame([("s2", "ok")], ["sha256", "status"])
+    MIO.append_csv(d1, p)
+    MIO.append_csv(d2, p)
+    # K2: appended batches accumulate in one logical CSV table.
+    assert MIO.read_csv(spark, p).count() == 2
+
+
+def test_nested_json_aggregate_sink(spark, tmp_path):
+    p = str(tmp_path / "agencies")
+    flat = spark.createDataFrame(
+        [("a1", "d1", "2024-01-02"), ("a1", "d2", "2024-01-01"), ("a2", "d3", "2024-02-01")],
+        ["agency_id", "doc", "date_iso"],
+    )
+    nested = flat.groupBy("agency_id").agg(
+        F.reverse(
+            F.sort_array(F.collect_list(F.struct("date_iso", "doc")))
+        ).alias("documents"),
+        F.count(F.lit(1)).alias("total_reports"),
+    )
+    MIO.write_json(nested, p)
+    back = spark.read.json(p)
+    # K4: nested per-agency aggregate round-trips; docs newest-first.
+    row = back.filter(F.col("agency_id") == "a1").first()
+    assert row["total_reports"] == 2
+    assert [d["doc"] for d in row["documents"]] == ["d1", "d2"]
+
+
+def test_raw_json_dump_sink(spark, tmp_path):
+    p = str(tmp_path / "payload")
+    df = spark.createDataFrame([('{"k": 1}',)], ["raw"])
+    MIO.write_json(df, p)
+    # K6: raw payload dump readable back.
+    assert spark.read.json(p).count() == 1

@@ -1,0 +1,101 @@
+"""Property-style model checks: randomized inputs (seeded), one Spark
+job per property, row-by-row comparison against a pure-Python model of
+the reference semantics. Covers the operators whose correctness hinges
+on ordering/dedup subtleties rather than arithmetic (F12 keyword
+reduction, F8 multi-format dates, union-dedup precedence)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.functions.dates import parse_date_multi
+from mcyj_datapipeline_spark.operators.aggregates import reduce_keywords
+from mcyj_datapipeline_spark.operators.relational import (
+    union_dedup_first_wins,
+)
+
+MAPPING = {
+    "the": "",
+    "a": "",
+    "neglect": "child neglect",
+    "abuse": "child abuse",
+    "ratio": "staffing ratio",
+    "med": "medication",
+}
+VOCAB = list(MAPPING) + ["supervision", "training", "license", "safety", "food"]
+
+
+def model_reduce(kws: list[str]) -> list[str]:
+    """Reference keyword_reduction.py:58-77 — map, drop '', dedup
+    preserving first-occurrence order (seen-set loop)."""
+    out, seen = [], set()
+    for kw in kws:
+        red = MAPPING.get(kw, kw)
+        if red == "" or red in seen:
+            continue
+        seen.add(red)
+        out.append(red)
+    return out
+
+
+def test_keyword_reduction_matches_model(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice(VOCAB) for _ in range(rng.randrange(0, 12))])
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "keywords"])
+    mapping = spark.createDataFrame(
+        list(MAPPING.items()), ["original_keyword", "reduced_keyword"]
+    )
+    got = {
+        r["doc_id"]: r["keywords"]
+        for r in reduce_keywords(docs, mapping, "keywords", ["doc_id"]).collect()
+    }
+    for doc_id, kws in rows:
+        assert got[doc_id] == model_reduce(kws), (doc_id, kws)
+
+
+def test_multiformat_date_parse_matches_model(spark):
+    rng = random.Random(11)
+    fmts = [
+        ("%m/%d/%Y", "MM/dd/yyyy"),
+        ("%B %d, %Y", "MMMM d, yyyy"),
+        ("%Y-%m-%d", "yyyy-MM-dd"),
+    ]
+    rows = []
+    for i in range(200):
+        d = datetime.date(2000 + rng.randrange(25), 1 + rng.randrange(12), 1 + rng.randrange(28))
+        pyfmt, _ = fmts[i % 3]
+        rows.append((i, d.strftime(pyfmt), d))
+    # plus unparseable garbage
+    rows += [(900, "not a date", None), (901, "13/45/2024", None)]
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in rows], ["i", "raw"]
+    )
+    out = {
+        r["i"]: r["parsed"]
+        for r in df.select(
+            "i",
+            parse_date_multi(
+                F.col("raw"), [sf for _, sf in fmts]
+            ).alias("parsed"),
+        ).collect()
+    }
+    for i, _, expected in rows:
+        assert out[i] == expected, (i, out[i], expected)
+
+
+def test_union_dedup_precedence_matches_model(spark):
+    rng = random.Random(13)
+    preferred = [(k, f"p{k}") for k in rng.sample(range(100), 40)]
+    legacy = [(k, f"l{k}") for k in rng.sample(range(100), 70)]
+    model = {k: v for k, v in reversed(legacy)}
+    model.update({k: v for k, v in reversed(preferred)})  # preferred wins
+    a = spark.createDataFrame(preferred, ["k", "v"])
+    b = spark.createDataFrame(legacy, ["k", "v"])
+    got = {r["k"]: r["v"] for r in union_dedup_first_wins(a, b, "k").collect()}
+    assert got == model
