@@ -111,3 +111,43 @@ def stream_ingest_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> None:
+    """Watermarked event-time windowed aggregation as a real stream.
+
+    Append output mode: a window is emitted exactly once, when the
+    watermark (max observed event time − delay, checkpointed across
+    runs) passes its end — and events arriving later than the watermark
+    are DROPPED, which is the bounded-state contract that makes
+    event-time aggregation feasible on an unbounded stream. The batch
+    twin (:func:`tumbling_counts`) computes the same columns without the
+    finalize/drop semantics."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), window_duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("n_events"),
+        )
+    )
+    (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -95,3 +95,37 @@ def test_stateful_running_totals_across_restarts(spark, tmp_path):
     assert latest[1] == (3, 17.0)
     assert latest[2] == (1, 1.0)
     assert latest[3] == (1, 7.0)
+
+
+def test_watermarked_window_finalizes_and_drops_late(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted once when the
+    checkpointed watermark passes its end; events later than the
+    watermark are dropped (bounded state on an unbounded stream)."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.streaming.events import stream_windowed_counts
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    D = dt.datetime
+    b1 = [(D(2024, 1, 1, 10, 0), 1), (D(2024, 1, 1, 10, 30), 1), (D(2024, 1, 1, 12, 0), 1)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream_windowed_counts(spark, src, sink, ckpt, schema)
+    first = {
+        r["window_start"]: r["n_events"] for r in spark.read.parquet(sink).collect()
+    }
+    # Watermark = 12:00 - 30m = 11:30 > 11:00 -> the 10:00 window finalized.
+    assert first == {D(2024, 1, 1, 10, 0): 2}
+
+    # A late event behind the watermark + a new event far ahead.
+    b2 = [(D(2024, 1, 1, 10, 45), 1), (D(2024, 1, 1, 14, 0), 1)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    stream_windowed_counts(spark, src, sink, ckpt, schema)
+    final = {
+        r["window_start"]: r["n_events"] for r in spark.read.parquet(sink).collect()
+    }
+    # Late 10:45 DROPPED (10:00 window still 2, not re-emitted); the
+    # 12:00 window finalized by the advanced watermark.
+    assert final == {D(2024, 1, 1, 10, 0): 2, D(2024, 1, 1, 12, 0): 1}
