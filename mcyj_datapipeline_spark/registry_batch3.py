@@ -743,3 +743,68 @@ def f22_phrase_to_words(spark, sf_dir):
         )
         .distinct()
     )
+
+
+# ===========================================================================
+# Similarity: IVF (inverted-file) approximate top-k — the ANN scale path
+# ===========================================================================
+
+_IVF_COS = """list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, len({a}) + 1)]) /
+      (sqrt(list_sum([{a}[i]::DOUBLE * {a}[i]::DOUBLE for i in range(1, len({a}) + 1)])) *
+       sqrt(list_sum([{b}[i]::DOUBLE * {b}[i]::DOUBLE for i in range(1, len({b}) + 1)])))"""
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 16, nprobe: int = 4) -> str:
+    cos_vc = _IVF_COS.format(a="v", b="cent_vec")
+    cos_qc = _IVF_COS.format(a="qv", b="cent_vec")
+    cos_qn = _IVF_COS.format(a="qv", b="nv")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < {n_centroids}
+    ), assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos_vc}, 6) DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({cos_qc}, 6) DESC, c.centroid_id) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({cos_qn}, 6) AS cosine
+      FROM probes p
+      JOIN (SELECT vec_id, v AS nv, centroid_id FROM assigned) a
+        ON p.centroid_id = a.centroid_id AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ivf_topk",
+    _ivf_oracle_sql(),
+    "Similarity/IVF: nearest-centroid inverted lists, nprobe probing, "
+    "exact re-rank of candidates only — the ANN scale path (corpus "
+    "partitioned by centroid; each query touches nprobe/n_centroids of "
+    "the data). Deterministic centroids (smallest ids) make it fully "
+    "oracle-checkable; k-means centroids slot into the same plan",
+)
+def sim_ivf_topk(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -110,3 +110,26 @@ def test_embedding_near_dup_pairs(vectors):
         (r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(vectors, 0.999).collect()
     }
     assert (0, 100) in pairs and (1, 101) in pairs
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 must recover a solid fraction of the exact
+    top-5 (it is approximate by construction, not broken)."""
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall
