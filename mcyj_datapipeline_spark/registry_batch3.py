@@ -808,3 +808,53 @@ def sim_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# ===========================================================================
+# Skew mitigation: salted two-phase aggregation (same results, spread key)
+# ===========================================================================
+
+
+@register(
+    "skew_salted_group_count",
+    """
+    SELECT l_returnflag, count(*) AS count
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "Skew: salted two-phase count over a 3-value heavy-hitter key — "
+    "identical to plain groupBy-count, but one hot key's shuffle is "
+    "spread over n_salt reducers",
+)
+def skew_salted_group_count(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.skew import salted_group_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_count(li, "l_returnflag", "l_orderkey").orderBy(
+        "l_returnflag"
+    )
+
+
+@register(
+    "skew_salted_collect_set",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linenumber::VARCHAR))), ',')
+             AS distinct_values
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "Skew: salted two-phase collect_set (holistic aggregate) — the case "
+    "partial aggregation cannot bound; per-(key,salt) sets then flatten",
+)
+def skew_salted_collect_set(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.skew import salted_collect_set
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_collect_set(
+        li.withColumn("l_linenumber", F.col("l_linenumber").cast("string")),
+        "l_returnflag",
+        "l_linenumber",
+    )
+    return out.select(
+        "l_returnflag",
+        F.array_join("values", ",").alias("distinct_values"),
+    ).orderBy("l_returnflag")

@@ -59,3 +59,37 @@ def test_work_queue_uses_take_ordered(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "o6_top_k_by_aggregate")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a recurring join key pre-co-locates the
+    data: the sort-merge join reads bucket files directly, with no
+    Exchange on either side — the 100 TB answer for joins repeated
+    across runs (state table ⋈ updates)."""
+    from mcyj_datapipeline_spark import io as MIO
+
+    orders = MIO.read_table(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                orders.select("o_orderkey", "o_totalprice")
+                .write.bucketBy(8, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        a = spark.table("t_bucket_a")
+        b = spark.table("t_bucket_b").withColumnRenamed("o_totalprice", "p2")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for name in ("t_bucket_a", "t_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
