@@ -38,6 +38,7 @@ HEADLINE = [
     "e3_website_pipeline",
     "u2_llm_enrich",
     "mm_image_features",
+    "sim_ivf_topk",
 ]
 
 

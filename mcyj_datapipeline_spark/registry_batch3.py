@@ -858,3 +858,96 @@ def skew_salted_collect_set(spark, sf_dir):
         "l_returnflag",
         F.array_join("values", ",").alias("distinct_values"),
     ).orderBy("l_returnflag")
+
+
+# ===========================================================================
+# T4 — cascaded incremental derivations (chained anti-join work queues)
+# ===========================================================================
+
+
+@register(
+    "t4_cascaded_work_queues",
+    """
+    WITH doc_info AS (
+      SELECT o_orderkey AS sha256, o_orderkey % 2 = 0 AS is_special_investigation
+      FROM orders
+    ), summaries_done AS (
+      SELECT o_orderkey AS sha256 FROM orders WHERE o_orderkey % 4 = 0
+    ), sir_work AS (
+      SELECT d.sha256 FROM doc_info d
+      WHERE d.is_special_investigation
+        AND d.sha256 NOT IN (SELECT sha256 FROM summaries_done)
+      ORDER BY d.sha256 LIMIT 50
+    ), levels_done AS (
+      SELECT o_orderkey AS sha256 FROM orders WHERE o_orderkey % 8 = 0
+    ), level_work AS (
+      SELECT s.sha256 FROM summaries_done s
+      WHERE s.sha256 NOT IN (SELECT sha256 FROM levels_done)
+      ORDER BY s.sha256 LIMIT 50
+    )
+    SELECT sha256, 'sir' AS stage FROM sir_work
+    UNION ALL
+    SELECT sha256, 'level' AS stage FROM level_work
+    """,
+    "T4: cascaded incremental derivations — doc_info → (filter SIR) → "
+    "summary queue, summaries → level queue, each stage an anti-join + "
+    "deterministic ORDER BY + LIMIT bounded batch "
+    "(reference update_sir_summaries.py:314-337 → update_violation_levels.py:420-447)",
+)
+def t4_cascaded_work_queues(spark, sf_dir):
+    from mcyj_datapipeline_spark.streaming.incremental import pending_work
+
+    orders = _t(spark, sf_dir, "orders")
+    doc_info = orders.select(
+        F.col("o_orderkey").alias("sha256"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_special_investigation"),
+    )
+    summaries_done = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("sha256")
+    )
+    levels_done = orders.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("sha256")
+    )
+    sir_work = pending_work(
+        doc_info.filter("is_special_investigation").select("sha256"),
+        summaries_done,
+        "sha256",
+        limit=50,
+    )
+    level_work = pending_work(summaries_done, levels_done, "sha256", limit=50)
+    return sir_work.withColumn("stage", F.lit("sir")).unionByName(
+        level_work.withColumn("stage", F.lit("level"))
+    )
+
+
+# ===========================================================================
+# X1 — multi-word phrase inverted index (word → phrase pointing)
+# ===========================================================================
+
+
+@register(
+    "x1_phrase_prefix_search",
+    """
+    WITH counts AS (
+      SELECT p_name AS phrase, count(*) AS weight FROM part GROUP BY p_name
+    ), index_terms AS (
+      SELECT phrase, weight,
+             unnest(list_distinct(list_prepend(lower(phrase),
+               string_split_regex(lower(trim(phrase)), '\\s+')))) AS term
+      FROM counts
+    )
+    SELECT phrase, max(weight) AS count
+    FROM index_terms WHERE term LIKE 'r%' AND term <> ''
+    GROUP BY phrase ORDER BY count DESC, phrase LIMIT 10
+    """,
+    "X1 multi-word: each phrase indexed under itself AND each word, so a "
+    "word-prefix query surfaces full phrases (trie insert semantics, "
+    "reference trie.js:19-41 / App.jsx:119-125)",
+)
+def x1_phrase_prefix_search(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy(F.col("p_name").alias("phrase")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    index = A.build_inverted_index(counts, "phrase", "weight")
+    return A.prefix_search(index, "r", 10)
