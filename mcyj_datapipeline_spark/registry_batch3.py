@@ -951,3 +951,54 @@ def x1_phrase_prefix_search(spark, sf_dir):
     )
     index = A.build_inverted_index(counts, "phrase", "weight")
     return A.prefix_search(index, "r", 10)
+
+
+# ===========================================================================
+# Similarity: NumPy-vectorized brute-force (Arrow kernel, same oracle)
+# ===========================================================================
+
+
+@register(
+    "sim_cosine_topk_numpy",
+    None,  # oracle assigned below — shared with sim_cosine_topk_bruteforce
+    "Similarity: brute-force cosine top-k with BLAS matrix-multiply "
+    "kernel over Arrow batches — the vectorized-Python alternative to "
+    "the JVM zip_with/aggregate fold; identical results, shared oracle",
+)
+def sim_cosine_topk_numpy(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import cosine_topk_numpy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_numpy(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# Share the brute-force oracle: same query semantics, different kernel.
+from mcyj_datapipeline_spark import registry as _reg  # noqa: E402
+
+_fn, _, _desc = _reg._REGISTRY["sim_cosine_topk_numpy"]
+_reg._REGISTRY["sim_cosine_topk_numpy"] = (
+    _fn,
+    _reg._REGISTRY["sim_cosine_topk_bruteforce"][1],
+    _desc,
+)
+
+
+@register(
+    "text_bpe_token_count",
+    """
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+            + length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')))::INT
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    "Text analysis: BPE-ish pre-tokenizer count (alnum word pieces + "
+    "punctuation singletons). The Spark side splits with lookaround "
+    "boundaries; the oracle counts the equivalent closed form since RE2 "
+    "lacks lookbehind",
+)
+def text_bpe_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(TA.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )

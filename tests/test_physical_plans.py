@@ -93,3 +93,25 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         )
         for name in ("t_bucket_a", "t_bucket_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_website_pipeline_broadcasts_all_dims(spark, sf_dir):
+    """E3: every enrichment join (summaries/levels/staffing/facility)
+    must broadcast — the fact table is the only large input."""
+    plan = plan_of(spark, sf_dir, "e3_website_pipeline")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    """IVF: centroid set rides a broadcast nested-loop join; the corpus
+    itself is never shuffled for assignment."""
+    plan = plan_of(spark, sf_dir, "sim_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_agg_two_exchanges_small_second(spark, sf_dir):
+    """Salted collect_set: phase 1 shuffles on (key, salt), phase 2 on
+    key over already-collapsed partials."""
+    plan = plan_of(spark, sf_dir, "skew_salted_collect_set")
+    assert "_salt" in plan and plan.count("HashAggregate") >= 2
