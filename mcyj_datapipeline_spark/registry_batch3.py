@@ -1002,3 +1002,82 @@ def text_bpe_token_count(spark, sf_dir):
     return docs.select(
         "doc_id", F.size(TA.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
     )
+
+
+# ===========================================================================
+# Upgrade the LSH-embedding queries from rows-only to full oracles: the
+# hyperplane literals are embedded in the SQL, and both engines compute
+# the dot products over the same element order with the same IEEE
+# doubles, so bucket assignments agree exactly.
+# ===========================================================================
+
+
+def _planes_values_sql() -> str:
+    from mcyj_datapipeline_spark.operators.similarity import LSH_PLANES
+
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(LSH_PLANES)
+    )
+    return f"(VALUES {rows}) AS p(pid, pv)"
+
+
+def _lsh_bucket_cte(source_filter: str = "") -> str:
+    return f"""
+    dots AS (
+      SELECT e.vec_id, e.embedding, p.pid,
+             list_sum([e.embedding[i]::DOUBLE * p.pv[i]
+                       for i in range(1, len(p.pv) + 1)]) AS d
+      FROM embeddings e CROSS JOIN {_planes_values_sql()} {source_filter}
+    ), buckets AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             sum(CASE WHEN d >= 0 THEN (1::BIGINT << pid) ELSE 0::BIGINT END)::BIGINT
+               AS bucket
+      FROM dots GROUP BY vec_id
+    )"""
+
+
+_LSH_COS = """list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE
+                 for i in range(1, len(x.embedding) + 1)]) /
+      (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE
+                      for i in range(1, len(x.embedding) + 1)])) *
+       sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE
+                      for i in range(1, len(y.embedding) + 1)])))"""
+
+
+def _embedding_near_dup_oracle(threshold: float = 0.9) -> str:
+    return f"""
+    WITH {_lsh_bucket_cte()}
+    SELECT id_a, id_b, cosine FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({_LSH_COS}, 6) AS cosine
+      FROM buckets x JOIN buckets y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ) WHERE cosine >= {threshold}
+    """
+
+
+def _lsh_topk_oracle(k: int = 5) -> str:
+    return f"""
+    WITH {_lsh_bucket_cte()}
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT y.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round({_LSH_COS}, 6) AS cosine,
+             row_number() OVER (PARTITION BY y.vec_id
+                                ORDER BY round({_LSH_COS}, 6) DESC, x.vec_id)
+               AS rank
+      FROM buckets x JOIN buckets y
+        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      WHERE y.vec_id < 8
+    ) WHERE rank <= {k}
+    """
+
+
+from mcyj_datapipeline_spark import registry as _reg2  # noqa: E402
+
+for _name, _sql in (
+    ("sim_embedding_near_dup", _embedding_near_dup_oracle()),
+    ("sim_lsh_topk", _lsh_topk_oracle()),
+):
+    _f, _, _d = _reg2._REGISTRY[_name]
+    _reg2._REGISTRY[_name] = (_f, _sql, _d)
