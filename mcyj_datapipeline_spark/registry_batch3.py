@@ -1081,3 +1081,46 @@ for _name, _sql in (
 ):
     _f, _, _d = _reg2._REGISTRY[_name]
     _reg2._REGISTRY[_name] = (_f, _sql, _d)
+
+
+@register(
+    "f27_html_escape",
+    """
+    SELECT p_partkey,
+           replace(replace(replace(replace(replace(
+             p_name || ' <tag> & "q" ''s''', '&', '&amp;'),
+             '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&#39;')
+             AS escaped
+    FROM part
+    """,
+    "F27: HTML escaping for rendered output (reference helpers.js:6-11); "
+    "'&' replaced first so entities don't double-escape",
+)
+def f27_html_escape(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    s = F.concat(F.col("p_name"), F.lit(" <tag> & \"q\" 's'"))
+    for frm, to in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#39;"),
+    ]:
+        s = F.replace(s, F.lit(frm), F.lit(to))
+    return part.select("p_partkey", s.alias("escaped"))
+
+
+@register(
+    "o3_sorted_file_scan",
+    None,  # input_file_name() paths are engine-local — rows-only
+    "O3: deterministic file-order processing via input_file_name ordering "
+    "(reference sorted(pdf_files) loops)",
+)
+def o3_sorted_file_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("_src", F.input_file_name())
+        .orderBy("_src", "doc_id")
+        .select("doc_id", "_src")
+        .limit(100)
+    )
