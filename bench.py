@@ -51,12 +51,25 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer reads.
     qs["a01_pricing_summary"](spark, sf_dir).count()
 
+    # Two passes per query: pass 1 is cold (plan + codegen + execute —
+    # the honest end-to-end number and the reported headline), pass 2 is
+    # warm (codegen cached — the steady-state per-query cost, reported
+    # alongside because the host VM shows multi-x CPU variance and the
+    # warm number is the stabler signal of plan quality).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         start = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - start, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        start = time.monotonic()
+        qs[name](spark, sf_dir).count()
+        warm[name] = round(time.monotonic() - start, 3)
+        print(
+            f"# {name}: cold {timings[name]:.3f}s / warm {warm[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +79,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

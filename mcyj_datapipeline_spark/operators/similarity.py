@@ -196,11 +196,25 @@ def embedding_near_dup_pairs(
     )
 
 
+def default_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: the n smallest-id vectors (oracle-
+    expressible). :func:`kmeans_centroids` refines these for recall."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse index: assign every vector to its nearest centroid.
 
@@ -211,11 +225,9 @@ def ivf_assign(
     the corpus never shuffles: at 100 TB this is one map-side pass.
     Cosines are rounded before the argmax so the float tie-break is
     stable across engines; ties break to the smallest centroid id."""
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-        )
-    )
+    if centroids is None:
+        centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
+    cent = F.broadcast(centroids)
     scored = _spread(corpus, id_col).crossJoin(cent).select(
         F.col(id_col),
         F.col(vec_col),
@@ -238,6 +250,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest centroid
     lists per query, exact-cosine re-rank candidates only.
@@ -247,12 +260,10 @@ def ivf_topk(
     the probe join is an equi-join on centroid_id instead of a corpus
     scan per query batch. Recall < 1 by construction (quantified against
     ``cosine_topk`` in tests)."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-        )
-    )
+    if centroids is None:
+        centroids = default_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    cent = F.broadcast(centroids)
     qprobe = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -351,3 +362,103 @@ def cosine_topk_numpy(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket AND every
+    bucket at Hamming distance 1 (flip one of the sign bits) — the
+    standard recall lever that avoids building more tables. Candidate
+    set grows ~(n_planes+1)×; the corpus side is untouched, so at scale
+    this only widens the (small) broadcast probe list."""
+    cb = lsh_buckets(_spread(corpus, id_col), id_col, vec_col).select(
+        F.col("bucket"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    qb = lsh_buckets(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    probes = qb.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on the embedding column, pure DataFrame ops:
+    assign (broadcast argmax, map-side) → recompute means (posexplode →
+    per-(centroid, dim) avg → re-assemble array) → repeat. Per-round
+    driver sync materializes only the k×dim centroid matrix — the same
+    structure MLlib uses — so iteration cost is `iters` corpus passes
+    with no corpus shuffle beyond the dim-wise aggregation. Empty
+    clusters keep their previous centroid. Seeded by
+    :func:`default_centroids` so the result is deterministic."""
+    cents = default_centroids(corpus, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, cents)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cent_vec")
+            )
+        )
+        # Keep previous centroid for clusters that lost all members.
+        prev = cents.select(
+            "centroid_id", F.col("cent_vec").alias("_prev_vec")
+        )
+        merged = prev.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(F.col("cent_vec"), F.col("_prev_vec")).alias("cent_vec"),
+        )
+        # Materialize: k×dim rows only; cuts the per-iteration lineage.
+        rows = merged.collect()
+        cents = corpus.sparkSession.createDataFrame(
+            [(r["centroid_id"], r["cent_vec"]) for r in rows],
+            schema=merged.schema,
+        )
+    return cents

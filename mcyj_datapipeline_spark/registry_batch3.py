@@ -1124,3 +1124,73 @@ def o3_sorted_file_scan(spark, sf_dir):
         .select("doc_id", "_src")
         .limit(100)
     )
+
+
+def _lsh_multiprobe_oracle(k: int = 5) -> str:
+    from mcyj_datapipeline_spark.operators.similarity import N_PLANES
+
+    probe_list = ", ".join(
+        ["y.bucket"] + [f"xor(y.bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+    WITH {_lsh_bucket_cte()},
+    probes AS (
+      SELECT y.vec_id AS query_id, y.embedding AS q_emb,
+             unnest([{probe_list}]) AS bucket
+      FROM buckets y WHERE y.vec_id < 8
+    ), scored AS (
+      SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id,
+             round(list_sum([p.q_emb[i]::DOUBLE * x.embedding[i]::DOUBLE
+                             for i in range(1, len(p.q_emb) + 1)]) /
+                   (sqrt(list_sum([p.q_emb[i]::DOUBLE * p.q_emb[i]::DOUBLE
+                                   for i in range(1, len(p.q_emb) + 1)])) *
+                    sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE
+                                   for i in range(1, len(x.embedding) + 1)]))),
+                   6) AS cosine
+      FROM probes p JOIN buckets x ON p.bucket = x.bucket
+      WHERE x.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_lsh_multiprobe_topk",
+    None,  # assigned right below (needs the helper above at def time)
+    "Similarity: multi-probe LSH top-k — each query also probes every "
+    "Hamming-1 neighbor bucket (flip one sign bit); the standard recall "
+    "lever that widens only the broadcast probe list, never the corpus",
+)
+def sim_lsh_multiprobe_topk(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_f3, _, _d3 = _reg2._REGISTRY["sim_lsh_multiprobe_topk"]
+_reg2._REGISTRY["sim_lsh_multiprobe_topk"] = (_f3, _lsh_multiprobe_oracle(), _d3)
+
+
+@register(
+    "sim_ivf_kmeans_topk",
+    None,  # float means over unordered groups are not bit-reproducible
+    # across engines, so the refined variant gets the rows-only check;
+    # sim_ivf_topk (deterministic centroids) carries the value oracle.
+    "Similarity/IVF with Lloyd-refined centroids (k-means via DataFrame "
+    "ops): same probe plan as sim_ivf_topk, better-balanced lists",
+)
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)

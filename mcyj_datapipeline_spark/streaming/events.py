@@ -151,3 +151,41 @@ def stream_windowed_counts(
         .start()
         .awaitTermination()
     )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+) -> None:
+    """Gap-based sessionization as a real stream: ``session_window``
+    merges events within ``gap`` per user into one growing window; a
+    session is finalized (emitted once, append mode) when the watermark
+    passes its close. The streaming twin of the batch
+    :func:`sessionize` (which is the oracle-checkable form)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+    (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -133,3 +133,57 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 probing can only ADD candidates, so its recall vs the
+    exact top-5 must be >= the single-bucket LSH recall."""
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk_multiprobe(emb, queries, k=5).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    """IVF with Lloyd-refined centroids still finds a solid fraction of
+    the exact top-5 and yields a valid deterministic centroid set."""
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    assert cents.count() == 16
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, centroids=cents).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.3

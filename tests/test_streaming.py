@@ -129,3 +129,38 @@ def test_watermarked_window_finalizes_and_drops_late(spark, tmp_path):
     # Late 10:45 DROPPED (10:00 window still 2, not re-emitted); the
     # 12:00 window finalized by the advanced watermark.
     assert final == {D(2024, 1, 1, 10, 0): 2, D(2024, 1, 1, 12, 0): 1}
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window stream: events within the gap merge into one
+    session per user; sessions finalize (append-mode emit) when the
+    watermark passes; a returning user opens a NEW session."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.streaming.events import stream_session_counts
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    src, sink, ckpt = (str(tmp_path / d) for d in ("s", "k", "c"))
+    D = dt.datetime
+    b1 = [
+        (1, D(2024, 1, 1, 10, 0)),
+        (1, D(2024, 1, 1, 10, 10)),
+        (2, D(2024, 1, 1, 10, 5)),
+        (9, D(2024, 1, 1, 13, 0)),  # advances the watermark
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream_session_counts(spark, src, sink, ckpt, schema)
+    first = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert first == [(1, 2), (2, 1)]  # merged session for user 1
+
+    b2 = [(1, D(2024, 1, 1, 14, 0)), (9, D(2024, 1, 1, 16, 0))]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    stream_session_counts(spark, src, sink, ckpt, schema)
+    sessions_u1 = (
+        spark.read.parquet(sink).filter(F.col("user_id") == 1).count()
+    )
+    assert sessions_u1 == 2  # the 14:00 return opened a second session
