@@ -39,6 +39,7 @@ HEADLINE = [
     "u2_llm_enrich",
     "mm_image_features",
     "sim_ivf_topk",
+    "e4_corpus_cleaning_pipeline",
 ]
 
 

@@ -144,3 +144,37 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score via ``applyInPandas`` (grouped-map): each group
+    arrives as one pandas frame, normalized with vectorized numpy. The
+    grouped-map shape matters when per-group logic is genuinely
+    imperative; for plain z-scores a window expression would do — this
+    exists to cover that API surface with a checkable kernel. Population
+    std (ddof=0) to match SQL ``stddev_pop``. Groups bigger than memory
+    need the window form instead — grouped-map materializes one group
+    per task."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        df.select(group_col, value_col).schema.fields
+        + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        std = v.std(ddof=0)
+        z = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pdf.assign(**{out_col: z.round(6)})
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        kernel, out_schema
+    )

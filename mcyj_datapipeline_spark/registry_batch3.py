@@ -1194,3 +1194,100 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, n_centroids=16, iters=2)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)
+
+
+# ===========================================================================
+# Grouped-map applyInPandas: per-group normalization (training-data prep)
+# ===========================================================================
+
+
+@register(
+    "ta_grouped_zscore",
+    """
+    SELECT lang, n_chars,
+           round(CASE WHEN stddev_pop(n_chars) OVER (PARTITION BY lang) > 0
+                      THEN (n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                           / stddev_pop(n_chars) OVER (PARTITION BY lang)
+                      ELSE 0.0 END, 6) AS zscore
+    FROM documents
+    """,
+    "Grouped-map applyInPandas: per-language z-score of document length "
+    "— one pandas frame per group, vectorized numpy kernel; the window-"
+    "function twin is the oracle",
+)
+def ta_grouped_zscore(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TA.grouped_zscore(docs, "lang", "n_chars")
+
+
+# ===========================================================================
+# E4 — corpus-cleaning pipeline (the training-data preparation flow):
+# quality score → language filter → exact dedup (min-id winner) → stats
+# ===========================================================================
+
+_E4_QUALITY_SQL = """
+      SELECT doc_id, text, lang,
+             round(0.25 * least(n / 20.0, 1.0)
+                   + 0.25 * (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END)
+                   + 0.25 * alpha
+                   + 0.25 * least(sw * 4, 1.0), 6) AS quality
+      FROM (
+        SELECT doc_id, text, lang,
+               len(toks)::DOUBLE AS n,
+               list_sum([length(t)::DOUBLE for t in toks]) / greatest(len(toks), 1) AS mwl,
+               length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS alpha,
+               len(list_filter(ltoks, t -> list_contains(
+                 ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+                 / greatest(len(ltoks), 1) AS sw
+        FROM (SELECT doc_id, text, lang,
+                     list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltoks
+              FROM documents)
+      )
+"""
+
+
+@register(
+    "e4_corpus_cleaning_pipeline",
+    f"""
+    WITH scored AS ({_E4_QUALITY_SQL}),
+    kept AS (
+      SELECT doc_id, text, quality FROM scored
+      WHERE lang = 'en' AND quality >= 0.5
+    ),
+    winners AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)
+    )
+    SELECT k.doc_id, k.quality,
+           len(list_filter(string_split_regex(k.text, '\\s+'), t -> t <> ''))
+             AS n_tokens
+    FROM kept k SEMI JOIN winners w ON k.doc_id = w.doc_id
+    """,
+    "E4 end-to-end training-data cleaning: quality scoring → language "
+    "filter → exact dedup (hash groupBy, min-id winner) → token "
+    "accounting. One declarative plan: the filters precede the dedup "
+    "shuffle, which carries digests only",
+)
+def e4_corpus_cleaning_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        TA.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    winners = (
+        kept.groupBy(F.sha2(F.col("text"), 256).alias("_sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        kept.join(winners, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "quality",
+            TA.token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
