@@ -358,3 +358,31 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization (the C4/RefinedWeb-style canonical form):
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace.
+    Catches trivial reformattings that defeat byte-exact hashing."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9]+", " ")
+    return F.trim(stripped)
+
+
+def fuzzy_exact_dedup_winners(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the NORMALIZED text: same one-shuffle hash
+    groupBy as :func:`exact_dedup_winners`, keyed on the canonical form
+    — the cheap middle ground between byte-exact and MinHash."""
+    return (
+        df.select(
+            F.sha2(normalized_text(F.col(text_col)), 256).alias("norm_sha"),
+            F.col(id_col),
+        )
+        .groupBy("norm_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

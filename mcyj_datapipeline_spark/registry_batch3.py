@@ -1291,3 +1291,24 @@ def e4_corpus_cleaning_pipeline(spark, sf_dir):
             TA.token_count(F.col("text")).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "dedup_fuzzy_exact",
+    """
+    SELECT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS norm_sha,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "Dedup/normalized-exact: hash groupBy over the canonical text form "
+    "(lowercase, punctuation stripped, whitespace collapsed) — catches "
+    "trivial reformattings byte-exact hashing misses, same one-shuffle "
+    "plan as dedup_exact_hash",
+)
+def dedup_fuzzy_exact(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        fuzzy_exact_dedup_winners,
+    )
+
+    return fuzzy_exact_dedup_winners(_t(spark, sf_dir, "documents"))
