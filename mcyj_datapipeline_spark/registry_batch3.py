@@ -1312,3 +1312,69 @@ def dedup_fuzzy_exact(spark, sf_dir):
     )
 
     return fuzzy_exact_dedup_winners(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "a01_nested_json_rollup",
+    """
+    SELECT o_custkey AS agency_id,
+           count(*) AS total_reports,
+           to_json(list(struct_pack(date_iso := o_orderdate::DATE,
+                                    doc_key := o_orderkey)
+                   ORDER BY o_orderdate DESC, o_orderkey DESC))
+             AS documents_json
+    FROM orders GROUP BY o_custkey
+    """,
+    "A1/W2 with a full value oracle: per-agency nested doc list (newest "
+    "first) serialized to canonical JSON on both engines — proves the "
+    "collect_list(struct) nesting itself, not just scalar rollups",
+)
+def a01_nested_json_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    doc = F.struct(
+        F.col("o_orderdate").cast("date").alias("date_iso"),
+        F.col("o_orderkey").alias("doc_key"),
+    )
+    return (
+        orders.groupBy(F.col("o_custkey").alias("agency_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_reports"),
+            F.to_json(F.reverse(F.sort_array(F.collect_list(doc)))).alias(
+                "documents_json"
+            ),
+        )
+    )
+
+
+@register(
+    "p02_p03_p05_filter_chain",
+    """
+    SELECT doc_id, violation, agency_key FROM (
+      SELECT doc_id,
+             doc_id % 2 = 0 AS is_special_investigation,
+             CASE WHEN doc_id % 3 = 0 THEN 'y' ELSE 'n' END AS violation,
+             CASE WHEN doc_id % 7 = 0 THEN '  '
+                  ELSE 'AG' || doc_id::VARCHAR END AS agency_key
+      FROM documents
+    ) WHERE is_special_investigation AND violation = 'y'
+      AND trim(agency_key) <> ''
+    """,
+    "P2+P3+P5: boolean-column filter, code-equality filter, and "
+    "non-blank-key guard in one conjunctive chain (the reference's "
+    "row-loop skip conditions as sargable predicates)",
+)
+def p02_p03_p05_filter_chain(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_special_investigation"),
+        F.when(F.col("doc_id") % 3 == 0, "y").otherwise("n").alias("violation"),
+        F.when(F.col("doc_id") % 7 == 0, "  ")
+        .otherwise(F.concat(F.lit("AG"), F.col("doc_id").cast("string")))
+        .alias("agency_key"),
+    )
+    return (
+        docs.filter(F.col("is_special_investigation"))  # P2
+        .filter(F.col("violation") == "y")  # P3
+        .filter(F.trim(F.col("agency_key")) != "")  # P5
+        .select("doc_id", "violation", "agency_key")
+    )
