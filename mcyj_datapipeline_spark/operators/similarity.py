@@ -234,11 +234,22 @@ def ivf_assign(
         F.col("centroid_id"),
         F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias("_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.col("centroid_id"))
+    # argmax as max(struct(cos, -centroid_id, centroid_id)): struct
+    # comparison gives max cosine, ties to the SMALLEST centroid id —
+    # same result as a row_number window, but it partial-aggregates
+    # map-side, so the shuffle carries one row per vector instead of one
+    # per (vector × centroid): an n_centroids-fold reduction at scale.
+    best = F.max(
+        F.struct(
+            F.col("_cos"),
+            (-F.col("centroid_id")).alias("_neg"),
+            F.col("centroid_id"),
+        )
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        scored.groupBy(id_col)
+        .agg(F.any_value(F.col(vec_col)).alias(vec_col), best.alias("_best"))
+        .select(id_col, vec_col, F.col("_best.centroid_id").alias("centroid_id"))
     )
 
 
