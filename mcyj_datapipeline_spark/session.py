@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-optimized scalar Python UDFs (the F16 salvage fallback is
+        # the only one in the engine): batch transfer instead of pickled
+        # rows.
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
