@@ -39,6 +39,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which Spark has no type for; with ``nanosAsLong`` the scan yields
     int64 nanos and we normalize to a microsecond timestamp here, at the
     ingestion boundary (SURVEY §1.3: normalize once, never downstream)."""
+    if name == "events":
+        # Defensive: the scan throws PARQUET_TYPE_ILLEGAL on
+        # TIMESTAMP(NANOS) unless this (runtime-settable) conf is on —
+        # required when the caller supplies a session our factory didn't
+        # build (e.g. the driver harness).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division: ns/1000 through a double would round-drift.
