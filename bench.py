@@ -49,8 +49,14 @@ def main() -> None:
     spark = get_spark(app_name="mcyj-bench")
 
     qs = registry.queries()
-    # Warmup: JVM + codegen + parquet footer reads.
+    # Warmup: JVM + codegen + parquet footer reads, plus the Python
+    # worker pool (one trivial mapInPandas spawns the per-core workers
+    # that the Arrow-path queries reuse — session overhead, not
+    # per-operator cost).
     qs["a01_pricing_summary"](spark, sf_dir).count()
+    spark.range(0, 1024, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # Two passes per query: pass 1 is cold (plan + codegen + execute —
     # the honest end-to-end number and the reported headline), pass 2 is
