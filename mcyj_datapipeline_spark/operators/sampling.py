@@ -1,0 +1,55 @@
+"""Deterministic sampling and dataset splitting.
+
+``rand(seed)`` is reproducible only for a fixed partitioning — a
+repartition, AQE re-plan, or recompute-after-failure can reshuffle which
+rows draw which random numbers. For training-data pipelines the sample
+and the train/val/test split must be a pure function of the ROW, not of
+the execution: hash the key, bucket the hash. Same rows in, same split
+out, on any cluster shape — and expressible in the SQL oracle via the
+shared md5-based :func:`hashing.hash60`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.operators.hashing import hash60
+
+
+def hash_bucket(key: Column, n_buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, n_buckets) from the row key."""
+    return hash60(key.cast("string")) % n_buckets
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, n_buckets: int = 10_000
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose key-hash
+    bucket falls below the cutoff. Exactly reproducible across runs,
+    partitionings, and engines (unlike ``rand(seed)``)."""
+    cutoff = int(round(fraction * n_buckets))
+    return df.filter(hash_bucket(F.col(key), n_buckets) < cutoff)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    n_buckets: int = 10_000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment as a pure function of the key hash:
+    bucket < val_cut → 'val'; < val_cut+test_cut → 'test'; else 'train'.
+    A document always lands in the same split — across reruns, scale
+    factors, and engines — which is the property leakage audits need."""
+    b = hash_bucket(F.col(key), n_buckets)
+    val_cut = int(round(val_fraction * n_buckets))
+    test_cut = val_cut + int(round(test_fraction * n_buckets))
+    return df.withColumn(
+        out_col,
+        F.when(b < val_cut, "val")
+        .when(b < test_cut, "test")
+        .otherwise("train"),
+    )

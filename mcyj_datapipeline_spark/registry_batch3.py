@@ -1378,3 +1378,48 @@ def p02_p03_p05_filter_chain(spark, sf_dir):
         .filter(F.trim(F.col("agency_key")) != "")  # P5
         .select("doc_id", "violation", "agency_key")
     )
+
+
+# ===========================================================================
+# Deterministic sampling / dataset splitting (training-data prep)
+# ===========================================================================
+
+from mcyj_datapipeline_spark.operators.hashing import hash60_sql  # noqa: E402
+
+
+@register(
+    "o7_hash_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {hash60_sql("doc_id::VARCHAR")} % 10000 < 500
+    """,
+    "O7 scale form: deterministic hash-bucket sampling — a pure function "
+    "of the row key, reproducible across runs/partitionings/engines "
+    "(rand(seed) is not, once a repartition or retry moves rows)",
+)
+def o7_hash_sample(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", fraction=0.05)
+
+
+@register(
+    "split_train_val_test",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 1000 THEN 'val'
+                WHEN b < 2000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, {hash60_sql("doc_id::VARCHAR")} % 10000 AS b
+          FROM documents)
+    """,
+    "Dataset splitting: train/val/test as a pure function of the key "
+    "hash — a document lands in the same split across reruns and scale "
+    "factors, the property leakage audits require",
+)
+def split_train_val_test(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(docs, "doc_id", val_fraction=0.1, test_fraction=0.1)
