@@ -178,3 +178,44 @@ def grouped_zscore(
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
         kernel, out_schema
     )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data hygiene: replace email / phone / SSN shapes with
+    typed placeholder tokens. Pure regexp_replace chain (JVM-side,
+    codegen); patterns stay in the RE2-compatible subset so the SQL
+    oracle runs the identical expressions. SSN before phone: the phone
+    pattern's 3-3-4 shape would otherwise half-match an SSN's tail."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals: fraction of duplicate
+    word tokens and the share of the most frequent token. High values
+    flag boilerplate/spam for the cleaning pipeline. Computed with one
+    explode + two-level aggregation — no UDFs, partial-agg friendly."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_n"),
+            F.count(F.lit(1)).alias("_distinct"),
+            F.max("c").alias("_top"),
+        )
+        .select(
+            id_col,
+            F.round(1 - F.col("_distinct") / F.col("_n"), 6).alias("dup_token_frac"),
+            F.round(F.col("_top") / F.col("_n"), 6).alias("top_token_share"),
+        )
+    )

@@ -1423,3 +1423,57 @@ def split_train_val_test(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return split_assign(docs, "doc_id", val_fraction=0.1, test_fraction=0.1)
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 'contact j' || doc_id::VARCHAR || '@example.com or 555-123-4567 ssn 123-45-6789 ' || substr(text, 1, 40),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+    "Training-data hygiene: PII redaction (email/phone/SSN → typed "
+    "placeholders) as a JVM-side regexp_replace chain; patterns in the "
+    "RE2-compatible subset so the oracle runs them verbatim",
+)
+def text_redact_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    synthetic = F.concat(
+        F.lit("contact j"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789 "),
+        F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", TA.redact_pii(synthetic).alias("redacted"))
+
+
+@register(
+    "text_repetition_signals",
+    """
+    SELECT doc_id,
+           round(1 - _distinct / _n, 6) AS dup_token_frac,
+           round(_top / _n, 6) AS top_token_share
+    FROM (
+      SELECT doc_id, sum(c)::DOUBLE AS _n, count(*)::DOUBLE AS _distinct,
+             max(c)::DOUBLE AS _top
+      FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                            t -> t <> '')) AS tok
+          FROM documents
+        ) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    """,
+    "Gopher-style repetition signals: duplicate-token fraction + top-"
+    "token share per doc (boilerplate/spam detector for the cleaning "
+    "pipeline) — explode + two-level partial-agg, no UDFs",
+)
+def text_repetition_signals(spark, sf_dir):
+    return TA.repetition_signals(_t(spark, sf_dir, "documents"))
