@@ -1477,3 +1477,44 @@ def text_redact_pii(spark, sf_dir):
 )
 def text_repetition_signals(spark, sf_dir):
     return TA.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# As-of join (temporal operator Spark lacks; merge-style linear form)
+# ===========================================================================
+
+
+@register(
+    "t_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, round(r.value, 6) AS asof_value
+    FROM clicks l
+    ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "As-of join: each click joined to the user's most recent view at-or-"
+    "before it. Implemented merge-style (tag+union, one keyed sort, "
+    "carry-forward window) — linear per key, no range-join blowup; "
+    "DuckDB's native ASOF JOIN is the oracle",
+)
+def t_asof_join(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, views, "user_id", "ts", "ts", ["value"])
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 6).alias("asof_value")
+    )

@@ -184,3 +184,31 @@ def test_multimodal_plumbing(spark):
     assert len(frames) > 2  # 1:N fan-out
     with pytest.raises(Exception):
         MM.extract_image_features(df, strict=True).collect()
+
+
+def test_asof_join_semantics(spark):
+    """Edge semantics: equal-timestamp right row IS visible (>= match);
+    a left row before any right row gets null."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.operators.temporal import asof_join
+
+    D = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 100, D(2024, 1, 1, 9, 0)),   # before any right -> null
+            (1, 101, D(2024, 1, 1, 10, 0)),  # ties right@10:00 -> 5.0
+            (1, 102, D(2024, 1, 1, 12, 0)),  # latest prior is 11:00 -> 7.0
+            (2, 200, D(2024, 1, 1, 12, 0)),  # other key, no rights -> null
+        ],
+        ["user_id", "event_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, D(2024, 1, 1, 10, 0), 5.0), (1, D(2024, 1, 1, 11, 0), 7.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    assert out == {100: None, 101: 5.0, 102: 7.0, 200: None}
