@@ -59,3 +59,49 @@ def asof_join(
         F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Range join (point ∈ [start, end], same key) without the planner's
+    inequality-join cross product: band both sides into fixed time
+    buckets — an interval lands in every bucket it overlaps, a point in
+    exactly one — equi-join on (key, bucket), then refine with the exact
+    containment predicate. Shuffle is on (key, bucket); the quadratic
+    term is bounded by per-bucket density instead of per-key row counts.
+    Interval end is inclusive; each (point, interval) pair emits once
+    (the point's bucket is unique)."""
+    # Bucket ids via epoch arithmetic (F.window can appear only once per
+    # plan, and integer bucket ids shuffle cheaper than timestamps).
+    try:
+        n, unit = bucket.split()
+        bucket_us = int(n) * {
+            "second": 1_000_000,
+            "seconds": 1_000_000,
+            "minute": 60_000_000,
+            "minutes": 60_000_000,
+            "hour": 3_600_000_000,
+            "hours": 3_600_000_000,
+        }[unit]
+    except (ValueError, KeyError) as exc:
+        raise ValueError(f"unsupported bucket spec: {bucket!r}") from exc
+
+    def bucket_of(col):
+        return F.floor(F.unix_micros(F.col(col)) / F.lit(bucket_us))
+
+    p = points.withColumn("_bucket", bucket_of(point_ts))
+    iv = intervals.withColumn(
+        "_buckets",
+        F.sequence(bucket_of(start_ts), bucket_of(end_ts), F.lit(1)),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    joined = p.join(iv, on=[key, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bucket")

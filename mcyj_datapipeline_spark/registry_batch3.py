@@ -1518,3 +1518,45 @@ def t_asof_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("asof_value", 6).alias("asof_value")
     )
+
+
+@register(
+    "t_range_join_banded",
+    """
+    WITH sessions AS (
+      SELECT user_id, event_id AS session_id, ts AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ), pts AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, s.session_id
+    FROM pts p JOIN sessions s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.start_ts AND p.ts <= s.end_ts
+    """,
+    "Range join via time-bucket banding: clicks matched into 30-minute "
+    "windows after each signup. Equi-join on (key, bucket) + exact "
+    "refine — per-bucket density bounds the quadratic term, vs the "
+    "planner's inequality cross product; the oracle is the plain "
+    "inequality join",
+)
+def t_range_join_banded(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.temporal import (
+        point_in_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("session_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = point_in_interval_join(
+        pts, sessions, "user_id", "ts", "start_ts", "end_ts"
+    )
+    return out.select("event_id", "session_id")
