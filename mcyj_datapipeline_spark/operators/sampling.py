@@ -53,3 +53,22 @@ def split_assign(
         .when(b < test_cut, "test")
         .otherwise("train"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones): each stratum gets its own hash-
+    bucket cutoff. Pure map-side filter — no shuffle, no rand()."""
+    cutoff = F.lit(int(round(default_fraction * n_buckets)))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(stratum) == value, F.lit(int(round(frac * n_buckets)))
+        ).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(key), n_buckets) < cutoff)

@@ -1560,3 +1560,55 @@ def t_range_join_banded(spark, sf_dir):
         pts, sessions, "user_id", "ts", "start_ts", "end_ts"
     )
     return out.select("event_id", "session_id")
+
+
+@register(
+    "o7_stratified_hash_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {hash60_sql("doc_id::VARCHAR")} % 10000 <
+          CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 5000 ELSE 10000 END
+    """,
+    "Stratified deterministic sampling: per-language hash-bucket cutoffs "
+    "(downsample dominant strata, keep rare ones whole) — map-side "
+    "filter, no shuffle, reproducible across engines",
+)
+def o7_stratified_hash_sample(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, "lang", "doc_id", {"en": 0.1, "es": 0.5}, default_fraction=1.0
+    )
+
+
+@register(
+    "a05_bigram_counts",
+    """
+    SELECT bigram, count(*) AS count FROM (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 2
+    ) GROUP BY bigram ORDER BY count DESC, bigram LIMIT 25
+    """,
+    "A5 n-gram form: word-bigram document frequency, top-25 — the "
+    "n-gram statistics pass of corpus analysis (shingle machinery "
+    "reused from dedup)",
+)
+def a05_bigram_counts(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", word_shingles(F.col("text"), 2).alias("grams")
+    ).filter(F.size("grams") > 0)
+    return (
+        grams.select("doc_id", F.explode("grams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "bigram")
+        .limit(25)
+    )
