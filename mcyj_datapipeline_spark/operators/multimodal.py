@@ -123,3 +123,81 @@ def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFram
         .when(magic.startswith("25504446"), "pdf")
         .otherwise("unknown"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_windows", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize plumbing (1:1 mapInPandas, binary in → binary out): the
+    fake "resampler" emits a deterministic target-sized byte grid
+    derived by striding the source bytes. STUB — a real kernel swaps in
+    PIL/cv2; schema, batching, and output-size contract stay identical."""
+    tw, th = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                src = bytes(content) if content is not None else b"\x00"
+                n = tw * th
+                stride = max(1, len(src) // n)
+                out = bytes(src[(i * stride) % len(src)] for i in range(n))
+                rows.append((int(mid), tw, th, out))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "out_width", "out_height", "resized"]
+            )
+
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    bytes_per_second: int = 16_000,
+    window_s: float = 0.5,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio feature plumbing: duration + analysis-window count derived
+    from byte length at a nominal rate. STUB decode (no soundfile/ffmpeg
+    in this env) — deterministic arithmetic keeps it oracle-checkable.
+    Duration is returned UNROUNDED: Python's round() is half-even while
+    SQL round() is half-up, so presentation rounding belongs to the
+    caller's column expression, not the kernel."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                n = len(bytes(content)) if content is not None else 0
+                dur = n / bytes_per_second
+                rows.append((int(mid), n, dur, int(math.ceil(dur / window_s))))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "duration_s", "n_windows"]
+            )
+
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)

@@ -1612,3 +1612,51 @@ def a05_bigram_counts(spark, sf_dir):
         .orderBy(F.desc("count"), "bigram")
         .limit(25)
     )
+
+
+@register(
+    "mm_resize_images",
+    f"""
+    SELECT media_id, 32 AS out_width, 32 AS out_height,
+           octet_length(content) AS src_bytes
+    FROM ({_MM_BLOB_SQL})
+    """,
+    "Multimodal: resize plumbing (binary in → fixed-size binary out via "
+    "Arrow mapInPandas); fake strided resampler, real batch/schema "
+    "contract — oracle checks ids + output geometry",
+)
+def mm_resize_images(spark, sf_dir):
+    out = MM.resize_images(_media_df(spark, sf_dir))
+    src = _media_df(spark, sf_dir).select(
+        "media_id", F.length("content").alias("src_bytes")
+    )
+    return out.join(src, "media_id").select(
+        "media_id",
+        F.col("out_width").cast("int").alias("out_width"),
+        F.col("out_height").cast("int").alias("out_height"),
+        "src_bytes",
+    )
+
+
+@register(
+    "mm_audio_features",
+    f"""
+    SELECT media_id,
+           octet_length(content) AS n_bytes,
+           round(octet_length(content) / 16000.0, 6) AS duration_s,
+           CAST(ceil((octet_length(content) / 16000.0) / 0.5) AS INT)
+             AS n_windows
+    FROM ({_MM_BLOB_SQL})
+    """,
+    "Multimodal: audio feature plumbing (duration + analysis windows "
+    "from byte length at nominal rate) via Arrow mapInPandas; decode "
+    "stubbed, arithmetic oracle-checked",
+)
+def mm_audio_features(spark, sf_dir):
+    out = MM.extract_audio_features(_media_df(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.col("n_windows").cast("int").alias("n_windows"),
+    )
