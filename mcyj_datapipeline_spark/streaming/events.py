@@ -189,3 +189,60 @@ def stream_session_counts(
         .start()
         .awaitTermination()
     )
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    views_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_lag: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> None:
+    """Stream-stream inner join with state bounded on BOTH sides: each
+    click joins views for the same user within ``max_lag`` before it.
+    The watermark + time-range predicate is what lets Spark expire
+    buffered rows — without the range condition the join state would
+    grow forever. Append-mode file sink, AvailableNow trigger, same
+    incremental-batch contract as the rest of the engine."""
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(clicks_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(views_dir)
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""
+            user_id = v_user_id AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {max_lag}
+            """
+        ),
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+    (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

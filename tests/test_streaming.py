@@ -164,3 +164,34 @@ def test_streaming_session_windows(spark, tmp_path):
         spark.read.parquet(sink).filter(F.col("user_id") == 1).count()
     )
     assert sessions_u1 == 2  # the 14:00 return opened a second session
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream-stream inner join: clicks match same-user views within the
+    lag window only; both join-state buffers are watermark-bounded."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.streaming.events import stream_stream_join
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    cl, vw, sink, ckpt = (str(tmp_path / d) for d in ("cl", "vw", "k", "c"))
+    D = dt.datetime
+    spark.createDataFrame(
+        [(1, 500, D(2024, 1, 1, 9, 0)), (1, 501, D(2024, 1, 1, 10, 0))], schema
+    ).write.mode("append").parquet(vw)
+    spark.createDataFrame(
+        [(1, 900, D(2024, 1, 1, 10, 15)), (2, 901, D(2024, 1, 1, 10, 15))], schema
+    ).write.mode("append").parquet(cl)
+    stream_stream_join(spark, cl, vw, sink, ckpt, schema)
+    rows = sorted(
+        (r["click_id"], r["view_id"]) for r in spark.read.parquet(sink).collect()
+    )
+    # 900 matches only the in-window view 501; 9:00 view is beyond the
+    # 30-minute lag; user 2 has no views at all.
+    assert rows == [(900, 501)]
