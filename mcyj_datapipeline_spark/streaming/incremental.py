@@ -117,3 +117,33 @@ def three_way_download_decision(api: DataFrame, state: DataFrame) -> DataFrame:
         )
         .otherwise("download"),
     ).drop("_state_sha", "_state_path")
+
+
+def stream_upsert_into_state(
+    spark: SparkSession,
+    source_dir: str,
+    state: "ParquetStateTable",
+    checkpoint_dir: str,
+    schema,
+    columns: list[str],
+) -> None:
+    """Streaming MERGE: a file-source stream of updates applied to the
+    persistent keyed state via ``foreachBatch`` — each micro-batch runs
+    the same full-outer coalesce-merge as the batch path (J11), so
+    stream and batch ingestion share one upsert semantics. The
+    checkpoint makes delivery exactly-once per batch id; with Delta this
+    exact seam becomes ``MERGE INTO`` inside the same foreachBatch."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            state.update(batch_df, columns)
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -195,3 +195,37 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     # 900 matches only the in-window view 501; 9:00 view is beyond the
     # 30-minute lag; user 2 has no views at all.
     assert rows == [(900, 501)]
+
+
+def test_stream_upsert_into_state_table(spark, tmp_path):
+    """foreachBatch streaming MERGE: updates stream into the versioned
+    state table with batch-path upsert semantics (non-empty wins),
+    exactly once per file across restarts."""
+    from mcyj_datapipeline_spark.streaming.incremental import (
+        ParquetStateTable,
+        stream_upsert_into_state,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ContentDocumentId", T.StringType()),
+            T.StructField("sha256", T.StringType()),
+        ]
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    st = ParquetStateTable(spark, str(tmp_path / "state"), "ContentDocumentId")
+    st.write_initial(
+        spark.createDataFrame([("CD1", ""), ("CD2", "keep")], schema)
+    )
+
+    spark.createDataFrame([("CD1", "sha-new"), ("CD3", "sha-3")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream_upsert_into_state(spark, src, st, ckpt, schema, ["sha256"])
+    got = {r["ContentDocumentId"]: r["sha256"] for r in st.read().collect()}
+    assert got == {"CD1": "sha-new", "CD2": "keep", "CD3": "sha-3"}
+
+    # Re-run with no new files: checkpoint prevents re-application.
+    v_before = st._next_version()
+    stream_upsert_into_state(spark, src, st, ckpt, schema, ["sha256"])
+    assert st._next_version() == v_before  # no new state version written
