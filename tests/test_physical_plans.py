@@ -115,3 +115,34 @@ def test_salted_agg_two_exchanges_small_second(spark, sf_dir):
     key over already-collapsed partials."""
     plan = plan_of(spark, sf_dir, "skew_salted_collect_set")
     assert "_salt" in plan and plan.count("HashAggregate") >= 2
+
+
+# Queries that intentionally use a (broadcast) cross join: small-side
+# query batches / centroid or plane sets against the corpus.
+_INTENTIONAL_CROSS = {
+    "p08_date_cutoff_filter",     # 1-row cutoff broadcast
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_numpy",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_lsh_topk",
+    "sim_lsh_multiprobe_topk",
+    "sim_embedding_near_dup",
+}
+
+
+def test_no_unintended_cartesian_products(spark, sf_dir):
+    """Sweep every registered query's physical plan: a CartesianProduct
+    outside the intentional broadcast-cross set is a planning bug (an
+    equi-join key got lost somewhere)."""
+    offenders = []
+    for name in sorted(registry.queries()):
+        if name in _INTENTIONAL_CROSS:
+            continue
+        try:
+            plan = plan_of(spark, sf_dir, name)
+        except Exception:
+            continue  # other tests cover runnability
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
