@@ -1660,3 +1660,62 @@ def mm_audio_features(spark, sf_dir):
         F.round("duration_s", 6).alias("duration_s"),
         F.col("n_windows").cast("int").alias("n_windows"),
     )
+
+
+# ===========================================================================
+# Dashboard aggregate capability: rollup (grouping sets) + percentiles
+# ===========================================================================
+
+
+@register(
+    "a03_rollup_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS count
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    "A3 generalized: ROLLUP grouping sets (status × priority hierarchy "
+    "with subtotals + grand total) — the multi-dimension form of the "
+    "dashboard's one-dimension-at-a-time group-count",
+)
+def a03_rollup_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "count",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "a13_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "Percentile aggregates: exact interpolated p50/p90/p99 per group "
+    "(Spark percentile ≡ DuckDB quantile_cont); at 100 TB swap in "
+    "approx_percentile for one-pass sketching",
+)
+def a13_percentiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
