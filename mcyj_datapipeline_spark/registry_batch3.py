@@ -1719,3 +1719,19 @@ def a13_percentiles(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a04_approx_count_distinct",
+    None,  # HLL sketch is engine-specific by construction; accuracy is
+    # asserted against the exact count in tests instead.
+    "A4 scale form: approx_count_distinct (HyperLogLog++) — one-pass "
+    "mergeable sketch; at 100 TB the exact countDistinct's global "
+    "dedup shuffle becomes the bottleneck this replaces",
+)
+def a04_approx_count_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
+    )

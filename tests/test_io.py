@@ -132,3 +132,38 @@ def test_raw_json_dump_sink(spark, tmp_path):
     MIO.write_json(df, p)
     # K6: raw payload dump readable back.
     assert spark.read.json(p).count() == 1
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """HLL++ sketch lands within its configured error of the exact
+    distinct count (A4 scale form)."""
+    from mcyj_datapipeline_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", 0.02)).first()[0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
+    """Defensive ingestion (SURVEY §1.3): malformed CSV rows land in the
+    corrupt-record column instead of failing the read; clean rows parse."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,n\na,1\nbad-row-only-one-col\nb,2\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    ).cache()
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
+    df.unpersist()
