@@ -99,3 +99,18 @@ def test_union_dedup_precedence_matches_model(spark):
     b = spark.createDataFrame(legacy, ["k", "v"])
     got = {r["k"]: r["v"] for r in union_dedup_first_wins(a, b, "k").collect()}
     assert got == model
+
+
+def test_grouped_zscore_degenerate_groups(spark):
+    """Single-row / constant-value groups have std 0 — z-score must be
+    0.0, not NaN/inf."""
+    from mcyj_datapipeline_spark.operators.text_analysis import grouped_zscore
+
+    df = spark.createDataFrame(
+        [("solo", 5), ("flat", 3), ("flat", 3), ("mix", 1), ("mix", 3)],
+        ["g", "v"],
+    )
+    out = {(r["g"], r["v"]): r["zscore"] for r in grouped_zscore(df, "g", "v").collect()}
+    assert out[("solo", 5)] == 0.0
+    assert out[("flat", 3)] == 0.0
+    assert out[("mix", 1)] == -1.0 and out[("mix", 3)] == 1.0
