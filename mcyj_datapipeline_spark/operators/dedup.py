@@ -386,3 +386,66 @@ def fuzzy_exact_dedup_winners(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a candidate
+    -pair edge list (e.g. :func:`minhash_lsh_pairs` output), by iterative
+    min-label propagation. Returns ``(node, component)`` where component
+    is the minimum node id reachable — the cluster's canonical "keep" id.
+
+    Each iteration is ONE shuffle join (labels against the undirected
+    edge list) + a groupBy-min, and converges in O(max cluster diameter)
+    rounds — near-dup clusters are shallow (usually <= 3-4 hops), so a
+    handful of rounds suffice even at 100 TB. ``localCheckpoint`` after
+    every round truncates lineage so plan size stays constant; on a real
+    cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
+    for fault-tolerant truncation instead. The alternating-star
+    (large-star/small-star) variant halves round count on deep graphs if
+    profiling ever shows diameter is the bottleneck.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iters):
+        # candidate label for each node = min over neighbors' current comp
+        nbr = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("new_comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = upd.select("node", F.col("new_comp").alias("comp"))
+        if n_changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

@@ -1735,3 +1735,128 @@ def a04_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
         F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
     )
+
+
+# ===========================================================================
+# Batch 4 (round-1 continuation): dedup clustering, pivot, write round-trip
+# ===========================================================================
+
+from mcyj_datapipeline_spark.operators import dedup as _D4
+from mcyj_datapipeline_spark.registry import _minhash_oracle_sql as _mh_sql
+
+
+def _cluster_oracle_sql() -> str:
+    # Connected components in SQL: seed every endpoint with itself, then
+    # transitively propagate reachable ids (semi-naive via recursive
+    # UNION's dedup); min reachable id == the cluster's canonical id.
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a, id_b FROM ({_mh_sql()})
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ), walk(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, walk.comp FROM walk JOIN und ON und.u = walk.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    """
+
+
+@register(
+    "dedup_cluster_components",
+    _cluster_oracle_sql(),
+    "Dedup/clusters: connected components over MinHash-LSH candidate "
+    "pairs (iterative min-label propagation, one shuffle join per round, "
+    "O(cluster diameter) rounds) — turns pairwise near-dup hits into "
+    "whole duplicate groups with a canonical keep-id",
+)
+def dedup_cluster_components(spark, sf_dir):
+    pairs = _D4.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.8
+    )
+    return _D4.connected_components(pairs, "id_a", "id_b")
+
+
+_PRIORITIES = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_not_specified"),
+    ("5-LOW", "p5_low"),
+]
+
+
+def _pivot_oracle_sql() -> str:
+    cells = ",\n           ".join(
+        f"count(*) FILTER (o_orderpriority = '{v}') AS {a}"
+        for v, a in _PRIORITIES
+    )
+    return f"""
+    SELECT o_orderstatus AS status,
+           {cells}
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@register(
+    "a03_pivot_status_priority",
+    _pivot_oracle_sql(),
+    "A3 pivot form: status × priority count matrix via pivot() with an "
+    "EXPLICIT value list — skips the extra distinct-collect job Spark "
+    "otherwise runs to discover pivot columns; single shuffle, map-side "
+    "partial agg",
+)
+def a03_pivot_status_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .count()
+    )
+    # pivot-count leaves NULL (not 0) in empty cells; match SQL's count=0
+    return wide.select(
+        "status",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in _PRIORITIES
+        ],
+    )
+
+
+@register(
+    "o4_partitioned_write_roundtrip",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    "O4/W write path: hive-partitioned parquet write (partitionBy status) "
+    "+ read-back with a partition-column filter — the read scan must "
+    "show PartitionFilters (pruned directory listing), not a data-file "
+    "filter; proves the sink/ingest round trip inside the driver gate",
+)
+def o4_partitioned_write_roundtrip(spark, sf_dir):
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="mcyj_roundtrip_")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

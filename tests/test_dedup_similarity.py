@@ -187,3 +187,21 @@ def test_kmeans_ivf_recall(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=5, centroids=cents).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), island 10-11,
+    # singleton-free: nodes only exist via edges
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
