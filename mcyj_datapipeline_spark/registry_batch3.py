@@ -1860,3 +1860,113 @@ def o4_partitioned_write_roundtrip(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+from pyspark.sql import Window as _W
+
+
+@register(
+    "w4_rolling_range_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+    FROM orders
+    """,
+    "W4: rolling 7-day revenue per customer — value-based RANGE frame "
+    "over epoch seconds (frame membership is by value, so same-timestamp "
+    "ties contribute identically in both engines); one shuffle on the "
+    "partition key, sort within partitions only",
+)
+def w4_rolling_range_sum(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        _W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_7d"),
+    )
+
+
+@register(
+    "w5_ntile_deciles",
+    """
+    WITH d AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM d GROUP BY decile
+    """,
+    "W5: ntile(10) price deciles under a DETERMINISTIC total order "
+    "(tie-broken by key, else bucket assignment at boundaries is "
+    "engine-dependent), aggregated to per-decile count/lo/hi. Note the "
+    "unpartitioned ORDER BY is a single-reducer sort — at 100 TB use "
+    "approx_percentile cutpoints + a map-side bucket join instead",
+)
+def w5_ntile_deciles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = _W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            F.ntile(10).over(w).alias("decile"), "o_totalprice"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), idf AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    )
+    SELECT doc_id, term, tf, df
+    FROM (
+      SELECT t.doc_id, t.term, t.tf, i.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, i.df, t.term) AS rn
+      FROM tf t JOIN idf i ON t.term = i.term
+    ) WHERE rn <= 3
+    """,
+    "Text analysis/TF-IDF: top-3 salient terms per doc ranked by "
+    "(tf desc, document-frequency asc) — the integer-exact ordering of "
+    "tf·idf for fixed tf (idf monotone-decreasing in df), so the rank is "
+    "bit-stable with no float ln() in the compare. Two shuffles: "
+    "doc-term tf groupBy, then term df groupBy joined back",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TA.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = _W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df")
+    )
