@@ -61,3 +61,28 @@ def salted_collect_set(
             F.array_distinct(F.flatten(F.collect_list("_vals")))
         ).alias("values")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_source: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the BIG side's hot keys across
+    ``n_salt`` sub-partitions (deterministic salt from a secondary
+    column) and replicate the small side once per salt value, joining on
+    ``(on, _salt)``. Result set is IDENTICAL to ``big.join(small, on)``
+    — salting only changes row placement — so the plain join is the
+    oracle. Use when one join key carries so many big-side rows that a
+    single shuffle partition exceeds a task even after AQE's skew split
+    (AQE can't split a partition mid-aggregation pipeline); the cost is
+    ``n_salt``× the small side's shuffle volume, so keep the small side
+    small or broadcast it instead."""
+    salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt))
+    )
+    small_s = small.withColumn("_salt", F.explode(salts))
+    return big_s.join(small_s, [on, "_salt"]).drop("_salt")

@@ -1970,3 +1970,73 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df")
     )
+
+
+from mcyj_datapipeline_spark.operators import skew as _SK
+
+
+@register(
+    "j15_salted_skew_join",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "J15 skew path: salted equi-join — big side salted on a secondary "
+    "column, small side replicated n_salt times, join on (key, salt); "
+    "result provably identical to the plain join (the oracle), row "
+    "placement spread so one hot key cannot overflow a task",
+)
+def j15_salted_skew_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = _SK.salted_join(li, orders, "l_orderkey", "l_linenumber")
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "u1_union_by_name_evolution",
+    """
+    WITH legacy AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), current AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM legacy UNION ALL BY NAME SELECT * FROM current
+    )
+    SELECT coalesce(o_orderpriority, 'MISSING') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM unioned GROUP BY 1
+    """,
+    "U1 schema evolution: unionByName(allowMissingColumns) merges "
+    "batches whose schemas drifted (old files lack the new column -> "
+    "NULL), the parquet-mergeSchema situation handled declaratively; "
+    "no shuffle for the union itself, columns aligned by NAME not "
+    "position",
+)
+def u1_union_by_name_evolution(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    unioned = legacy.unionByName(current, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
