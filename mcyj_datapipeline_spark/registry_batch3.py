@@ -2040,3 +2040,142 @@ def u1_union_by_name_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "d1_date_spine_gap_fill",
+    """
+    WITH daily AS (
+      SELECT o_orderdate::DATE AS day, count(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-03-01'
+      GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-02-28',
+                                    INTERVAL 1 DAY))::DATE AS day
+    )
+    SELECT s.day, coalesce(d.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    "D1 gap fill: generated date spine (sequence + explode — no "
+    "driver-side loop) left-joined to daily counts, missing days "
+    "zero-filled; the time-series densification every dashboard rollup "
+    "needs. Spine is tiny -> broadcast side of the join",
+)
+def d1_date_spine_gap_fill(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-02-28").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+
+
+@register(
+    "w6_lag_delta",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day, revenue,
+           round(revenue - lag(revenue) OVER (
+             PARTITION BY priority ORDER BY day), 2) AS delta
+    FROM daily
+    """,
+    "W6: lag-based day-over-day revenue delta per priority — the "
+    "period-over-period comparison; one shuffle on the partition key, "
+    "lag is a narrow in-partition pass",
+)
+def w6_lag_delta(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = _W.partitionBy("priority").orderBy("day")
+    return daily.select(
+        "priority",
+        "day",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w), 2
+        ).alias("delta"),
+    )
+
+
+@register(
+    "a14_unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    "A14 unpivot: wide -> long melt via stack() — the inverse of pivot, "
+    "narrow (no shuffle), values pass through bit-exact",
+)
+def a14_unpivot_melt(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, "
+        "'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (measure, value)",
+    )
+
+
+@register(
+    "x2_levenshtein_fuzzy_match",
+    """
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    "X2 fuzzy entity matching: edit-distance pairs within a blocking "
+    "key (nation) — blocked self-join bounds the quadratic term to "
+    "block size, the facility-name reconciliation shape; at 100 TB "
+    "block on a cheaper canopy (prefix/phonetic/minhash bucket) first",
+)
+def x2_levenshtein_fuzzy_match(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    a = sup.select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("key_a", "key_b", "dist")
+    )
