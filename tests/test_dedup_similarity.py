@@ -205,3 +205,46 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: Spark min-label propagation must agree
+    with a driver-side union-find on arbitrary graphs (three seeds:
+    sparse, dense, many-singleton-pairs)."""
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 25, 60), (3, 40, 12)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {x for e in edges for x in e}
+        expected = {x: find(x) for x in in_graph}
+        # canonicalize: component id = min member
+        comp_min = {}
+        for x, r in expected.items():
+            comp_min.setdefault(find(r), set()).add(x)
+        want = {
+            (x, min(members))
+            for root, members in comp_min.items()
+            for x in members
+        }
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in D.connected_components(
+                spark.createDataFrame(edges, ["id_a", "id_b"])
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

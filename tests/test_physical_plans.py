@@ -146,3 +146,24 @@ def test_no_unintended_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_date_spine_broadcasts(spark, sf_dir):
+    """The generated date spine is tiny; its join against daily counts
+    must be a broadcast, never a shuffle of the fact side."""
+    plan = plan_of(spark, sf_dir, "d1_date_spine_gap_fill")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_has_no_shuffle(spark, sf_dir):
+    """stack() is a narrow transformation — any Exchange in the melt
+    plan means rows were moved for no reason."""
+    plan = plan_of(spark, sf_dir, "a14_unpivot_melt")
+    assert "Exchange" not in plan
+
+
+def test_pivot_skips_value_discovery_job(spark, sf_dir):
+    """Pivot with an explicit value list must stay a single aggregate
+    plan (no separate distinct-collect of pivot values)."""
+    plan = plan_of(spark, sf_dir, "a03_pivot_status_priority")
+    assert plan.count("Exchange") <= 2
