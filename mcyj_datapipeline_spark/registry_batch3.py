@@ -2179,3 +2179,46 @@ def x2_levenshtein_fuzzy_match(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .select("key_a", "key_b", "dist")
     )
+
+
+@register(
+    "i1_mergeable_partial_aggs",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice) / count(*), 6) AS mean
+    FROM orders GROUP BY 1
+    """,
+    "I1 incremental rollup: per-batch PARTIAL aggregates (count/sum/"
+    "min/max are mergeable semigroups) unioned and re-merged — provably "
+    "equal to the direct aggregate (the oracle). This is how a 100 TB "
+    "rollup stays incremental: persist partials per ingest batch, merge "
+    "on read, never rescan history; avg derives from merged sum/count",
+)
+def i1_mergeable_partial_aggs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    # three simulated ingest batches
+    partials = [
+        orders.filter(F.col("o_orderkey") % 3 == i)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        for i in range(3)
+    ]
+    merged = partials[0].unionByName(partials[1]).unionByName(partials[2])
+    return merged.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("total"), 2).alias("total"),
+        F.round(F.min("lo"), 2).alias("lo"),
+        F.round(F.max("hi"), 2).alias("hi"),
+        F.round(F.sum("total") / F.sum("n"), 6).alias("mean"),
+    )
