@@ -2222,3 +2222,61 @@ def i1_mergeable_partial_aggs(spark, sf_dir):
         F.round(F.max("hi"), 2).alias("hi"),
         F.round(F.sum("total") / F.sum("n"), 6).alias("mean"),
     )
+
+
+@register(
+    "w5b_decile_by_cutpoints",
+    """
+    WITH cps AS (
+      SELECT [round(quantile_cont(o_totalprice, 0.1), 4),
+              round(quantile_cont(o_totalprice, 0.2), 4),
+              round(quantile_cont(o_totalprice, 0.3), 4),
+              round(quantile_cont(o_totalprice, 0.4), 4),
+              round(quantile_cont(o_totalprice, 0.5), 4),
+              round(quantile_cont(o_totalprice, 0.6), 4),
+              round(quantile_cont(o_totalprice, 0.7), 4),
+              round(quantile_cont(o_totalprice, 0.8), 4),
+              round(quantile_cont(o_totalprice, 0.9), 4)] AS cp
+      FROM orders
+    )
+    SELECT 1 + len(list_filter(cps.cp, c -> c < o.o_totalprice)) AS decile,
+           count(*) AS n,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o CROSS JOIN cps
+    GROUP BY 1
+    """,
+    "W5 scale path: decile assignment via BROADCAST cutpoints instead "
+    "of a global sort — one aggregate computes the 9 quantile cutpoints "
+    "(rounded identically on both engines so boundary doubles are "
+    "bit-equal), broadcast to every row, bucket = #cutpoints below the "
+    "value. No single-reducer window; at 100 TB swap the exact "
+    "percentile for approx_percentile and nothing else changes",
+)
+def w5b_decile_by_cutpoints(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cps = orders.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), "
+            "c -> round(c, 4))"
+        ).alias("cp")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cps))
+        .select(
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("cp"), lambda c: c < F.col("o_totalprice")
+                    )
+                )
+            ).alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
