@@ -2280,3 +2280,131 @@ def w5b_decile_by_cutpoints(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "a15_regr_slope_trend",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             epoch(o_orderdate) / 86400.0 AS day_x,
+             o_totalprice AS y
+      FROM orders
+    )
+    SELECT priority,
+           round(regr_slope(y, day_x), 6) AS slope,
+           round(regr_intercept(y, day_x), 2) AS intercept,
+           count(*) AS n
+    FROM daily GROUP BY priority
+    """,
+    "A15 trend detection: per-group least-squares slope/intercept via "
+    "the BUILT-IN regr_* aggregates (single-pass mergeable moments — "
+    "no pandas fit loop, no second scan); the drift-monitoring shape "
+    "for any metric over time",
+)
+def a15_regr_slope_trend(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.col("o_orderdate").cast("timestamp").cast("long") / 86400.0
+        ).alias("day_x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return daily.groupBy("priority").agg(
+        F.round(F.regr_slope("y", "day_x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "day_x"), 2).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a16_argmax_per_group",
+    """
+    SELECT o_orderpriority AS priority, o_orderkey AS top_orderkey,
+           round(o_totalprice, 2) AS top_price
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    """,
+    "A16 argmax: top row per group via max(struct(price, key)) — ONE "
+    "aggregate with map-side partials carrying a single struct per "
+    "group, instead of a window sort over every row; ties broken by key "
+    "inside the struct comparison so the result is deterministic",
+)
+def a16_argmax_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice").alias("p"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            ).alias("top")
+        )
+        .select(
+            "priority",
+            F.col("top.k").alias("top_orderkey"),
+            F.round(F.col("top.p"), 2).alias("top_price"),
+        )
+    )
+
+
+@register(
+    "a17_string_agg_sorted",
+    """
+    SELECT n_nationkey AS nation,
+           string_agg(s_name, '|' ORDER BY s_name) AS members,
+           count(*) AS n_members
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+    "A17 string aggregation: sorted member concatenation via "
+    "array_sort(collect_list(...)) + array_join — the ORDER in the "
+    "output is imposed AFTER collection (collect_list order is "
+    "partition-nondeterministic; sorting makes it canonical)",
+)
+def a17_string_agg_sorted(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(nation),
+            sup["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_nationkey").alias("nation"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), "|"
+            ).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+@register(
+    "dq1_null_profile",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) - count(o_custkey) AS null_custkey,
+           count(*) - count(o_orderstatus) AS null_status,
+           count(*) - count(o_totalprice) AS null_price,
+           count(*) - count(o_orderdate) AS null_date
+    FROM orders
+    """,
+    "DQ1 data-quality profile: per-column null counts in ONE scan "
+    "(count(col) skips nulls) — the ingest-validation audit every "
+    "pipeline runs before trusting a batch; no shuffle beyond the "
+    "single global aggregate",
+)
+def dq1_null_profile(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_status"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_price"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_date"),
+    )
