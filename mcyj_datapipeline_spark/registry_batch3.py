@@ -2408,3 +2408,100 @@ def dq1_null_profile(spark, sf_dir):
         (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_price"),
         (F.count(F.lit(1)) - F.count("o_orderdate")).alias("null_date"),
     )
+
+
+@register(
+    "c1_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1
+    ), activity AS (
+      SELECT o.o_custkey, f.cohort_month,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) -
+             (year(f.cohort_month) * 12 + month(f.cohort_month))
+               AS months_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT cohort_month::DATE AS cohort_month, months_since,
+           count(DISTINCT o_custkey) AS active_customers
+    FROM activity
+    WHERE months_since <= 6
+    GROUP BY 1, 2
+    """,
+    "C1 cohort retention: first-activity month per customer (one "
+    "aggregate), joined back to activity, bucketed by months-since — "
+    "the retention triangle. The firsts side is one row per customer "
+    "(smaller than facts) and the join is on the aggregate's own "
+    "partitioning key, so the shuffle is already co-located",
+)
+def c1_cohort_retention(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", od)).alias("cohort_month")
+    )
+    cm = F.col("cohort_month")
+    activity = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        cm,
+        (
+            (F.year(od) * 12 + F.month(od))
+            - (F.year(cm) * 12 + F.month(cm))
+        ).alias("months_since"),
+    )
+    return (
+        activity.filter(F.col("months_since") <= 6)
+        .groupBy(cm.cast("date").alias("cohort_month"), "months_since")
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+@register(
+    "c2_event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'click') AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (t_view < t_click) AS n_view_click,
+           count(*) FILTER (t_view < t_click AND t_click < t_purchase)
+             AS n_full_funnel
+    FROM per_user
+    """,
+    "C2 funnel: ordered view->click->purchase conversion — per-user "
+    "first-touch times via conditional min in ONE groupBy (no per-step "
+    "self-joins; k funnel steps = k conditional aggregates in the same "
+    "pass), then global stage counts",
+)
+def c2_event_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(F.col("t_view") < F.col("t_click"), 1)
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
