@@ -2505,3 +2505,53 @@ def c2_event_funnel(spark, sf_dir):
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "o9_orc_roundtrip",
+    """
+    SELECT o_orderstatus AS status, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    "O9 source format: ORC write + read-back (zstd), aggregated — the "
+    "second columnar format behind the same scan interface; ORC scans "
+    "get the same pushdown/pruning treatment as parquet in Spark",
+)
+def o9_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="mcyj_orc_")
+    orders.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "o10_jsonl_roundtrip",
+    """
+    SELECT n_regionkey AS region, count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY 1
+    """,
+    "O10 source format: JSON-lines write + schema-locked read-back "
+    "(explicit schema on read — NEVER schema inference on a 100 TB "
+    "path, which triggers a full extra scan), aggregated",
+)
+def o10_jsonl_roundtrip(spark, sf_dir):
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="mcyj_jsonl_")
+    nation.write.mode("overwrite").json(out)
+    back = spark.read.schema(nation.schema).json(out)
+    return back.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "names"
+        ),
+    )
