@@ -719,23 +719,35 @@ def f08_multiformat_date_parse(spark, sf_dir):
     "F12: keyword reduction through curation map (merge/drop/identity)",
 )
 def f12_keyword_reduction(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("keywords")
+    # Literal curation maps stay a map EXPRESSION (codegen lookup, zero
+    # join, zero extra shuffle); A.reduce_keywords is the DataFrame-
+    # mapping twin for tables too big to inline, and keeps the
+    # reference's ordered first-occurrence dedup semantics
+    # (website/keyword_reduction.py:14-77) for the pipeline that needs
+    # them. For this distinct-set query both plans agree; this one is
+    # explode -> map -> filter -> ONE distinct shuffle.
+    pairs = [
+        ("spark", "apache spark"),
+        ("the", ""),
+        ("a", ""),
+        ("big", "large"),
+        ("fast", "quick"),
+    ]
+    mapping_expr = F.create_map(*[F.lit(x) for p in pairs for x in p])
+    docs = _t(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("kw")
     )
-    mapping = spark.createDataFrame(
-        [
-            ("spark", "apache spark"),
-            ("the", ""),
-            ("a", ""),
-            ("big", "large"),
-            ("fast", "quick"),
-        ],
-        ["original_keyword", "reduced_keyword"],
+    return (
+        exploded.select(
+            "doc_id",
+            F.coalesce(mapping_expr[F.col("kw")], F.col("kw")).alias(
+                "keyword"
+            ),
+        )
+        .filter(F.col("keyword") != "")
+        .distinct()
     )
-    reduced = A.reduce_keywords(docs, mapping, "keywords", ["doc_id"])
-    return reduced.select(
-        "doc_id", F.explode("keywords").alias("keyword")
-    ).distinct()
 
 
 @register(
