@@ -430,6 +430,8 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # lazy checkpoint: the convergence count below materializes it,
+        # so each round costs ONE job instead of checkpoint + count
         upd = (
             labels.join(nbr, labels["node"] == nbr["u"], "left")
             .select(
@@ -439,7 +441,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("new_comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
         labels = upd.select("node", F.col("new_comp").alias("comp"))
