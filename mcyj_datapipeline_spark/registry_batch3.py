@@ -2555,3 +2555,55 @@ def o10_jsonl_roundtrip(spark, sf_dir):
             "names"
         ),
     )
+
+
+@register(
+    "a18_corr_covar",
+    """
+    SELECT l_returnflag AS flag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A18 statistics: per-group Pearson correlation, sample covariance "
+    "and stddev — one-pass mergeable co-moment aggregates (the same "
+    "partial-merge shape as sum/count, so map-side combine applies)",
+)
+def a18_corr_covar(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
+
+
+@register(
+    "a03_cube_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "A3 cube form: CUBE grouping sets — all 2^k dimension combinations "
+    "(status-only and priority-only subtotals included) in one pass; "
+    "the grouping-set expansion happens BEFORE the shuffle so partial "
+    "aggregation still applies per grouping id",
+)
+def a03_cube_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
