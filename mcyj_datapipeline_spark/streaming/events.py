@@ -246,3 +246,32 @@ def stream_stream_join(
         .start()
         .awaitTermination()
     )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    dim: DataFrame,
+    dim_key: str = "user_id",
+) -> None:
+    """Stream-static enrichment join: each micro-batch joins the static
+    dimension (re-evaluated per batch, so a refreshed dim table is
+    picked up on the next trigger — no restart). The static side is
+    broadcast; stream-static joins keep NO watermark state, which makes
+    this the cheapest join in the streaming toolbox — use it for
+    dimension lookups and save stateful stream-stream joins for
+    genuinely bitemporal correlation."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim), dim_key, "left")
+    (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -229,3 +229,33 @@ def test_stream_upsert_into_state_table(spark, tmp_path):
     v_before = st._next_version()
     stream_upsert_into_state(spark, src, st, ckpt, schema, ["sha256"])
     assert st._next_version() == v_before  # no new state version written
+
+
+def test_stream_static_enrich_broadcast_join(spark, tmp_path):
+    """Stream-static left join: every streamed row enriched from the
+    static dim; unmatched keys null-filled; no state directory needed
+    beyond the source checkpoint."""
+    from mcyj_datapipeline_spark.streaming.events import stream_static_enrich
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (9, 900)], schema
+    ).write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    stream_static_enrich(spark, src, sink, ckpt, schema, dim)
+    out = {
+        (r.user_id, r.tier) for r in spark.read.parquet(sink).collect()
+    }
+    assert out == {(1, "gold"), (2, "silver"), (9, None)}
