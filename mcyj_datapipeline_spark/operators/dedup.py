@@ -150,6 +150,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -158,12 +159,28 @@ def minhash_lsh_pairs(
     sets back and keeps pairs with true Jaccard ≥ threshold. Returns
     (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
 
+    ``max_bucket_size`` is the web-corpus safety valve: boilerplate
+    shingles (headers, licenses) can put millions of docs in one bucket,
+    turning the per-bucket quadratic term into THE cost. Capping drops
+    buckets larger than the limit from candidate generation — a recall
+    trade documented at the call site; pairs those buckets would have
+    produced usually also share a non-degenerate bucket in another band.
+
     The signature relation is persisted: it feeds the self-join twice
     plus the verification join twice, and recomputing the md5-per-
     shingle subtree 4× dominates runtime otherwise (at cluster scale
     you would materialize signatures to a table for the same reason)."""
     sigs = minhash_signatures(df, text_col, id_col, n).persist()
     bands = lsh_bands(sigs, id_col)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, on=["band", "band_key"])
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     left = bands.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )

@@ -248,3 +248,20 @@ def test_connected_components_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(edges).count() == 0
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """With a bucket cap of 1 no candidate pairs can form; with no cap
+    the engineered duplicates are found (default behavior unchanged)."""
+    corpus = _corpus(spark)
+    uncapped = D.minhash_lsh_pairs(corpus, jaccard_threshold=0.8)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} >= {(0, 100)}
+    capped = D.minhash_lsh_pairs(
+        corpus, jaccard_threshold=0.8, max_bucket_size=1
+    )
+    assert capped.count() == 0
