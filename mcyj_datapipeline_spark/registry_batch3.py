@@ -2607,3 +2607,59 @@ def a03_cube_counts(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "e5_token_shard_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT lang,
+           ((greatest(cum_tokens, 1) - 1) // 20000)::BIGINT AS shard,
+           count(*) AS n_docs, sum(n_tokens)::BIGINT AS shard_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+    "E5 training-shard packing: assign docs to ~20k-token shards by "
+    "running token count, partitioned by language (the natural "
+    "training-mix key, which also keeps every cumulative window "
+    "per-partition instead of one global reducer); deterministic "
+    "doc_id order so re-runs produce identical shards — the "
+    "tokenize->pack step between cleaning and training",
+)
+def e5_token_shard_packing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        _W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    packed = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        packed.select(
+            "lang",
+            ((F.greatest(F.col("cum_tokens"), F.lit(1)) - 1) / 20000)
+            .cast("long")
+            .alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
