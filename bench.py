@@ -40,6 +40,10 @@ HEADLINE = [
     "mm_image_features",
     "sim_ivf_topk",
     "e4_corpus_cleaning_pipeline",
+    "dedup_cluster_components",
+    "text_tfidf_top_terms",
+    "e5_token_shard_packing",
+    "w4_rolling_range_sum",
 ]
 
 

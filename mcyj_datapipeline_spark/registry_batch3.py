@@ -2663,3 +2663,59 @@ def e5_token_shard_packing(spark, sf_dir):
             F.sum("n_tokens").alias("shard_tokens"),
         )
     )
+
+
+@register(
+    "v1_embedding_centroid_pooling",
+    """
+    SELECT vec_id % 4 AS grp, i AS pos,
+           round(avg(embedding[i]::DOUBLE), 6) AS mean_v
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY 1, 2
+    """,
+    "V1 vector pooling: element-wise mean embedding per group "
+    "(posexplode -> per-(group, dim) avg) — the centroid/mean-pooling "
+    "primitive under k-means, class prototypes, and diversity "
+    "sampling; shuffle carries one scalar per (group, dim), never "
+    "whole vectors",
+)
+def v1_embedding_centroid_pooling(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            (F.col("vec_id") % 4).alias("grp"),
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .groupBy("grp", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"))
+    )
+
+
+@register(
+    "a20_event_type_cooccurrence",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    "A20 co-occurrence: event-type pairs per user (market-basket "
+    "shape) — distinct (user, type) first so the self-join fan-out is "
+    "bounded by types-per-user (≤5 here), not events-per-user; the "
+    "join shuffles on user_id once",
+)
+def a20_event_type_cooccurrence(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
