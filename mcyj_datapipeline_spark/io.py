@@ -154,3 +154,30 @@ def write_json_per_key(df: DataFrame, path: str, key: str) -> None:
     JSON sink — random access by key becomes partition pruning instead of
     a filesystem lookup, which is the scalable equivalent."""
     df.write.mode("overwrite").partitionBy(key).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a directory of parquet (e.g. a
+    streaming sink's per-batch files) into ~``target_file_bytes`` files.
+    Returns the output file count. File count is computed from the
+    INPUT's on-disk bytes (no extra pass over the data) and the rewrite
+    is a coalesce — a narrow, shuffle-free repack. At 100 TB this is the
+    maintenance job that keeps scan task counts sane after streaming
+    appends; run it per partition directory so each compaction is
+    bounded."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f)
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

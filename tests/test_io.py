@@ -167,3 +167,24 @@ def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
     assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
     assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
     df.unpersist()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Many small files -> few target-size files, content-identical."""
+    from mcyj_datapipeline_spark.io import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    # 8 separate appends -> at least 8 data files
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(src)
+    import glob
+
+    n_before = len(glob.glob(f"{src}/*.parquet"))
+    assert n_before >= 8
+    n_planned = compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    n_after = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_planned == 1 and n_after == 1
+    a = {r.id for r in spark.read.parquet(src).collect()}
+    b = {r.id for r in spark.read.parquet(dst).collect()}
+    assert a == b == set(range(80))
