@@ -468,3 +468,42 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_collisions: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >=
+    ``min_collisions`` distinct word n-grams with ANY benchmark doc
+    (the GPT-3-style n-gram collision test, scaled down from 13-grams
+    to fit short test docs).
+
+    Plan: both sides explode to distinct shingle hashes; the join is on
+    the shingle hash (the benchmark side is tiny in practice — the
+    shuffle carries hashed shingles, never text — and AQE broadcasts
+    it); collisions count DISTINCT shingles so repeated n-grams within
+    a doc don't inflate the score. At 100 TB the corpus side is the
+    same explode→groupBy spine as MinHash, so the two passes share the
+    shingle relation if materialized."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    return (
+        c.join(b, "sh")
+        .groupBy("corpus_id")
+        .agg(
+            F.countDistinct("sh").alias("n_collisions"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_collisions") >= min_collisions)
+    )

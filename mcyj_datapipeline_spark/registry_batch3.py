@@ -2719,3 +2719,56 @@ def a20_event_type_cooccurrence(spark, sf_dir):
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+from mcyj_datapipeline_spark.registry import (
+    _minhash_oracle_sql as _unused_mh,  # noqa: F401  (import anchor)
+)
+from mcyj_datapipeline_spark.operators.hashing import (
+    MINHASH_PRIME as _P,
+    hash60_sql as _h60,
+)
+
+
+def _contamination_oracle_sql() -> str:
+    h = _h60("s")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([{h} % {_P}
+                            for s in list_distinct([array_to_string(w[i:i+2], ' ')
+                                                    for i in range(1, len(w) - 1)])]) AS hs
+      FROM words WHERE len(w) >= 3
+    ), c AS (
+      SELECT doc_id AS corpus_id, unnest(hs) AS sh FROM sh WHERE doc_id >= 10
+    ), b AS (
+      SELECT doc_id AS bench_id, unnest(hs) AS sh FROM sh WHERE doc_id < 10
+    )
+    SELECT c.corpus_id, count(DISTINCT c.sh) AS n_collisions,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM c JOIN b ON c.sh = b.sh
+    GROUP BY c.corpus_id
+    HAVING count(DISTINCT c.sh) >= 2
+    """
+
+
+@register(
+    "d2_benchmark_decontamination",
+    _contamination_oracle_sql(),
+    "D2 decontamination: corpus docs sharing >=2 distinct word n-grams "
+    "with any benchmark doc (GPT-3-style n-gram collision test; "
+    "benchmark stand-in = doc_id < 10). Both sides join on hashed "
+    "shingles — text never shuffles; the benchmark side is tiny so AQE "
+    "broadcasts it",
+)
+def d2_benchmark_decontamination(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators import dedup as _DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return _DD.ngram_contamination(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        min_collisions=2,
+    )
