@@ -275,3 +275,36 @@ def stream_static_enrich(
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    dedup_key: str = "event_id",
+    watermark_delay: str = "30 minutes",
+) -> None:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps a key in state only until the watermark passes its event time,
+    so state size is delay × key-arrival rate — constant in stream
+    length. Plain ``dropDuplicates`` on a stream grows state forever
+    (every key ever seen); this is the version that survives an
+    unbounded 100 TB/day stream, with the documented contract that a
+    duplicate arriving later than the delay is NOT suppressed."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark([dedup_key])
+    )
+    (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -259,3 +259,37 @@ def test_stream_static_enrich_broadcast_join(spark, tmp_path):
         (r.user_id, r.tier) for r in spark.read.parquet(sink).collect()
     }
     assert out == {(1, "gold"), (2, "silver"), (9, None)}
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Duplicates inside the watermark window are suppressed; the
+    operator requires an event-time watermark (bounded state)."""
+    from mcyj_datapipeline_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "first"),
+        (1, t0 + dt.timedelta(minutes=5), "dup-within-window"),
+        (2, t0 + dt.timedelta(minutes=1), "other"),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream_dedup_within_watermark(spark, src, sink, ckpt, schema)
+    out = spark.read.parquet(sink)
+    assert out.count() == 2
+    assert {r.event_id for r in out.collect()} == {1, 2}
