@@ -2772,3 +2772,60 @@ def d2_benchmark_decontamination(spark, sf_dir):
         docs.filter(F.col("doc_id") < 10),
         min_collisions=2,
     )
+
+
+@register(
+    "j16_intersect_keys",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "J16 set op: INTERSECT — customers active in BOTH years; Spark "
+    "plans intersect() as a left-semi join over distinct sets, one "
+    "shuffle per side on the key",
+)
+def j16_intersect_keys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    y95 = orders.filter(F.year(od) == 1995).select("o_custkey")
+    y96 = orders.filter(F.year(od) == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "sql1_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate::DATE AS odate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, odate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "SQL surface: TPC-H Q3 (shipping priority) submitted through "
+    "spark.sql over temp views — same Catalyst plan as the DataFrame "
+    "API (joins reordered, filters pushed, TakeOrderedAndProject for "
+    "the top-10), proving the engine's SQL entry path end-to-end",
+)
+def sql1_shipping_priority(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"sql1_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        FROM sql1_customer JOIN sql1_orders ON c_custkey = o_custkey
+        JOIN sql1_lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, odate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+    )
