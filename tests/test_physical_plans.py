@@ -167,3 +167,12 @@ def test_pivot_skips_value_discovery_job(spark, sf_dir):
     plan (no separate distinct-collect of pivot values)."""
     plan = plan_of(spark, sf_dir, "a03_pivot_status_priority")
     assert plan.count("Exchange") <= 2
+
+
+def test_sql_entry_q3_plan_quality(spark, sf_dir):
+    """The spark.sql-submitted Q3 must plan like the DataFrame API:
+    top-10 via TakeOrderedAndProject (never a global sort) and the
+    customer dimension joined by broadcast."""
+    plan = plan_of(spark, sf_dir, "sql1_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
