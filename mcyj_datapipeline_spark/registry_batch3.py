@@ -2829,3 +2829,37 @@ def sql1_shipping_priority(spark, sf_dir):
         LIMIT 10
         """
     )
+
+
+@register(
+    "j17_null_safe_join",
+    """
+    WITH x AS (
+      SELECT nullif(o_orderpriority, '5-LOW') AS pk, count(*) AS n_all
+      FROM orders GROUP BY 1
+    ), y AS (
+      SELECT nullif(o_orderpriority, '5-LOW') AS pk, count(*) AS n_f
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT coalesce(x.pk, 'NULL_KEY') AS priority, x.n_all, y.n_f
+    FROM x JOIN y ON x.pk IS NOT DISTINCT FROM y.pk
+    """,
+    "J17 null-safe equi-join: <=> (IS NOT DISTINCT FROM) matches NULL "
+    "keys to each other — the semantics a plain equi-join silently "
+    "drops; still hash-joinable (null is just another key value), "
+    "unlike general non-equi predicates",
+)
+def j17_null_safe_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    pk = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pk")
+    x = orders.groupBy(pk).agg(F.count(F.lit(1)).alias("n_all"))
+    y = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(pk)
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    return x.join(y, x["pk"].eqNullSafe(y["pk"])).select(
+        F.coalesce(x["pk"], F.lit("NULL_KEY")).alias("priority"),
+        "n_all",
+        "n_f",
+    )
