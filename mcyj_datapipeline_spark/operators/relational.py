@@ -228,6 +228,19 @@ def top_k_per_group(
 
 
 def deterministic_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
-    """O7 (reference investigate_violations.py:124): seeded random sample
-    of exactly n rows."""
-    return df.orderBy(F.rand(seed)).limit(n)
+    """O7 (reference investigate_violations.py:124): seeded sample of
+    exactly n rows, reproducible under ANY input partitioning.
+
+    ``orderBy(rand(seed))`` is NOT reproducible across partitionings
+    (rand is seeded per-partition), so we order by a content hash of the
+    whole row salted with the seed — same rows in, same sample out, no
+    matter how the input was split.  Executes as TakeOrderedAndProject
+    (per-partition top-n + driver merge), not a global sort.
+    """
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h")
+        .limit(n)
+        .drop("__h")
+    )

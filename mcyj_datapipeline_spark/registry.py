@@ -390,8 +390,23 @@ def a01_nested_rollup_scalar(spark, sf_dir):
 
 @register(
     "a01_nest_documents_per_group",
-    None,  # ArrayType(StructType) nesting — not hash-comparable via SQL oracle
-    "A1/W2: collect_list(struct) nesting, newest-first (rows-only check)",
+    """
+    SELECT agency_id,
+           to_json(list(struct_pack(date_iso := date_iso, doc_key := doc_key)
+                        ORDER BY date_iso DESC, doc_key DESC)) AS documents,
+           count(*) AS total_reports,
+           max(agency_name) AS agency_name
+    FROM (
+      SELECT o_custkey AS agency_id,
+             o_orderkey AS doc_key,
+             o_orderdate::DATE AS date_iso,
+             o_orderpriority AS agency_name
+      FROM orders
+    )
+    GROUP BY agency_id
+    """,
+    "A1/W2: collect_list(struct) nesting, newest-first; nested list "
+    "serialized to canonical JSON so the value oracle covers the nesting",
 )
 def a01_nest_documents_per_group(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select(
@@ -400,10 +415,13 @@ def a01_nest_documents_per_group(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("date_iso"),
         F.col("o_orderpriority").alias("agency_name"),
     )
-    return A.nest_documents_per_agency(
+    nested = A.nest_documents_per_agency(
         orders, key="agency_id", name_col="agency_name", order_col="date_iso",
         doc_cols=["doc_key", "date_iso"],
     )
+    # array<struct> is not hashable by the driver's pandas canonicalizer —
+    # serialize to JSON (same convention as a01_nested_json_rollup).
+    return nested.withColumn("documents", F.to_json("documents"))
 
 
 @register(
@@ -604,15 +622,12 @@ def w2_top_k_per_group(spark, sf_dir):
     )
 
 
-@register(
-    "o7_seeded_sample",
-    None,  # rand(seed) is engine-specific — rows-only check
-    "O7: deterministic seeded sample (rows-only)",
-)
-def o7_seeded_sample(spark, sf_dir):
-    return R.deterministic_sample(
-        _t(spark, sf_dir, "documents").select("doc_id", "lang"), 5
-    )
+# o7_seeded_sample was delisted in round 2: rand(seed) output is
+# engine-specific (a red "no_oracle" row by the driver contract) and its
+# ordering is only reproducible for a fixed input partitioning.  The O7
+# surface is covered by the oracled o7_hash_sample /
+# o7_stratified_hash_sample twins (registry_batch3), which hash row keys
+# and are reproducible under any partitioning.
 
 
 # ===========================================================================
