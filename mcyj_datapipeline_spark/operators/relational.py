@@ -20,10 +20,19 @@ def left_enrich(
     facts: DataFrame,
     dim: DataFrame,
     on: str | list[str],
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """J1–J5: left-join enrichment with a (small) dimension.
-    Reference: dict build+probe, e.g. generate_website_data.py:65-159."""
+    """J1–J5: left-join enrichment with a dimension.
+    Reference: dict build+probe, e.g. generate_website_data.py:65-159.
+
+    ``broadcast`` is tri-state. ``None`` (default) lets Catalyst + AQE
+    pick the strategy from size estimates — the right call for
+    enrichment tables that are keyed per-fact-row (1 row per document)
+    and therefore GROW with the corpus; a hard hint on those would
+    force an executor-OOM broadcast at 100 TB. Pass ``True`` only for
+    genuinely fixed-cardinality dims (a lookup table that stays ~kB no
+    matter the corpus size), ``False`` to forbid the hint entirely.
+    """
     d = F.broadcast(dim) if broadcast else dim
     return facts.join(d, on=on, how="left")
 

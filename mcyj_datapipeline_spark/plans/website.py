@@ -41,8 +41,15 @@ def build_flat_table(
 ) -> DataFrame:
     """J1–J4 enrichment joins + F8 date normalization + F12 keyword
     reduction + F17/F18 CSV-boundary casts → one flat document table.
-    All dims broadcast (each ≤ a few thousand rows in the reference;
-    at scale the optimizer's size estimate decides)."""
+
+    Join-strategy note (100 TB): ``sir_summaries`` / ``violation_levels``
+    / ``staffing`` are keyed one-row-per-document — they GROW with the
+    fact side, so they get NO broadcast hint; Catalyst/AQE picks
+    broadcast at reference scale (each ≤ a few MB) and switches to
+    sort-merge/shuffled-hash when the tables outgrow
+    ``autoBroadcastJoinThreshold``. ``facilities`` is a genuinely
+    fixed-cardinality dim (one row per licensed agency, ~constant as
+    documents accumulate) and keeps an explicit hint."""
     levels = violation_levels.withColumn(
         "keywords", keywords_from_json(F.col("keywords"))
     )
@@ -58,24 +65,20 @@ def build_flat_table(
 
     flat = (
         document_info.join(
-            F.broadcast(
-                sir_summaries.select(
-                    "sha256",
-                    F.col("response").alias("summary"),
-                    F.col("violation"),
-                )
+            sir_summaries.select(
+                "sha256",
+                F.col("response").alias("summary"),
+                F.col("violation"),
             ),
             "sha256",
             "left",
         )
         .join(
-            F.broadcast(
-                levels.select("sha256", "level", "justification", "keywords")
-            ),
+            levels.select("sha256", "level", "justification", "keywords"),
             "sha256",
             "left",
         )
-        .join(F.broadcast(staffing_typed), "sha256", "left")
+        .join(staffing_typed, "sha256", "left")
         .withColumn("date_iso", parse_date_multi(F.col("date")))
     )
     fac = facilities.withColumnRenamed("LicenseNumber", "agency_id")

@@ -169,7 +169,8 @@ def p14_regex_predicate(spark, sf_dir):
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     """,
-    "J1-J5: broadcast left-join enrichment (docs->summaries shape)",
+    "J1-J5: left-join enrichment (docs->summaries shape); join strategy "
+    "left to the optimizer (auto-broadcast at small scale, SMJ beyond)",
 )
 def j01_left_enrich_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
