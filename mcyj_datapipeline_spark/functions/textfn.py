@@ -87,23 +87,18 @@ def extract_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
     return F.from_json(F.nullif(candidate, F.lit("")), schema or _LLM_JSON_SCHEMA)
 
 
-def salvage_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
-    """F16/U4 (reference update_violation_levels.py:281-320): nested-safe
-    JSON extraction. Fast path: greedy first-``{``-to-last-``}`` slice +
-    ``from_json`` (handles nested objects, JVM-side). Fallback, only for
-    rows the fast path cannot parse: the brace-matching scanner
-    (``operators.procedural.salvage_json``) as a Python UDF.
-
-    Spark extracts Python UDFs into a separate BatchEvalPython stage, so
-    the fallback kernel is invoked per row even when the fast path hit —
-    at cluster scale, split with ``filter``/``unionByName`` so only the
-    failed slice pays the Python tax; at the reference's salvage rates
-    (rare LLM formatting glitches) either shape is fine."""
-    schema = schema or _LLM_JSON_SCHEMA
-    fast = F.from_json(
+def _fast_llm_json(col: Column, schema: T.StructType) -> Column:
+    """Greedy first-``{``-to-last-``}`` slice + ``from_json`` — the
+    JVM-side fast path shared by both salvage shapes below."""
+    return F.from_json(
         F.nullif(F.regexp_extract(col, r"(\{.*\})", 1), F.lit("")), schema
     )
 
+
+def _salvage_udf():
+    """Brace-matching scanner (``operators.procedural.salvage_json``)
+    wrapped as a row-at-a-time Python UDF — the slow path. Built lazily
+    so importing this module never touches py4j."""
     import json
 
     from pyspark.sql.functions import udf
@@ -115,8 +110,51 @@ def salvage_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
         obj = salvage_json(text or "")
         return json.dumps(obj) if obj is not None else None
 
-    slow = F.from_json(_salvage(col), schema)
+    return _salvage
+
+
+def salvage_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
+    """F16/U4 (reference update_violation_levels.py:281-320): nested-safe
+    JSON extraction as a single Column. Fast path: greedy slice +
+    ``from_json``. Fallback for rows the fast path cannot parse: the
+    brace-matching scanner as a Python UDF.
+
+    CAUTION — Spark extracts Python UDFs into an unconditional
+    BatchEvalPython stage, so this Column shape serializes EVERY row
+    through Python even when the fast path hit. Use it only where a
+    Column expression is required (e.g. inside another expression); for
+    table-shaped work use :func:`salvage_llm_json_table`, which filters
+    the failed slice first so only it pays the Python tax."""
+    schema = schema or _LLM_JSON_SCHEMA
+    fast = _fast_llm_json(col, schema)
+    slow = F.from_json(_salvage_udf()(col), schema)
     return F.when(fast.isNotNull(), fast).otherwise(slow)
+
+
+def salvage_llm_json_table(
+    df,
+    text: Column | str,
+    out: str = "parsed",
+    schema: T.StructType | None = None,
+):
+    """F16/U4, cluster shape: same semantics as :func:`salvage_llm_json`
+    but split so the Python brace-matching fallback runs ONLY on rows
+    the JVM fast path failed to parse (reference
+    update_violation_levels.py:281-320 try/except salvage order).
+
+    Plan shape: ``Union( filter(fast IS NOT NULL) → fast,
+    filter(fast IS NULL) → BatchEvalPython → slow )`` — at 100 TB with
+    rare LLM formatting glitches the Python stage sees ~0% of the
+    corpus instead of 100%. Returns ``df`` plus ``out`` (struct).
+    """
+    schema = schema or _LLM_JSON_SCHEMA
+    text = F.col(text) if isinstance(text, str) else text
+    staged = df.withColumn(out, _fast_llm_json(text, schema))
+    hit = staged.filter(F.col(out).isNotNull())
+    missed = staged.filter(F.col(out).isNull()).withColumn(
+        out, F.from_json(_salvage_udf()(text), schema)
+    )
+    return hit.unionByName(missed)
 
 
 def keywords_from_json(col: Column) -> Column:

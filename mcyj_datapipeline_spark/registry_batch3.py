@@ -187,7 +187,7 @@ def f05_inspection_date(spark, sf_dir):
     "cannot parse (reference update_violation_levels.py:281-320)",
 )
 def f16_json_salvage(spark, sf_dir):
-    from mcyj_datapipeline_spark.functions.textfn import salvage_llm_json
+    from mcyj_datapipeline_spark.functions.textfn import salvage_llm_json_table
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     txt = (
@@ -215,11 +215,11 @@ def f16_json_salvage(spark, sf_dir):
             )
         )
     )
-    parsed = salvage_llm_json(txt)
-    return docs.select(
+    salvaged = salvage_llm_json_table(docs.withColumn("raw", txt), "raw", "parsed")
+    return salvaged.select(
         "doc_id",
-        parsed["summary"].alias("summary"),
-        parsed["violation"].alias("violation"),
+        F.col("parsed")["summary"].alias("summary"),
+        F.col("parsed")["violation"].alias("violation"),
     )
 
 

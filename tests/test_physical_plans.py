@@ -176,3 +176,53 @@ def test_sql_entry_q3_plan_quality(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql1_shipping_priority")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_enrichment_broadcast_is_size_gated(spark, sf_dir):
+    """The per-document enrichment tables in build_flat_table
+    (summaries/levels/staffing) grow with the corpus, so they carry NO
+    forced broadcast hint: at reference scale the optimizer broadcasts
+    them from size estimates (previous test), and when they exceed the
+    broadcast threshold the plan must fall back to a shuffle join
+    instead of force-broadcasting a corpus-sized table. ``facilities``
+    is a fixed-cardinality dim with an explicit hint, which must
+    survive the threshold change."""
+    conf = spark.conf
+    prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_dir, "e3_website_pipeline")
+        # Per-doc enrich joins: no hint -> shuffle strategy once the
+        # optimizer can no longer prove them small.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # The fixed-size facilities dim keeps its forced broadcast.
+        assert "BroadcastHashJoin" in plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_enrichment_broadcast_chosen_when_small(spark, sf_dir):
+    """Flip side of the gate: with the default threshold the optimizer
+    must still pick broadcast for every enrichment join (the dims ARE
+    small at this scale) — dropping the hard hints must not cost the
+    small-scale plan anything."""
+    plan = plan_of(spark, sf_dir, "e3_website_pipeline")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_salvage_python_udf_only_on_failed_rows(spark, sf_dir):
+    """F16 at scale: the brace-matching Python fallback must live in a
+    BatchEvalPython stage under the fast-path-failed filter only — the
+    fast-path branch of the union must stay whole-stage-codegen with no
+    Python evaluation at all."""
+    plan = plan_of(spark, sf_dir, "f16_json_salvage")
+    assert "Union" in plan
+    # Spark 4 plans the UDF as ArrowEvalPython (Arrow-batched); older
+    # versions as BatchEvalPython. Exactly one Python stage either way.
+    n_python = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_python == 1
+    # The Python stage's branch is gated by an isnull filter on the
+    # fast-path parse result.
+    python_branch = plan.split("EvalPython")[1]
+    assert "isnull" in python_branch
