@@ -18,33 +18,44 @@ from mcyj_datapipeline_spark.operators.relational import coalesce_merge
 
 
 class ParquetStateTable:
-    """T1: persistent keyed state over plain parquet with merge-on-write.
+    """T1: persistent keyed state over plain parquet with merge-on-write
+    (reference full-table rewrite: run_full_pipeline.py:44-50,
+    backfill_download_metadata.py:106-112).
 
-    ``update`` computes existing ⊕ updates (non-empty updates win per
-    column, J11 semantics) and atomically swaps the directory via a
-    versioned subdir + _CURRENT pointer — the poor man's Delta commit
-    protocol; swap in Delta/Iceberg for real clusters."""
+    Two layouts behind one interface:
 
-    def __init__(self, spark: SparkSession, path: str, key: str):
+    * ``num_buckets=None`` (legacy): ``update`` rewrites the whole table
+      and atomically swaps via a versioned subdir + _CURRENT pointer —
+      the poor man's Delta commit protocol. Fine at reference scale
+      (thousands of keys); a full rewrite per merge is the bottleneck at
+      100 TB state.
+    * ``num_buckets=N``: the table lives in ONE directory hash-
+      partitioned by ``_bucket = pmod(xxhash64(key), N)``. ``update``
+      computes the touched buckets from the updates (partition-pruned
+      read of only those buckets), merges, and rewrites ONLY the touched
+      partitions via dynamic partition overwrite — untouched partitions'
+      files are not even opened. Merge cost is now proportional to the
+      update's key-spread, not the table size: the real MERGE shape that
+      Delta/Iceberg ``MERGE INTO`` implements with finer (file-level)
+      pruning, at this exact seam.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        num_buckets: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.num_buckets = num_buckets
+
+    # -- legacy versioned-swap layout ------------------------------------
 
     def _current_file(self) -> str:
         return f"{self.path}/_CURRENT"
-
-    def read(self) -> DataFrame | None:
-        import os
-
-        cur = self._current_file()
-        if not os.path.exists(cur):
-            return None
-        with open(cur) as f:
-            version = f.read().strip()
-        return self.spark.read.parquet(f"{self.path}/v{version}")
-
-    def write_initial(self, df: DataFrame) -> None:
-        self._commit(df, 0)
 
     def _commit(self, df: DataFrame, version: int) -> None:
         import os
@@ -65,7 +76,45 @@ class ParquetStateTable:
         with open(cur) as f:
             return int(f.read().strip()) + 1
 
+    # -- bucketed layout -------------------------------------------------
+
+    def _data_dir(self) -> str:
+        return f"{self.path}/data"
+
+    def _bucket_of(self, col) -> "F.Column":
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
+
+    # -- shared interface ------------------------------------------------
+
+    def read(self) -> DataFrame | None:
+        import os
+
+        if self.num_buckets is not None:
+            data = self._data_dir()
+            if not os.path.isdir(data):
+                return None
+            return self.spark.read.parquet(data).drop("_bucket")
+        cur = self._current_file()
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            version = f.read().strip()
+        return self.spark.read.parquet(f"{self.path}/v{version}")
+
+    def write_initial(self, df: DataFrame) -> None:
+        if self.num_buckets is not None:
+            (
+                df.withColumn("_bucket", self._bucket_of(F.col(self.key)))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self._data_dir())
+            )
+            return
+        self._commit(df, 0)
+
     def update(self, updates: DataFrame, columns: list[str]) -> DataFrame:
+        if self.num_buckets is not None:
+            return self._update_bucketed(updates, columns)
         existing = self.read()
         if existing is None:
             merged = updates
@@ -74,6 +123,52 @@ class ParquetStateTable:
         merged = merged.localCheckpoint(eager=True)  # cut lineage before swap
         self._commit(merged, self._next_version())
         return merged
+
+    def _update_bucketed(self, updates: DataFrame, columns: list[str]) -> DataFrame:
+        """Merge ``updates`` rewriting only the hash-buckets they touch.
+
+        The touched-bucket list is collected to the driver — it is at
+        most ``num_buckets`` ints, never data-sized. The pruned read of
+        existing rows pushes ``_bucket IN (...)`` into partition
+        discovery, so untouched buckets contribute zero input splits and
+        their files stay byte-identical after the commit (dynamic
+        partition overwrite only replaces partitions present in the
+        written frame)."""
+        if self.read() is None:
+            self.write_initial(updates)
+            return self.read()
+        touched = [
+            r[0]
+            for r in updates.select(
+                self._bucket_of(F.col(self.key)).alias("_bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return self.read()
+        existing = (
+            self.spark.read.parquet(self._data_dir())
+            .filter(F.col("_bucket").isin(touched))
+            .drop("_bucket")
+        )
+        merged = coalesce_merge(existing, updates, self.key, columns).withColumn(
+            "_bucket", self._bucket_of(F.col(self.key))
+        )
+        # Materialize before overwriting the directory we just read.
+        merged = merged.localCheckpoint(eager=True)
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                merged.write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self._data_dir())
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return self.read()
 
 
 def pending_work(

@@ -212,3 +212,77 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
     }
     assert out == {100: None, 101: 5.0, 102: 7.0, 200: None}
+
+
+def test_bucketed_state_table_merge_idempotent(spark, tmp_path):
+    """Bucketed layout must give byte-for-byte the same merge semantics
+    as the legacy full-rewrite layout (J11 coalesce-merge upsert)."""
+    state = ParquetStateTable(spark, str(tmp_path / "state"), "id", num_buckets=4)
+    base = spark.createDataFrame(
+        [("a", "x", ""), ("b", "", "p2")], ["id", "sha", "path"]
+    )
+    state.write_initial(base)
+    updates = spark.createDataFrame(
+        [("b", "sha-b", ""), ("c", "sha-c", "p3")], ["id", "sha", "path"]
+    )
+    merged = state.update(updates, ["sha", "path"])
+    got = {r["id"]: (r["sha"], r["path"]) for r in merged.collect()}
+    # "a" lives in an untouched bucket, so — exactly like a Delta MERGE —
+    # its row is preserved verbatim ('' stays '', not normalized to null
+    # the way the legacy full-rewrite incidentally did). '' and null are
+    # both "missing" under the reference contract (sha != '' checks).
+    assert got == {
+        "a": ("x", ""),
+        "b": ("sha-b", "p2"),
+        "c": ("sha-c", "p3"),
+    }
+    again = state.update(updates, ["sha", "path"])
+    assert {r["id"]: (r["sha"], r["path"]) for r in again.collect()} == got
+
+
+def test_bucketed_state_merge_leaves_untouched_partitions_alone(spark, tmp_path):
+    """The MERGE contract at scale: a merge touching one key must
+    rewrite ONLY that key's hash-bucket — every file in every other
+    bucket stays byte-identical (same paths, same bytes)."""
+    import hashlib
+    import os
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dirpath, fn)
+                    with open(p, "rb") as f:
+                        out[os.path.relpath(p, root)] = hashlib.sha256(
+                            f.read()
+                        ).hexdigest()
+        return out
+
+    state = ParquetStateTable(spark, str(tmp_path / "state"), "id", num_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"sha{i}", "") for i in range(64)], ["id", "sha", "path"]
+    )
+    state.write_initial(base)
+    data_dir = str(tmp_path / "state" / "data")
+    before = snapshot(data_dir)
+    buckets_before = {p.split("/")[0] for p in before}
+    assert len(buckets_before) == 8  # 64 keys spread over all 8 buckets
+
+    updates = spark.createDataFrame([("k3", "", "new-path")], ["id", "sha", "path"])
+    merged = state.update(updates, ["sha", "path"])
+    after = snapshot(data_dir)
+
+    changed_buckets = {
+        p.split("/")[0]
+        for p in set(before) ^ set(after)
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    assert len(changed_buckets) == 1  # only k3's bucket was rewritten
+    untouched = {p for p in before if not p.startswith(next(iter(changed_buckets)))}
+    for p in untouched:
+        assert after[p] == before[p]  # byte-identical, never rewritten
+
+    got = {r["id"]: (r["sha"], r["path"]) for r in merged.collect()}
+    assert got["k3"] == ("sha3", "new-path")  # coalesce kept sha, added path
+    assert len(got) == 64
