@@ -220,17 +220,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shared-shingle inverted
     index: explode shingles, self-join on shingle (pairs sharing ≥1
     shingle only — never a full cross join), count shared, then
     |A∩B| / (|A| + |B| − |A∩B|). The quadratic baseline that validates
-    MinHash at test scale; at 100 TB you cap bucket fan-out first."""
+    MinHash at test scale.
+
+    ``max_shingle_docs`` is the same safety valve as MinHash's
+    ``max_bucket_size``, applied to the inverted index: a shingle that
+    appears in k documents fans out into k·(k−1)/2 candidate rows in the
+    self-join, so one boilerplate shingle (header, license line) shared
+    by a million web documents would alone generate ~5·10¹¹ join rows.
+    Capping drops shingles whose document frequency exceeds the limit
+    BEFORE the self-join, bounding per-shingle fan-out at
+    max_shingle_docs²/2. With the cap, ``shared`` undercounts pairs
+    whose only common shingles were ultra-frequent — the standard
+    stop-shingle recall trade; ``None`` (default) keeps the function an
+    exact baseline for oracle parity at test scale."""
     sh = _spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_shingle_docs is not None:
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        inv = (
+            inv.join(freq, on="shingle")
+            .filter(F.col("_df") <= max_shingle_docs)
+            .drop("_df")
+        )
     shared = (
         inv.alias("x")
         .join(inv.alias("y"), on="shingle")

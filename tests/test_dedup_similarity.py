@@ -265,3 +265,34 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
         corpus, jaccard_threshold=0.8, max_bucket_size=1
     )
     assert capped.count() == 0
+
+
+def test_ngram_jaccard_shingle_cap_bounds_fanout(spark):
+    """max_shingle_docs must drop boilerplate shingles BEFORE the
+    self-join: a shingle shared by every doc otherwise fans out into
+    k*(k-1)/2 candidate pairs. With the cap, the boilerplate-only pairs
+    vanish while genuinely similar pairs (sharing rare shingles too)
+    survive."""
+    # 30 docs: identical 5-word boilerplate prefix + unique tails;
+    # docs 0 and 1 additionally share a rare 10-word body.
+    boiler = "terms of service apply here"
+    shared_body = " ".join(f"rare{i}" for i in range(10))
+    rows = []
+    for i in range(30):
+        tail = " ".join(f"uniq{i}_{j}" for j in range(10))
+        body = shared_body if i < 2 else tail
+        rows.append((i, f"{boiler} {body} {tail}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # Uncapped: every doc pair shares the boilerplate shingles, so the
+    # inverted-index join forms all 30*29/2 candidate pairs (low
+    # jaccard filters them out of the OUTPUT, but the JOIN paid for
+    # them -- that is the scale hazard).
+    uncapped = D.ngram_jaccard_pairs(df, threshold=0.01)
+    assert uncapped.count() == 30 * 29 / 2
+
+    # Capped at df<=5: boilerplate shingles (df=30) are dropped before
+    # the join; only the genuinely-similar pair remains a candidate.
+    capped = D.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_docs=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, 1)}
