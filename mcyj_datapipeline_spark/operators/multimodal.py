@@ -55,25 +55,57 @@ def _fake_decode_image(content: bytes) -> tuple[int, int, float]:
     return width, height, luma
 
 
+def _pil_decode_image(content: bytes) -> tuple[int, int, float]:
+    """Real decoder via Pillow: (width, height, mean 8-bit luma) from
+    the grayscale histogram — O(1) memory per image after decode."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(content)) as im:
+        g = im.convert("L")
+        w, h = g.size
+        hist = g.histogram()
+        total = sum(v * cnt for v, cnt in enumerate(hist))
+        return w, h, total / (w * h)
+
+
 def extract_image_features(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
     strict: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Decode/feature-extract over binary image column via mapInPandas.
-    One input row → one output row; Arrow batches carry the bytes."""
+    One input row → one output row; Arrow batches carry the bytes.
+
+    Decoder resolution (same injectable seam as U1's pdfplumber):
+    explicit ``decoder`` wins; else Pillow if importable ON THE
+    EXECUTOR (resolved inside the kernel, not the driver — at cluster
+    scale the two environments differ); else the deterministic fake —
+    unless ``strict=True``, which refuses to silently fake and raises
+    ``NotImplementedError`` when no real decoder exists."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = decoder
+        if decode is None:
+            try:
+                import PIL  # noqa: F401
+
+                decode = _pil_decode_image
+            except ImportError:
+                if strict:
+                    raise NotImplementedError(
+                        "strict image decode requires Pillow (or an "
+                        "explicit decoder=) — not in this env"
+                    )
+                decode = _fake_decode_image
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg — not in this env"
-                )
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 content = bytes(content) if content is not None else b""
-                w, h, luma = _fake_decode_image(content)
+                w, h, luma = decode(content)
                 rows.append((int(mid), len(content), w, h, luma))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_bytes", "width", "height", "mean_luma"]

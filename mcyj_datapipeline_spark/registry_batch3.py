@@ -623,7 +623,12 @@ def mm_media_metadata(spark, sf_dir):
     "geometry arithmetically — the Spark-side plumbing under test is real",
 )
 def mm_image_features(spark, sf_dir):
-    feats = MM.extract_image_features(_media_df(spark, sf_dir))
+    # Decoder pinned to the deterministic fake: the media column holds
+    # synthetic (non-image) bytes and the oracle re-derives the fake's
+    # arithmetic, so auto-detecting a real Pillow must not kick in here.
+    feats = MM.extract_image_features(
+        _media_df(spark, sf_dir), decoder=MM._fake_decode_image
+    )
     return feats.select(
         "media_id",
         "n_bytes",

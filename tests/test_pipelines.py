@@ -176,13 +176,17 @@ def test_multimodal_plumbing(spark):
     sniffs = {r["media_id"]: r["format_sniff"] for r in meta.collect()}
     assert sniffs == {1: "jpeg", 2: "png"}
 
-    feats = MM.extract_image_features(df).collect()
+    # Fake decoder pinned: these are synthetic non-image bytes, and a
+    # real Pillow (if this env ever gains one) must not try to decode.
+    feats = MM.extract_image_features(df, decoder=MM._fake_decode_image).collect()
     assert {f["media_id"] for f in feats} == {1, 2}
     assert all(f["width"] >= 16 for f in feats)
 
     frames = MM.sample_frames(df, every_n=2).collect()
     assert len(frames) > 2  # 1:N fan-out
     with pytest.raises(Exception):
+        # strict + junk bytes: NotImplementedError without Pillow, a
+        # decode error with it — either way no silent fake.
         MM.extract_image_features(df, strict=True).collect()
 
 

@@ -1,0 +1,151 @@
+"""Real-decoder integration tests for the injectable kernel seams
+(U1 pdfplumber, multimodal Pillow). This container has neither library,
+so these SKIP here — they exist to prove the seams work unmodified the
+moment an environment provides the real decoders. The fixtures are
+hand-rolled valid files (a minimal one-page PDF with a correct xref, a
+zlib-only grayscale PNG) so no generator library is needed either."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+
+def _minimal_pdf(text: str = "Hello Spark Engine") -> bytes:
+    """A syntactically complete one-page PDF (header, 5 objects, xref,
+    trailer) whose page stream draws ``text`` with the built-in
+    Helvetica — enough for pdfminer/pdfplumber to extract it."""
+    stream = f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode()
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length "
+        + str(len(stream)).encode()
+        + b" >>\nstream\n"
+        + stream
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _minimal_png(width: int = 8, height: int = 4) -> tuple[bytes, float]:
+    """An 8-bit grayscale PNG built with zlib + struct only. Pixel at
+    (row r, col c) has value 10*r + c, so the expected mean luma is
+    exact. Returns (png_bytes, mean_luma)."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    total = 0
+    for r in range(height):
+        raw += b"\x00"  # filter type 0 (None) per scanline
+        for c in range(width):
+            v = 10 * r + c
+            raw += bytes([v])
+            total += v
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    return png, total / (width * height)
+
+
+def test_u1_with_real_pdfplumber(spark):
+    """U1 end-to-end through the DEFAULT decoder resolution: with
+    pdfplumber importable, extract_pdf_text must pick the real kernel
+    (no extractor= injection) and return the actual page text."""
+    pytest.importorskip("pdfplumber")
+    from mcyj_datapipeline_spark.operators.procedural import extract_pdf_text
+
+    pdf = _minimal_pdf("Hello Spark Engine")
+    df = spark.createDataFrame([("sha-1", bytearray(pdf))], ["sha256", "content"])
+    rows = extract_pdf_text(df).collect()
+    assert len(rows) == 1
+    pages = rows[0]["text"]
+    assert len(pages) == 1
+    assert "Hello Spark Engine" in pages[0]
+
+
+def test_image_features_with_real_pillow(spark):
+    """Strict mode must resolve to the real Pillow decoder and produce
+    exact geometry + mean luma for a known grayscale PNG."""
+    pytest.importorskip("PIL")
+    from mcyj_datapipeline_spark.operators import multimodal as MM
+
+    png, expected_luma = _minimal_png(8, 4)
+    df = spark.createDataFrame([(1, bytearray(png))], ["media_id", "content"])
+    rows = MM.extract_image_features(df, strict=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (8, 4)
+    assert abs(r["mean_luma"] - expected_luma) < 1e-9
+
+
+def test_fixtures_are_wellformed():
+    """The fixtures themselves must stay structurally sound even where
+    the decoders are absent (this always runs): PDF has header, xref,
+    and trailer; PNG chunk CRCs verify."""
+    pdf = _minimal_pdf()
+    assert pdf.startswith(b"%PDF-1.4")
+    assert b"xref" in pdf and b"%%EOF" in pdf
+    start = int(pdf.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    assert pdf[start : start + 4] == b"xref"
+
+    png, luma = _minimal_png(8, 4)
+    assert png.startswith(b"\x89PNG")
+    pos = 8
+    tags = []
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        payload = png[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", png[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        tags.append(tag)
+        pos += 12 + ln
+    assert tags == [b"IHDR", b"IDAT", b"IEND"]
+    # Decompressed scanlines: height*(1+width) bytes, filter 0 rows.
+    ihdr = png[16:29]
+    w, h = struct.unpack(">II", ihdr[:8])
+    raw = zlib.decompress(_idat_payload(png))
+    assert len(raw) == h * (1 + w)
+    assert luma == sum(b for i, b in enumerate(raw) if i % (w + 1) != 0) / (w * h)
+
+
+def _idat_payload(png: bytes) -> bytes:
+    pos = 8
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            return png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raise AssertionError("no IDAT")
