@@ -2868,3 +2868,106 @@ def j17_null_safe_join(spark, sf_dir):
         "n_all",
         "n_f",
     )
+
+
+@register(
+    "sql2_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "SQL surface: TPC-H Q1 pricing summary submitted through spark.sql "
+    "— the aggregate path of the SQL entry (partial aggregation map-side, "
+    "one shuffle on the 2-column group key), twin of the DataFrame-API "
+    "a01_pricing_summary",
+)
+def sql2_pricing_summary(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql2_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM sql2_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "sql3_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    "SQL surface: GROUPING SETS through spark.sql — detail, per-status "
+    "subtotal, and grand total in ONE pass (Spark plans an Expand node: "
+    "each input row fans out once per grouping set, then a single "
+    "aggregate shuffle — no N-pass union of separate groupBys)",
+)
+def sql3_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sql3_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM sql3_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "sql4_window_top_customers",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey,
+             round(sum(o_totalprice), 2) AS revenue,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY round(sum(o_totalprice), 2) DESC,
+                                   c_custkey) AS rnk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, c_custkey
+    ) WHERE rnk <= 3
+    """,
+    "SQL surface: aggregate + ranked window through spark.sql — top-3 "
+    "customers by revenue per market segment. Window is PARTITIONED by "
+    "segment (parallel per-partition sort, never a single-reducer global "
+    "sort); rank over the aggregate needs no second shuffle when the "
+    "grouping already co-located the segment",
+)
+def sql4_window_top_customers(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sql4_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sql4_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT c_mktsegment, c_custkey,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 rank() OVER (PARTITION BY c_mktsegment
+                              ORDER BY round(sum(o_totalprice), 2) DESC,
+                                       c_custkey) AS rnk
+          FROM sql4_customer JOIN sql4_orders ON c_custkey = o_custkey
+          GROUP BY c_mktsegment, c_custkey
+        ) WHERE rnk <= 3
+        """
+    )

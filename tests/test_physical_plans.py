@@ -226,3 +226,22 @@ def test_salvage_python_udf_only_on_failed_rows(spark, sf_dir):
     # fast-path parse result.
     python_branch = plan.split("EvalPython")[1]
     assert "isnull" in python_branch
+
+
+def test_sql_grouping_sets_uses_expand(spark, sf_dir):
+    """sql3: GROUPING SETS must plan ONE Expand + one aggregate shuffle,
+    not a union of per-grouping-set scans (one pass over orders)."""
+    plan = plan_of(spark, sf_dir, "sql3_grouping_sets")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_sql_window_is_partitioned(spark, sf_dir):
+    """sql4: the rank window must be hash-partitioned by segment — a
+    parallel per-partition sort, never the single-reducer global sort
+    Spark falls back to when no PARTITION BY is given."""
+    plan = plan_of(spark, sf_dir, "sql4_window_top_customers")
+    assert "Window" in plan
+    assert "hashpartitioning(c_mktsegment" in plan
+    assert "SinglePartition" not in plan
