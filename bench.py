@@ -62,23 +62,30 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # Two passes per query: pass 1 is cold (plan + codegen + execute —
-    # the honest end-to-end number and the reported headline), pass 2 is
-    # warm (codegen cached — the steady-state per-query cost, reported
-    # alongside because the host VM shows multi-x CPU variance and the
-    # warm number is the stabler signal of plan quality).
+    # Pass 1 per query is cold (plan + codegen + execute — the honest
+    # end-to-end number and the reported headline). Then WARM_REPS more
+    # executions: the host VM shows multi-x CPU-contention variance, so
+    # a single warm run is noise — queries_warm reports the MIN of the
+    # reps (the stable plan-quality signal) and queries_warm_spread the
+    # max−min across them (how noisy this particular run was).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_spread: dict[str, float] = {}
+    warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     for name in HEADLINE:
         start = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - start, 3)
-        start = time.monotonic()
-        qs[name](spark, sf_dir).count()
-        warm[name] = round(time.monotonic() - start, 3)
+        reps = []
+        for _ in range(warm_reps):
+            start = time.monotonic()
+            qs[name](spark, sf_dir).count()
+            reps.append(time.monotonic() - start)
+        warm[name] = round(min(reps), 3)
+        warm_spread[name] = round(max(reps) - min(reps), 3)
         print(
-            f"# {name}: cold {timings[name]:.3f}s / warm {warm[name]:.3f}s"
-            f" ({n} rows)",
+            f"# {name}: cold {timings[name]:.3f}s / warm min {warm[name]:.3f}s"
+            f" spread {warm_spread[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
 
@@ -91,6 +98,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "queries_warm_spread": warm_spread,
+                "warm_reps": warm_reps,
                 "total_warm": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
