@@ -430,6 +430,8 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    jump_after: int = 6,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over a candidate
     -pair edge list (e.g. :func:`minhash_lsh_pairs` output), by iterative
@@ -439,12 +441,24 @@ def connected_components(
     Each iteration is ONE shuffle join (labels against the undirected
     edge list) + a groupBy-min, and converges in O(max cluster diameter)
     rounds — near-dup clusters are shallow (usually <= 3-4 hops), so a
-    handful of rounds suffice even at 100 TB. ``localCheckpoint`` after
-    every round truncates lineage so plan size stays constant; on a real
-    cluster use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint``
-    for fault-tolerant truncation instead. The alternating-star
-    (large-star/small-star) variant halves round count on deep graphs if
-    profiling ever shows diameter is the bottleneck.
+    handful of rounds suffice even at 100 TB.
+
+    Deep-graph valve: plain propagation moves the min label ONE hop per
+    round, so a pathological chain (diameter ≫ rounds) would dominate.
+    If convergence hasn't happened after ``jump_after`` rounds, each
+    subsequent round adds a pointer-jumping step — ``comp ← comp[comp]``
+    via one extra self-join on the (node, comp) relation — which doubles
+    the propagated distance per round (O(log diameter) to converge, the
+    same acceleration the alternating large-star/small-star scheme
+    gets). The invariants that make it safe: comp(x) ≤ x always, and
+    comp(x) is always a member of x's component, so the fixpoint
+    (neighbor-min changes nothing) is the component minimum either way.
+
+    ``localCheckpoint`` after every round truncates lineage so plan size
+    stays constant; on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    fault-tolerant truncation instead. ``_stats`` (tests/profiling)
+    receives {"rounds": n} when provided.
     """
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -460,31 +474,44 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iters):
+    rounds = 0
+    for i in range(max_iters):
         # candidate label for each node = min over neighbors' current comp
         nbr = (
             und.join(labels, und["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # lazy checkpoint: the convergence count below materializes it,
-        # so each round costs ONE job instead of checkpoint + count
-        upd = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
-            .select(
+        upd = labels.join(nbr, labels["node"] == nbr["u"], "left").select(
+            "node",
+            "comp",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("new_comp"),
+        )
+        if i >= jump_after:
+            # pointer jump on THIS round's labels: comp ← comp[comp]
+            ptr = upd.select(
+                F.col("node").alias("p_node"), F.col("new_comp").alias("p_comp")
+            )
+            upd = upd.join(
+                ptr, upd["new_comp"] == ptr["p_node"], "left"
+            ).select(
                 "node",
                 "comp",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("new_comp"),
+                F.coalesce("p_comp", F.col("new_comp")).alias("new_comp"),
             )
-            .localCheckpoint(eager=False)
-        )
+        # lazy checkpoint: the convergence count below materializes it,
+        # so each round costs ONE job instead of checkpoint + count
+        upd = upd.localCheckpoint(eager=False)
         n_changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
         labels = upd.select("node", F.col("new_comp").alias("comp"))
+        rounds = i + 1
         if n_changed == 0:
             break
 
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

@@ -296,3 +296,33 @@ def test_ngram_jaccard_shingle_cap_bounds_fanout(spark):
     capped = D.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_docs=5)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(0, 1)}
+
+
+def test_cc_pointer_jump_converges_fast_on_deep_chain(spark):
+    """A 200-node chain has diameter 199: plain one-hop min-label
+    propagation would need ~199 rounds (more than max_iters). With
+    pointer jumping engaged after round 6, propagation distance doubles
+    per round, so the whole chain must collapse to component 0 within
+    ~6 + log2(200) rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["id_a", "id_b"]
+    )
+    stats = {}
+    out = D.connected_components(edges, max_iters=30, _stats=stats)
+    comps = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(comps) == 200
+    assert set(comps.values()) == {0}  # one component, labeled by min id
+    assert stats["rounds"] <= 20  # far fewer than the 199 diameter
+
+
+def test_cc_shallow_graph_unaffected_by_jump_valve(spark):
+    """Two shallow clusters + an isolated pair: identical output to the
+    pre-valve behavior, converging before the jump threshold."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], ["id_a", "id_b"]
+    )
+    stats = {}
+    out = D.connected_components(edges, _stats=stats)
+    comps = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert stats["rounds"] <= 4
