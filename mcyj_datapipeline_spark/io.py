@@ -76,17 +76,51 @@ def read_csv(
     return reader.csv(path)
 
 
+def _ci_glob(glob: str) -> str:
+    """Case-insensitivize a plain glob (``*``/``?``/literals) by turning
+    each letter into a two-char class: ``report_*.pdf`` →
+    ``[rR][eE]...*.[pP][dD][fF]``. Pre-existing ``[]`` classes are not
+    supported (the whole point is to generate them)."""
+    return "".join(
+        f"[{ch.lower()}{ch.upper()}]" if ch.isalpha() else ch for ch in glob
+    )
+
+
+def _glob_regex(glob: str) -> str:
+    """Translate a plain glob into an anchored case-insensitive Java
+    regex for the filename."""
+    import re
+
+    parts = []
+    for ch in glob:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "(?i)^" + "".join(parts) + "$"
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
     """S5: binary/PDF directory scan → (path, modificationTime, length,
-    content). Reference: ``extract_pdf_text.py:147,185``. The case-insensitive
-    ``*.pdf``+``*.PDF`` double-glob becomes one post-scan predicate."""
+    content). Reference: ``extract_pdf_text.py:147,185``. The reference's
+    case-insensitive ``*.pdf``+``*.PDF`` double-glob generalizes to any
+    plain glob (``*``, ``?``, literals — e.g. ``report_*.pdf``), matched
+    case-insensitively.
+
+    Two layers, same predicate: a case-insensitivized ``pathGlobFilter``
+    prunes at FILE LISTING time — binaryFile scans materialize content,
+    so skipping a non-matching file at listing saves reading its bytes
+    entirely — and an anchored filename regex re-checks post-scan (the
+    guarantee, and the part Catalyst can reason about)."""
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*")
+        .option("pathGlobFilter", _ci_glob(glob))
         .load(path)
     )
-    suffix = glob.lstrip("*").lower()
-    return df.filter(F.lower(F.col("path")).endswith(suffix))
+    filename = F.element_at(F.split(F.col("path"), "/"), -1)
+    return df.filter(filename.rlike(_glob_regex(glob)))
 
 
 def from_api_rows(

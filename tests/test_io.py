@@ -188,3 +188,32 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     a = {r.id for r in spark.read.parquet(src).collect()}
     b = {r.id for r in spark.read.parquet(dst).collect()}
     assert a == b == set(range(80))
+
+
+def test_binary_scan_arbitrary_glob(spark, tmp_path):
+    """A glob with a literal prefix ('report_*.pdf') must match only
+    that prefix — case-insensitively on both prefix and extension —
+    and the listing-time pathGlobFilter must agree with the post-scan
+    regex (a file excluded by one must be excluded by the other)."""
+    (tmp_path / "report_1.pdf").write_bytes(b"%PDF-1")
+    (tmp_path / "REPORT_2.PDF").write_bytes(b"%PDF-2")
+    (tmp_path / "summary_3.pdf").write_bytes(b"%PDF-3")
+    (tmp_path / "myreport_4.pdf").write_bytes(b"%PDF-4")  # prefix anchored
+    (tmp_path / "report_5.txt").write_bytes(b"nope")
+    got = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in MIO.read_binary_files(
+            spark, str(tmp_path), glob="report_*.pdf"
+        ).collect()
+    }
+    assert got == {"report_1.pdf", "REPORT_2.PDF"}
+
+
+def test_binary_scan_question_mark_glob(spark, tmp_path):
+    (tmp_path / "v1.bin").write_bytes(b"a")
+    (tmp_path / "v22.bin").write_bytes(b"b")
+    got = {
+        r["path"].rsplit("/", 1)[-1]
+        for r in MIO.read_binary_files(spark, str(tmp_path), glob="v?.bin").collect()
+    }
+    assert got == {"v1.bin"}
