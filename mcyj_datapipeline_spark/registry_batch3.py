@@ -2971,3 +2971,170 @@ def sql4_window_top_customers(spark, sf_dir):
         ) WHERE rnk <= 3
         """
     )
+
+
+# ===========================================================================
+# Round 2 training-data additions: sequence chunking, balanced sampling,
+# embedding quantization, entropy quality signal, vocabulary coverage
+# ===========================================================================
+
+
+@register(
+    "text_chunk_windows",
+    """
+    SELECT doc_id, chunk_idx,
+           array_to_string(w[(chunk_idx*8)+1:(chunk_idx*8)+16], ' ') AS chunk,
+           len(w[(chunk_idx*8)+1:(chunk_idx*8)+16]) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         LATERAL (SELECT unnest(generate_series(
+             0, greatest(0, (len(w) - 16 + 7) // 8))) AS chunk_idx)
+    """,
+    "Training-sequence prep: sliding-window chunking (16-token windows, "
+    "stride 8) — tokenize once, sequence+explode+slice all inside "
+    "codegen, text never re-tokenized per chunk",
+)
+def text_chunk_windows(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TA.chunk_documents(docs, chunk_size=16, stride=8)
+
+
+@register(
+    "o9_sample_n_per_key",
+    """
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) <= 5
+    """,
+    "O7 flavor, balanced: deterministic n-per-key sampling by md5-hash "
+    "order — caps a dominant source so one crawl domain cannot swamp "
+    "the training mixture; md5 is engine-portable (reproducible across "
+    "Spark, DuckDB, anything)",
+)
+def o9_sample_n_per_key(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sampling import sample_n_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_n_per_key(docs, "source", 5, "doc_id")
+
+
+@register(
+    "v2_embedding_quantization",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(e, x -> x*x))), 5) AS l2,
+           round(scale, 5) AS scale,
+           round(list_sum(list_transform(
+               e, x -> abs(x - round(x*scale)/scale))) / len(e), 6
+           ) AS mean_abs_err
+    FROM (
+      SELECT vec_id, e,
+             CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+            FROM embeddings)
+    )
+    """,
+    "Embedding int8 quantization round trip: symmetric scale = "
+    "127/max|x|, mean |x - dequant(quant(x))| per vector — 4x smaller "
+    "storage/shuffle payload for ~0.3% error; quantize at ingest, "
+    "dequantize only at scoring",
+)
+def v2_embedding_quantization(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import (
+        dequantize_int8,
+        norm,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.withColumn("qs", quantize_int8(F.col("e")))
+    deq = dequantize_int8(F.col("qs"))
+    err = F.aggregate(
+        F.zip_with(F.col("e"), deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("e")
+    return q.select(
+        "vec_id",
+        F.round(norm(F.col("e")), 5).alias("l2"),
+        F.round(F.col("qs.scale"), 5).alias("scale"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch,
+             len(regexp_split_to_array(text, '')) AS n
+      FROM documents WHERE doc_id < 500
+    ), hist AS (
+      SELECT doc_id, ch, any_value(n) AS n, count(*)::DOUBLE AS c
+      FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id, round(-sum((c/n) * log2(c/n)), 6) + 0.0 AS entropy
+    FROM hist GROUP BY doc_id
+    """,
+    "Quality signal: per-document character-level Shannon entropy "
+    "(bits/char) — the cheap perplexity proxy; binary junk and "
+    "repeated-char spam score low. Map-side aggregate over the char "
+    "histogram, no per-character shuffle",
+)
+def text_char_entropy(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+    return docs.select(
+        "doc_id",
+        (F.round(TA.char_entropy(F.col("text")), 6) + F.lit(0.0)).alias(
+            "entropy"
+        ),
+    )
+
+
+@register(
+    "text_vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), top AS (
+      SELECT c FROM counts ORDER BY c DESC, tok LIMIT 100
+    )
+    SELECT (SELECT count(*) FROM counts) AS vocab_size,
+           (SELECT sum(c) FROM counts)::BIGINT AS total_tokens,
+           round((SELECT sum(c) FROM top)::DOUBLE /
+                 (SELECT sum(c) FROM counts), 6) AS coverage_top100
+    """,
+    "Vocabulary coverage: fraction of all token occurrences covered by "
+    "the 100 most frequent tokens. Scale-safe shape: token counts via "
+    "one explode+groupBy, top-100 via TakeOrderedAndProject (never a "
+    "global sort or unpartitioned window), scalar cross join at the end",
+)
+def text_vocab_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(100).agg(
+        F.sum("c").alias("top_c")
+    )
+    return totals.crossJoin(top).select(
+        "vocab_size",
+        "total_tokens",
+        F.round(F.col("top_c").cast("double") / F.col("total_tokens"), 6).alias(
+            "coverage_top100"
+        ),
+    )

@@ -326,3 +326,30 @@ def test_cc_shallow_graph_unaffected_by_jump_valve(spark):
     comps = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
     assert stats["rounds"] <= 4
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "e"],
+    )
+    out = df.select(
+        "vec_id",
+        S.dequantize_int8(S.quantize_int8(F.col("e"))).alias("deq"),
+        "e",
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # Max quantization error for symmetric int8 is max_abs/254.
+    errs = [
+        abs(a - b) for a, b in zip(by_id[1]["e"], by_id[1]["deq"])
+    ]
+    assert max(errs) <= 0.5 / 254 + 1e-12
+    assert by_id[2]["deq"] == [0.0, 0.0, 0.0, 0.0]  # zero vector stable
+
+
+def test_l2_normalize_unit_norm(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["i", "e"])
+    rows = {r["i"]: r["n"] for r in df.select(
+        "i", S.norm(S.l2_normalize(F.col("e"))).alias("n")).collect()}
+    assert abs(rows[1] - 1.0) < 1e-12
+    assert rows[2] == 0.0  # zero vector passes through

@@ -86,3 +86,40 @@ def test_plan_is_single_stage_no_shuffle(docs_df):
     _, df = docs_df
     plan = document_info(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_windows_and_final_partial(spark):
+    from mcyj_datapipeline_spark.operators.text_analysis import chunk_documents
+
+    doc = " ".join(f"t{i}" for i in range(20))  # 20 tokens
+    df = spark.createDataFrame([(1, doc), (2, "a b")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_size=8, stride=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # ceil((20-8)/4)=3 strides -> chunk_idx 0..3
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk"].split() == [f"t{i}" for i in range(8)]
+    assert d1[1]["chunk"].split() == [f"t{i}" for i in range(4, 12)]
+    assert d1[3]["chunk"].split() == [f"t{i}" for i in range(12, 20)]
+    assert all(r["n_tokens"] == 8 for r in d1)
+    # Short doc: single truncated window.
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0]["chunk"] == "a b" and d2[0]["n_tokens"] == 2
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from mcyj_datapipeline_spark.operators.text_analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["i", "t"]
+    )
+    got = {r["i"]: r["h"] for r in df.select(
+        "i", char_entropy(F.col("t")).alias("h")).collect()}
+    assert got[1] == 0.0          # single symbol: zero entropy
+    assert abs(got[2] - 1.0) < 1e-12   # two symbols 50/50: 1 bit
+    assert abs(got[3] - 2.0) < 1e-12   # four equiprobable: 2 bits
+    assert math.isfinite(got[1])
