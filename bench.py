@@ -44,6 +44,9 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "e5_token_shard_packing",
     "w4_rolling_range_sum",
+    "e6_dedup_corpus_rewrite",
+    "text_chunk_windows",
+    "v2_embedding_quantization",
 ]
 
 

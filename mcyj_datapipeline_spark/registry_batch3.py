@@ -3138,3 +3138,58 @@ def text_vocab_coverage(spark, sf_dir):
             "coverage_top100"
         ),
     )
+
+
+@register(
+    "e6_dedup_corpus_rewrite",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a, id_b FROM ({_mh_sql()})
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ), walk(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, walk.comp FROM walk JOIN und ON und.u = walk.node
+    ), clusters AS (
+      SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS n_members
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT d.doc_id, d.source,
+           coalesce(s.n_members, 1) AS n_members
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id
+    WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+    """,
+    "E6 end-to-end corpus dedup-rewrite: MinHash-LSH candidate pairs -> "
+    "connected components -> keep ONLY each cluster's canonical (min-id) "
+    "doc, annotated with how many near-dups it absorbed. The full "
+    "training-corpus dedup pass: every stage is the bucketed/banded "
+    "shape (no all-pairs anywhere), the final rewrite is a left join + "
+    "canonical filter on the cluster map, which is tiny relative to the "
+    "corpus (only docs that HAD a near-dup appear in it)",
+)
+def e6_dedup_corpus_rewrite(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _D4.minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    clusters = _D4.connected_components(pairs, "id_a", "id_b")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(clusters.withColumnRenamed("cluster_id", "_cl"), "doc_id", "left")
+        .withColumn("_cl", F.coalesce(F.col("_cl"), F.col("doc_id")))
+        .filter(F.col("doc_id") == F.col("_cl"))
+        .join(sizes, F.col("_cl") == sizes["cluster_id"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_members", F.lit(1)).alias("n_members"),
+        )
+    )
