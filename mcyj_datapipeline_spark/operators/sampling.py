@@ -97,3 +97,37 @@ def sample_n_per_key(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    targets: dict[str, float],
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Domain/language mixture rebalancing: downsample strata so the
+    output's proportions match ``targets`` (e.g. en 0.4, zh 0.2, ...),
+    producing the LARGEST such corpus without upsampling anything —
+    output size = min over strata of count_s / target_s; stratum s
+    keeps rate_s = (that minimum × target_s) / count_s.
+
+    One tiny aggregate collect (one row per stratum — never data-
+    sized), then a pure map-side hash filter: no shuffle of the corpus,
+    deterministic across runs/partitionings/engines. Strata absent from
+    ``targets`` are dropped (target share 0). Cutoffs stay floating
+    (bucket < rate·n_buckets) so the SQL oracle reproduces them exactly
+    without integer-rounding divergence."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum).agg(F.count(F.lit(1))).collect()
+        if r[0] in targets
+    }
+    n_out = min(counts[s] / t for s, t in targets.items() if t > 0)
+    cutoff = F.lit(-1.0)  # unknown strata: bucket < -1 never holds
+    for s, t in sorted(targets.items()):
+        rate = min(1.0, (n_out * t) / counts[s])
+        cutoff = F.when(
+            F.col(stratum) == s, F.lit(rate * n_buckets)
+        ).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(key), n_buckets) < cutoff)

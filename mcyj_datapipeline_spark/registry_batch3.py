@@ -3193,3 +3193,40 @@ def e6_dedup_corpus_rewrite(spark, sf_dir):
             F.coalesce("n_members", F.lit(1)).alias("n_members"),
         )
     )
+
+
+@register(
+    "o10_mixture_resample",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang
+    ), tgt(lang, t) AS (
+      SELECT * FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+                            ('de', 0.1), ('fr', 0.1))
+    ), j AS (
+      SELECT counts.lang, c, t FROM counts JOIN tgt ON counts.lang = tgt.lang
+    ), n AS (
+      SELECT min(c / t) AS n_out FROM j
+    ), rates AS (
+      SELECT lang, least(1.0, (n_out * t) / c) AS rate FROM j, n
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE {_h60("d.doc_id::VARCHAR")} % 10000 < r.rate * 10000
+    """,
+    "O7/training-mixture form: rebalance the corpus to target language "
+    "proportions (en .4 / zh .2 / es .2 / de .1 / fr .1) — the largest "
+    "output with those shares, no upsampling. Per-stratum counts are a "
+    "stratum-sized collect; the resample itself is a map-side "
+    "deterministic hash filter, zero corpus shuffle",
+)
+def o10_mixture_resample(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sampling import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_resample(
+        docs,
+        "lang",
+        "doc_id",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+    )

@@ -353,3 +353,23 @@ def test_l2_normalize_unit_norm(spark):
         "i", S.norm(S.l2_normalize(F.col("e"))).alias("n")).collect()}
     assert abs(rows[1] - 1.0) < 1e-12
     assert rows[2] == 0.0  # zero vector passes through
+
+
+def test_mixture_resample_hits_target_shares(spark):
+    """Rebalancing a 80/20 corpus to 50/50 must produce (approximately)
+    equal shares, sized by the scarce stratum, with zero upsampling."""
+    from mcyj_datapipeline_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_resample(df, "lang", "doc_id", {"big": 0.5, "small": 0.5})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # n_out = min(800/.5, 200/.5) = 400 -> ~200 per stratum.
+    assert counts["small"] == 200          # rate 1.0: all kept
+    assert abs(counts["big"] - 200) < 40   # hash-sampled ~25% of 800
+    # Deterministic: same input -> same rows.
+    again = mixture_resample(df, "lang", "doc_id", {"big": 0.5, "small": 0.5})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
