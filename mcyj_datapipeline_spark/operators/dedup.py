@@ -554,3 +554,75 @@ def ngram_contamination(
         )
         .filter(F.col("n_collisions") >= min_collisions)
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup screening: candidate pairs between a NEW
+    batch and the EXISTING corpus only — the production shape for a
+    growing corpus, where re-running the full self-join over 100 TB per
+    ingest batch is the thing to avoid. Returns (new_id, existing_id,
+    jaccard) with true Jaccard ≥ threshold.
+
+    The banded join is new-bands ⋈ existing-bands (never existing ⋈
+    existing, which was already screened when those docs arrived), so
+    per-batch cost is |batch| × bucket-collision-rate, independent of
+    corpus size except through bucket width. At cluster scale the
+    existing side's (id, shingles, signature) relation is PERSISTED —
+    computed once per doc at ingest (exactly what
+    :func:`minhash_signatures` produces; store it partitioned by band
+    key) — and only the new batch is sketched fresh. ``max_bucket_size``
+    caps boilerplate buckets as in :func:`minhash_lsh_pairs`, measured
+    on the existing side (the accumulating one)."""
+    sig_new = minhash_signatures(new_df, text_col, id_col, n).persist()
+    sig_old = minhash_signatures(existing_df, text_col, id_col, n).persist()
+    bands_new = lsh_bands(sig_new, id_col).select(
+        "band", "band_key", F.col(id_col).alias("new_id")
+    )
+    bands_old = lsh_bands(sig_old, id_col).select(
+        "band", "band_key", F.col(id_col).alias("existing_id")
+    )
+    if max_bucket_size is not None:
+        sizes = bands_old.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bands_old = (
+            bands_old.join(sizes, on=["band", "band_key"])
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    candidates = (
+        bands_new.join(bands_old, on=["band", "band_key"])
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            sig_new.select(
+                F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
+            ),
+            on="new_id",
+        )
+        .join(
+            sig_old.select(
+                F.col(id_col).alias("existing_id"),
+                F.col("shingles").alias("sh_e"),
+            ),
+            on="existing_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_e"))
+            / F.size(F.array_union("sh_n", "sh_e")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "existing_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified

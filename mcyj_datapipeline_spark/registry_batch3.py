@@ -3230,3 +3230,27 @@ def o10_mixture_resample(spark, sf_dir):
         "doc_id",
         {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    SELECT id_b AS new_id, id_a AS existing_id, jaccard
+    FROM ({_mh_sql()})
+    WHERE id_a < 400 AND id_b >= 400
+    """,
+    "Incremental near-dup screening: NEW batch (doc_id >= 400) banded "
+    "against the EXISTING corpus (doc_id < 400) only — never existing x "
+    "existing, which was screened when those docs arrived. Per-batch "
+    "cost is batch-sized, not corpus-sized; at scale the existing side's "
+    "signature relation is persisted, not recomputed (oracle: the full "
+    "pair set restricted to cross-side pairs — identical by "
+    "construction, since signatures are per-doc)",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _D4.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        jaccard_threshold=0.8,
+    )

@@ -373,3 +373,20 @@ def test_mixture_resample_hits_target_shares(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_incremental_minhash_finds_cross_side_dup_only(corpus):
+    """Screening a 'new batch' against the existing corpus must find
+    near-dups that cross the boundary and must NOT report pairs inside
+    either side (those were screened at their own ingest)."""
+    new = corpus.filter(F.col("doc_id") >= 100)   # docs 100, 101
+    old = corpus.filter(F.col("doc_id") < 100)    # docs 0..39
+    pairs = {
+        (r["new_id"], r["existing_id"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs_incremental(
+            new, old, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert pairs[(100, 0)] == 1.0          # exact copy of doc 0
+    assert 0.8 <= pairs[(101, 1)] < 1.0    # near dup of doc 1
+    assert set(pairs) == {(100, 0), (101, 1)}
