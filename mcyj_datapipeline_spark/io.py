@@ -215,3 +215,26 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """K3 at scale: range-clustered parquet layout for data skipping.
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives each output
+    file a DISJOINT min/max range on the cluster columns, so a reader's
+    range predicate prunes whole files from the parquet footer stats
+    (row-group min/max) before any IO — the poor man's Z-order, and the
+    single highest-leverage layout decision for a 100 TB time- or
+    key-range-queried table. One range-exchange shuffle at write time
+    buys every future scan its pruning."""
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

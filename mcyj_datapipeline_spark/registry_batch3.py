@@ -3254,3 +3254,93 @@ def dedup_incremental_minhash(spark, sf_dir):
         docs.filter(F.col("doc_id") < 400),
         jaccard_threshold=0.8,
     )
+
+
+@register(
+    "o11_range_clustered_write",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1995-04-01'
+    GROUP BY l_returnflag
+    """,
+    "K3 scale layout: range-clustered parquet write (repartitionByRange "
+    "+ sortWithinPartitions on l_shipdate) + read-back with a date-range "
+    "predicate — each file owns a disjoint shipdate range, so the footer "
+    "min/max stats prune non-overlapping files before any IO (verified "
+    "structurally in test_range_clustered_files_disjoint)",
+)
+def o11_range_clustered_write(spark, sf_dir):
+    import tempfile
+
+    from mcyj_datapipeline_spark.io import write_range_clustered
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="mcyj_rangecluster_")
+    write_range_clustered(li, out, ["l_shipdate"], n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "dq1_expectations_report",
+    """
+    SELECT 'o_nonpositive_price' AS rule,
+           (count(*) FILTER (o_totalprice <= 0))::BIGINT AS n_violations,
+           count(*)::BIGINT AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'o_null_date',
+           (count(*) FILTER (o_orderdate IS NULL))::BIGINT, count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'o_bad_status',
+           (count(*) FILTER (o_orderstatus NOT IN ('F','O','P')))::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'o_orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT
+    """,
+    "DQ expectations audit: null/range/set-membership rules collapse "
+    "into ONE aggregate pass over orders (conditional counts, no "
+    "per-rule scans); the referential rule is an anti-join that "
+    "shuffles keys only. The report a pipeline runs before promoting "
+    "a batch",
+)
+def dq1_expectations_report(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.quality import (
+        expectations_report,
+        referential_violations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    row_rules = expectations_report(
+        orders,
+        [
+            ("o_nonpositive_price", F.col("o_totalprice") <= 0),
+            ("o_null_date", F.col("o_orderdate").isNull()),
+            ("o_bad_status", ~F.col("o_orderstatus").isin("F", "O", "P")),
+        ],
+    )
+    ref_rule = referential_violations(
+        orders, customer, "o_custkey", "c_custkey", "o_orphan_custkey"
+    )
+    return row_rules.unionByName(ref_rule)

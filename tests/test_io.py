@@ -217,3 +217,32 @@ def test_binary_scan_question_mark_glob(spark, tmp_path):
         for r in MIO.read_binary_files(spark, str(tmp_path), glob="v?.bin").collect()
     }
     assert got == {"v1.bin"}
+
+
+def test_range_clustered_files_disjoint(spark, sf_dir):
+    """write_range_clustered must give each parquet file a disjoint
+    min/max range on the cluster column — THAT is what lets a range
+    predicate prune whole files from footer stats before any IO."""
+    import glob as globmod
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    li = MIO.read_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="rangecluster_test_")
+    MIO.write_range_clustered(li, out, ["l_shipdate"], n_files=4)
+    ranges = []
+    for f in globmod.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_shipdate
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3  # range partitioner used the file budget
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary touch allowed)

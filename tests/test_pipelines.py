@@ -290,3 +290,31 @@ def test_bucketed_state_merge_leaves_untouched_partitions_alone(spark, tmp_path)
     got = {r["id"]: (r["sha"], r["path"]) for r in merged.collect()}
     assert got["k3"] == ("sha3", "new-path")  # coalesce kept sha, added path
     assert len(got) == 64
+
+
+def test_dq_expectations_count_violations(spark):
+    from mcyj_datapipeline_spark.operators.quality import (
+        expectations_report,
+        referential_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (9, 0.0)], ["k", "price"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    rows = expectations_report(
+        child,
+        [
+            ("nonpositive_price", F.col("price") <= 0),
+            ("null_price", F.col("price").isNull()),
+        ],
+    ).collect()
+    got = {r["rule"]: (r["n_violations"], r["n_rows"]) for r in rows}
+    # NULL <= 0 is NULL -> not a violation of the range rule (it has
+    # its own rule), exactly like SQL FILTER semantics.
+    assert got == {"nonpositive_price": (2, 4), "null_price": (1, 4)}
+
+    ref = referential_violations(child, parent, "k", "pk", "orphans").collect()
+    assert [(r["rule"], r["n_violations"], r["n_rows"]) for r in ref] == [
+        ("orphans", 1, 4)
+    ]
