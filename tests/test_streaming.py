@@ -293,3 +293,52 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 2
     assert {r.event_id for r in out.collect()} == {1, 2}
+
+
+def test_stateful_session_stream_event_time_timeout(spark, tmp_path):
+    """Gap sessions via arbitrary state + EventTimeTimeout: a session is
+    emitted exactly once, when the watermark passes its end + gap;
+    still-open sessions stay in state (and in the store only — closed
+    ones leave it)."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.streaming.stateful import session_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    D = dt.datetime
+    # User 1: two events 10 min apart (one session). User 2: one event.
+    b1 = [
+        (D(2024, 1, 1, 10, 0), 1, 1.0),
+        (D(2024, 1, 1, 10, 10), 1, 2.0),
+        (D(2024, 1, 1, 10, 5), 2, 5.0),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    session_stream(
+        spark, src, ckpt, out, schema, gap_seconds=1800, watermark="30 minutes"
+    )
+    # Watermark so far: 10:10 - 30m; nothing can have closed yet.
+    assert not [
+        f for f in __import__("os").listdir(out) if f.endswith(".parquet")
+    ] or spark.read.parquet(out).count() == 0
+
+    # A much later event advances the watermark past both sessions'
+    # end+gap (10:40 / 10:35 <= WM 13:30), closing them; user 3's new
+    # session stays open.
+    b2 = [(D(2024, 1, 1, 14, 0), 3, 9.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    session_stream(
+        spark, src, ckpt, out, schema, gap_seconds=1800, watermark="30 minutes"
+    )
+    rows = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}  # user 3 still open -> not emitted
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.0
+    assert rows[1]["session_start"] == D(2024, 1, 1, 10, 0)
+    assert rows[1]["session_end"] == D(2024, 1, 1, 10, 10)
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
