@@ -3344,3 +3344,86 @@ def dq1_expectations_report(spark, sf_dir):
         orders, customer, "o_custkey", "c_custkey", "o_orphan_custkey"
     )
     return row_rules.unionByName(ref_rule)
+
+
+@register(
+    "q1_winsorized_stats",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders
+    )
+    SELECT round(p01, 2) AS p01, round(p99, 2) AS p99,
+           round(avg(least(greatest(o_totalprice, p01), p99)), 4) AS mean_clipped,
+           round(min(least(greatest(o_totalprice, p01), p99)), 2) AS min_clipped,
+           round(max(least(greatest(o_totalprice, p01), p99)), 2) AS max_clipped
+    FROM orders, cuts
+    GROUP BY p01, p99
+    """,
+    "Outlier treatment for numeric quality signals: winsorize to the "
+    "[p1, p99] band. Percentiles are ONE tiny row broadcast back over "
+    "the fact scan (exact here to match the oracle; swap "
+    "percentile -> approx_percentile at 100 TB for a mergeable sketch "
+    "— same plan shape, the scale twin pattern)",
+)
+def q1_winsorized_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.round(F.first("p01"), 2).alias("p01"),
+            F.round(F.first("p99"), 2).alias("p99"),
+            F.round(F.avg(clipped), 4).alias("mean_clipped"),
+            F.round(F.min(clipped), 2).alias("min_clipped"),
+            F.round(F.max(clipped), 2).alias("max_clipped"),
+        )
+    )
+
+
+@register(
+    "dq2_key_skew_report",
+    """
+    WITH counts AS (
+      SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+    ), total AS (
+      SELECT sum(n)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys
+      FROM counts
+    )
+    SELECT o_custkey, n, total_rows,
+           round(n::DOUBLE / total_rows, 6) AS share,
+           round(n::DOUBLE * n_keys / total_rows, 4) AS x_over_uniform
+    FROM (SELECT o_custkey, n FROM counts ORDER BY n DESC, o_custkey LIMIT 10),
+         total
+    """,
+    "Skew diagnostic BEFORE the join bites: the 10 heaviest join keys "
+    "with their share of rows and multiple over a uniform key. "
+    "TakeOrderedAndProject over the counts (never a global sort) + one "
+    "scalar total — the report that tells you which keys need salting "
+    "or AQE skew handling at 100 TB",
+)
+def dq2_key_skew_report(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("n"), "o_custkey").limit(10)
+    return top.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "n",
+        "total_rows",
+        F.round(F.col("n").cast("double") / F.col("total_rows"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("n").cast("double") * F.col("n_keys") / F.col("total_rows"), 4
+        ).alias("x_over_uniform"),
+    )
