@@ -105,3 +105,62 @@ def point_in_interval_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval×interval overlap join (``[l_start,l_end] ∩
+    [r_start,r_end] ≠ ∅``, same key, bounds inclusive) — the
+    generalization of :func:`point_in_interval_join` where BOTH sides
+    are ranges, which the planner would otherwise run as a per-key
+    cross product with an inequality filter.
+
+    Banding: each interval explodes into every fixed-width bucket it
+    overlaps; the equi-join on (key, bucket) finds every overlapping
+    pair (two overlapping intervals share the bucket containing
+    max(l_start, r_start)), then the exact predicate refines and
+    ``dropDuplicates`` collapses multi-bucket double-hits. Shuffle is
+    on (key, bucket); per-bucket density bounds the quadratic term.
+    Pick ``bucket`` near the typical interval length: too small
+    multiplies fan-out rows, too large re-creates per-key density."""
+    try:
+        n, unit = bucket.split()
+        bucket_us = int(n) * {
+            "second": 1_000_000,
+            "seconds": 1_000_000,
+            "minute": 60_000_000,
+            "minutes": 60_000_000,
+            "hour": 3_600_000_000,
+            "hours": 3_600_000_000,
+        }[unit]
+    except (ValueError, KeyError) as exc:
+        raise ValueError(f"unsupported bucket spec: {bucket!r}") from exc
+
+    def bucket_of(col: str):
+        return F.floor(F.unix_micros(F.col(col)) / F.lit(bucket_us))
+
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(bucket_of(l_start), bucket_of(l_end), F.lit(1))),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(bucket_of(r_start), bucket_of(r_end), F.lit(1))),
+    )
+    joined = (
+        lb.join(rb, on=[key, "_bucket"])
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+        )
+        .drop("_bucket")
+    )
+    return joined.dropDuplicates()

@@ -3427,3 +3427,48 @@ def dq2_key_skew_report(spark, sf_dir):
             F.col("n").cast("double") * F.col("n_keys") / F.col("total_rows"), 4
         ).alias("x_over_uniform"),
     )
+
+
+@register(
+    "t5_interval_overlap_join",
+    """
+    WITH v AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             min(ts) AS v_start, max(ts) AS v_end
+      FROM events WHERE event_type = 'view' GROUP BY user_id, d
+    ), c AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             min(ts) AS c_start, max(ts) AS c_end
+      FROM events WHERE event_type = 'click' GROUP BY user_id, d
+    )
+    SELECT v.user_id, v.v_start, v.v_end, c.c_start, c.c_end
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE v.v_start <= c.c_end AND c.c_start <= v.v_end
+    """,
+    "Temporal: interval x interval overlap join (daily view-activity "
+    "spans x click-activity spans per user) via time-bucket banding — "
+    "equi-join on (key, bucket) + exact refinement instead of the "
+    "per-key cross product an inequality join plans; per-bucket density "
+    "bounds the quadratic term",
+)
+def t5_interval_overlap_join(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def spans(etype, s, e):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("_d"))
+            .agg(F.min("ts").alias(s), F.max("ts").alias(e))
+            .drop("_d")
+        )
+
+    views = spans("view", "v_start", "v_end")
+    clicks = spans("click", "c_start", "c_end")
+    return interval_overlap_join(
+        views, clicks, "user_id", "v_start", "v_end", "c_start", "c_end",
+        bucket="6 hours",
+    ).select("user_id", "v_start", "v_end", "c_start", "c_end")

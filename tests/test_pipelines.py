@@ -318,3 +318,36 @@ def test_dq_expectations_count_violations(spark):
     assert [(r["rule"], r["n_violations"], r["n_rows"]) for r in ref] == [
         ("orphans", 1, 4)
     ]
+
+
+def test_interval_overlap_join_edges(spark):
+    """Inclusive bounds: touching endpoints overlap; disjoint intervals
+    don't; a pair spanning many buckets emits exactly once."""
+    import datetime as dt
+
+    from mcyj_datapipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    D = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 0, 0), D(2024, 1, 1, 10, 0)),   # long: many buckets
+            (2, D(2024, 1, 1, 5, 0), D(2024, 1, 1, 6, 0)),
+        ],
+        ["k", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 2, 0), D(2024, 1, 1, 9, 0)),    # inside left
+            (2, D(2024, 1, 1, 6, 0), D(2024, 1, 1, 7, 0)),    # touches at 6:00
+            (2, D(2024, 1, 1, 7, 30), D(2024, 1, 1, 8, 0)),   # disjoint
+        ],
+        ["k", "rs", "re"],
+    )
+    rows = interval_overlap_join(
+        left, right, "k", "ls", "le", "rs", "re", bucket="1 hour"
+    ).collect()
+    got = {(r["k"], r["rs"]) for r in rows}
+    assert got == {(1, D(2024, 1, 1, 2, 0)), (2, D(2024, 1, 1, 6, 0))}
+    assert len(rows) == 2  # multi-bucket pair deduped to one row
