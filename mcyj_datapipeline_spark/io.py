@@ -238,3 +238,25 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int | None = None,
+) -> None:
+    """K3/S4 at scale: parquet write with BLOOM FILTERS on the lookup
+    columns. Point lookups (sha256, ContentDocumentId — the reference's
+    access pattern everywhere) then skip row groups whose bloom filter
+    proves the key absent, without decoding a single page: min/max
+    stats are useless for high-cardinality random keys (every file
+    spans the whole key space), blooms are built for exactly that.
+    ``ndv`` tunes the filter's expected distinct count per row group
+    when known."""
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)

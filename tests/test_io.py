@@ -246,3 +246,43 @@ def test_range_clustered_files_disjoint(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary touch allowed)
+
+
+def test_write_with_bloom_embeds_filters(spark, sf_dir):
+    """Bloom-filtered write: the parquet footers must actually carry a
+    bloom filter for the lookup column (that is what lets a point
+    lookup skip row groups a min/max range can never exclude for
+    random keys), and read-back must round-trip."""
+    import glob as globmod
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import os
+
+    docs = MIO.read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.withColumn(
+        "key", F.sha2(F.col("doc_id").cast("string"), 256)
+    ).coalesce(1)
+    with_bloom = tempfile.mkdtemp(prefix="bloom_on_")
+    without = tempfile.mkdtemp(prefix="bloom_off_")
+    MIO.write_with_bloom(keyed, with_bloom, ["key"], ndv=1000)
+    keyed.write.mode("overwrite").parquet(without)
+
+    def total_bytes(d):
+        return sum(
+            os.path.getsize(f) for f in globmod.glob(f"{d}/*.parquet")
+        )
+
+    def rows(d):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in globmod.glob(f"{d}/*.parquet")
+        )
+
+    # Same rows either way; the bloom build must have added filter
+    # bytes to the file (this pyarrow can't expose the bloom offset
+    # directly, so the byte delta is the observable).
+    assert rows(with_bloom) == rows(without) == docs.count()
+    assert total_bytes(with_bloom) > total_bytes(without)
+    assert spark.read.parquet(with_bloom).count() == docs.count()
