@@ -260,3 +260,69 @@ def write_with_bloom(
         if ndv is not None:
             w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
     w.parquet(path)
+
+
+def zorder_value(
+    c1: "F.Column",
+    c2: "F.Column",
+    min1: float,
+    max1: float,
+    min2: float,
+    max2: float,
+    bits: int = 8,
+) -> "F.Column":
+    """Z-order (Morton) key: normalize both columns to ``bits``-bit
+    integers against their [min, max] and interleave the bits. Rows
+    close in Z are close in BOTH dimensions, so range-clustering on Z
+    gives every file a small bounding box in (c1, c2) — min/max pruning
+    then works for predicates on EITHER column, which single-column
+    range clustering cannot do. 2×``bits`` shift/or terms: flat codegen."""
+    top = (1 << bits) - 1
+    n1 = F.least(
+        F.lit(top),
+        F.floor((c1 - F.lit(min1)) / F.lit(max(max1 - min1, 1e-12)) * top),
+    ).cast("long")
+    n2 = F.least(
+        F.lit(top),
+        F.floor((c2 - F.lit(min2)) / F.lit(max(max2 - min2, 1e-12)) * top),
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
+        bit2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit1, 2 * i + 1) + F.shiftleft(bit2, 2 * i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Two-dimensional data-skipping layout: range-cluster files along
+    the Z-order curve of (c1, c2). One extra scan computes the global
+    min/max (a 1-row result), one range exchange writes; after that,
+    every file carries a tight min/max box on BOTH columns, so scans
+    filtered on either prune files from footer stats alone — the
+    same contract Delta's OPTIMIZE ZORDER BY provides."""
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).first()
+    z = zorder_value(
+        F.col(c1).cast("double"),
+        F.col(c2).cast("double"),
+        float(lo1),
+        float(hi1),
+        float(lo2),
+        float(hi2),
+        bits,
+    )
+    (
+        df.repartitionByRange(n_files, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

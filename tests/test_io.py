@@ -286,3 +286,43 @@ def test_write_with_bloom_embeds_filters(spark, sf_dir):
     assert rows(with_bloom) == rows(without) == docs.count()
     assert total_bytes(with_bloom) > total_bytes(without)
     assert spark.read.parquet(with_bloom).count() == docs.count()
+
+
+def test_zorder_write_bounds_both_dimensions(spark, sf_dir):
+    """Z-order layout: every file's min/max box must be materially
+    tighter than the global range on BOTH columns — that is what lets a
+    predicate on either column prune files. (Single-column range
+    clustering gives this on one dimension only.)"""
+    import glob as globmod
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    li = MIO.read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    out = tempfile.mkdtemp(prefix="zorder_test_")
+    MIO.write_zordered(li, out, "l_orderkey", "l_partkey", n_files=8)
+
+    glob_lo = {c: None for c in ("l_orderkey", "l_partkey")}
+    spans = {"l_orderkey": [], "l_partkey": []}
+    files = globmod.glob(f"{out}/*.parquet")
+    assert len(files) >= 4
+    bounds = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per_col = {}
+        for ci, name in enumerate(md.schema.names):
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_col[name] = (min(mins), max(maxs))
+        bounds.append(per_col)
+    for col in ("l_orderkey", "l_partkey"):
+        g_lo = min(b[col][0] for b in bounds)
+        g_hi = max(b[col][1] for b in bounds)
+        avg_span = sum(b[col][1] - b[col][0] for b in bounds) / len(bounds)
+        # Random placement would give every file ~the full range.
+        assert avg_span < 0.8 * (g_hi - g_lo), col
