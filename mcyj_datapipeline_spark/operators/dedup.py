@@ -52,12 +52,20 @@ def exact_dedup_winners(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a space-tokenized text column."""
+    """Distinct word n-grams of a space-tokenized text column. Texts
+    shorter than ``n`` words yield an EMPTY array — the guard matters:
+    ``sequence(1, 0)`` DESCENDS in Spark, so without it a short text
+    (e.g. a partial tail chunk from :func:`chunk_documents`) would feed
+    ``slice`` a zero start and fail the whole stage."""
     words = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -626,3 +634,50 @@ def minhash_lsh_pairs_incremental(
         .select("new_id", "existing_id", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def chunk_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 30,
+    stride: int = 30,
+    jaccard_threshold: float = 0.8,
+    id_mult: int = 100_000,
+) -> DataFrame:
+    """Partial-document duplication: MinHash near-dup detection at
+    CHUNK granularity. Document-level sketches miss a page copied into
+    an otherwise-different document (the containment problem — overall
+    Jaccard stays low); chunking first bounds the comparison unit, so
+    any lifted passage surfaces as a chunk-level near-dup pair.
+
+    Pipeline: :func:`text_analysis.chunk_documents` (disjoint windows
+    by default) → composite chunk ids (doc·id_mult + chunk_idx) →
+    :func:`minhash_lsh_pairs` over the chunks → map back to document
+    pairs, drop within-document hits, count matching chunks. Returns
+    (id_a, id_b, n_chunk_hits) with id_a < id_b. Cost scales with
+    chunk count × LSH bucket density — same banded shape as doc-level,
+    just a finer unit; at 100 TB chunk signatures persist beside the
+    doc signatures."""
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(df, text_col, id_col, chunk_size, stride)
+    ch = chunks.select(
+        (F.col(id_col) * id_mult + F.col("chunk_idx")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        ch, jaccard_threshold=jaccard_threshold
+    )
+    da = F.expr(f"id_a div {id_mult}")
+    db = F.expr(f"id_b div {id_mult}")
+    return (
+        pairs.select(
+            F.least(da, db).alias("id_a"), F.greatest(da, db).alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_chunk_hits"))
+    )

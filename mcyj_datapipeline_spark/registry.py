@@ -873,7 +873,10 @@ def st_sessionization(spark, sf_dir):
 # ===========================================================================
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(src: str = "documents") -> str:
+    """DuckDB rendering of the verified MinHash-LSH pair set over any
+    (doc_id, text) relation — ``src`` may be a table name or a
+    parenthesized subquery (used by the chunk-level dedup oracle)."""
     h = hash60_sql("s")
     perm_exprs = ", ".join(
         f"list_min([({a}::BIGINT * x + {b}) % {MINHASH_PRIME} for x in hs]) AS s{i}"
@@ -886,7 +889,7 @@ def _minhash_oracle_sql() -> str:
     )
     return f"""
     WITH words AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, string_split(text, ' ') AS w FROM {src}
     ), sh AS (
       SELECT doc_id,
              list_distinct([{h} % {MINHASH_PRIME}

@@ -3472,3 +3472,39 @@ def t5_interval_overlap_join(spark, sf_dir):
         views, clicks, "user_id", "v_start", "v_end", "c_start", "c_end",
         bucket="6 hours",
     ).select("user_id", "v_start", "v_end", "c_start", "c_end")
+
+
+def _chunk_mh_oracle_sql() -> str:
+    # Chunk relation mirroring chunk_documents(chunk_size=30, stride=30)
+    # with composite ids, fed through the parameterized MinHash pair SQL.
+    chunk_src = """(
+      SELECT doc_id * 100000 + chunk_idx AS doc_id,
+             array_to_string(w[(chunk_idx*30)+1:(chunk_idx*30)+30], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           LATERAL (SELECT unnest(generate_series(
+               0, greatest(0, (len(w) - 30 + 29) // 30))) AS chunk_idx)
+    )"""
+    return f"""
+    SELECT least(id_a // 100000, id_b // 100000) AS id_a,
+           greatest(id_a // 100000, id_b // 100000) AS id_b,
+           count(*)::BIGINT AS n_chunk_hits
+    FROM ({_mh_sql(chunk_src)})
+    WHERE id_a // 100000 <> id_b // 100000
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "dedup_chunk_near_dup",
+    _chunk_mh_oracle_sql(),
+    "Partial-document duplication: MinHash at CHUNK granularity "
+    "(30-token disjoint windows) — catches a passage copied into an "
+    "otherwise-different document, which document-level Jaccard misses "
+    "(the containment problem). Same banded LSH shape over a finer "
+    "unit; output is document pairs with their matching-chunk count",
+)
+def dedup_chunk_near_dup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _D4.chunk_near_dup_pairs(
+        docs, chunk_size=30, stride=30, jaccard_threshold=0.8
+    )

@@ -390,3 +390,44 @@ def test_incremental_minhash_finds_cross_side_dup_only(corpus):
     assert pairs[(100, 0)] == 1.0          # exact copy of doc 0
     assert 0.8 <= pairs[(101, 1)] < 1.0    # near dup of doc 1
     assert set(pairs) == {(100, 0), (101, 1)}
+
+
+def test_chunk_level_catches_contained_passage(spark):
+    """The containment problem: a 30-token passage lifted into an
+    otherwise-unrelated 150-token document keeps whole-doc Jaccard low
+    (< 0.2), so document-level MinHash at 0.8 misses it — chunk-level
+    detection must surface the pair via the copied window."""
+    rng = __import__("random").Random(7)
+    vocab = [f"w{i}" for i in range(800)]
+
+    def words(n):
+        return [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+
+    passage = words(30)
+    doc_a = words(60) + passage + words(60)
+    doc_b = words(60) + passage + words(60)  # different surroundings
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(words(150)))],
+        ["doc_id", "text"],
+    )
+    doc_level = D.minhash_lsh_pairs(df, jaccard_threshold=0.8).collect()
+    assert doc_level == []  # whole-doc similarity too low
+
+    chunk_level = D.chunk_near_dup_pairs(
+        df, chunk_size=30, stride=30, jaccard_threshold=0.8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in chunk_level}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)  # doc 3 never implicated
+
+
+def test_word_shingles_short_text_safe(spark):
+    """Texts shorter than the shingle width must yield empty arrays,
+    not a slice(start=0) stage failure (sequence(1,0) descends)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "exactly three words")], ["i", "t"]
+    )
+    rows = {r["i"]: r["s"] for r in df.select(
+        "i", D.word_shingles(F.col("t"), 3).alias("s")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["exactly three words"]
