@@ -245,3 +245,35 @@ def test_sql_window_is_partitioned(spark, sf_dir):
     assert "Window" in plan
     assert "hashpartitioning(c_mktsegment" in plan
     assert "SinglePartition" not in plan
+
+
+def test_mixture_resample_is_map_side_only(spark, sf_dir):
+    """o10: the mixture filter must be a pure map-side scan+filter —
+    the only Exchange tolerated is AQE's final coalesce; the corpus is
+    never shuffled to be sampled."""
+    plan = plan_of(spark, sf_dir, "o10_mixture_resample")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_chunk_windows_no_shuffle(spark, sf_dir):
+    """Chunking is tokenize+sequence+explode+slice — narrow end to end;
+    any Exchange means rows moved for nothing."""
+    plan = plan_of(spark, sf_dir, "text_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_skew_report_take_ordered(spark, sf_dir):
+    """dq2: top-10 heavy keys via TakeOrderedAndProject over the
+    counts, never a global sort of the key histogram."""
+    plan = plan_of(spark, sf_dir, "dq2_key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
+    """q1: the percentile row rides a broadcast join back over the
+    fact scan — the fact side is never shuffled to meet a 1-row agg."""
+    plan = plan_of(spark, sf_dir, "q1_winsorized_stats")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
