@@ -229,6 +229,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_docs: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shared-shingle inverted
     index: explode shingles, self-join on shingle (pairs sharing ≥1
@@ -246,7 +247,16 @@ def ngram_jaccard_pairs(
     max_shingle_docs²/2. With the cap, ``shared`` undercounts pairs
     whose only common shingles were ultra-frequent — the standard
     stop-shingle recall trade; ``None`` (default) keeps the function an
-    exact baseline for oracle parity at test scale."""
+    exact baseline for oracle parity at test scale.
+
+    ``metric``: ``"jaccard"`` (|A∩B| / |A∪B|) scores whole-document
+    similarity; ``"containment"`` (|A∩B| / min(|A|,|B|)) scores how
+    much of the SMALLER document sits inside the larger — the right
+    signal for subset duplication (an abstract inside a paper, a quote
+    inside an article), where Jaccard stays low because the union is
+    dominated by the larger document."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric: {metric!r}")
     sh = _spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -278,11 +288,13 @@ def ngram_jaccard_pairs(
             on="id_b",
         )
         .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+            "score",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            if metric == "jaccard"
+            else F.col("shared") / F.least(F.col("na"), F.col("nb")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 6).alias(metric))
     )
     return out
 

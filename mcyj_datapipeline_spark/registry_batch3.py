@@ -3508,3 +3508,37 @@ def dedup_chunk_near_dup(spark, sf_dir):
     return _D4.chunk_near_dup_pairs(
         docs, chunk_size=30, stride=30, jaccard_threshold=0.8
     )
+
+
+@register(
+    "dedup_ngram_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 3
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), shared AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.shared::DOUBLE / least(len(a.sh), len(b.sh)), 6)
+             AS containment
+    FROM shared s JOIN sh a ON s.id_a = a.doc_id JOIN sh b ON s.id_b = b.doc_id
+    WHERE s.shared::DOUBLE / least(len(a.sh), len(b.sh)) >= 0.8
+    """,
+    "Dedup/containment: |A∩B| / min(|A|,|B|) over word shingles — the "
+    "subset-duplication signal (abstract inside a paper, quote inside "
+    "an article) that Jaccard misses because the union is dominated by "
+    "the larger doc. Same inverted-index spine as the Jaccard exact "
+    "baseline; same stop-shingle cap applies at scale",
+)
+def dedup_ngram_containment_pairs(spark, sf_dir):
+    return _D4.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, metric="containment"
+    )

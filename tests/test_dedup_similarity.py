@@ -431,3 +431,20 @@ def test_word_shingles_short_text_safe(spark):
         "i", D.word_shingles(F.col("t"), 3).alias("s")).collect()}
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["exactly three words"]
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """doc B = doc A's first 12 tokens verbatim. Containment is 1.0;
+    Jaccard is ~12/60 and must NOT fire at 0.8."""
+    rng = __import__("random").Random(13)
+    a_words = [f"c{rng.randrange(900)}" for _ in range(60)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(a_words[:12]))],
+        ["doc_id", "text"],
+    )
+    jac = D.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []
+    cont = D.ngram_jaccard_pairs(df, threshold=0.8, metric="containment").collect()
+    assert len(cont) == 1
+    assert (cont[0]["id_a"], cont[0]["id_b"]) == (1, 2)
+    assert cont[0]["containment"] == 1.0
