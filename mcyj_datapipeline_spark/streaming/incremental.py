@@ -86,20 +86,57 @@ class ParquetStateTable:
 
     # -- shared interface ------------------------------------------------
 
-    def read(self) -> DataFrame | None:
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current state, or — versioned layout only — the state as of
+        an earlier commit (``version=N`` reads ``vN``; superseded
+        versions stay on disk until vacuumed). The audit/debug
+        affordance Delta calls time travel, for free from the commit
+        protocol."""
         import os
 
         if self.num_buckets is not None:
+            if version is not None:
+                raise ValueError(
+                    "time travel requires the versioned layout "
+                    "(num_buckets=None); bucketed state overwrites in place"
+                )
             data = self._data_dir()
             if not os.path.isdir(data):
                 return None
             return self.spark.read.parquet(data).drop("_bucket")
+        if version is not None:
+            vdir = f"{self.path}/v{version}"
+            if not os.path.isdir(vdir):
+                return None
+            return self.spark.read.parquet(vdir)
         cur = self._current_file()
         if not os.path.exists(cur):
             return None
         with open(cur) as f:
-            version = f.read().strip()
-        return self.spark.read.parquet(f"{self.path}/v{version}")
+            version_s = f.read().strip()
+        return self.spark.read.parquet(f"{self.path}/v{version_s}")
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Drop superseded version directories beyond the newest
+        ``keep_last`` (versioned layout only). Returns the number of
+        versions removed. The current version is never removed."""
+        import os
+        import re
+        import shutil
+
+        if self.num_buckets is not None:
+            return 0
+        if not os.path.exists(self._current_file()):
+            return 0
+        with open(self._current_file()) as f:
+            current = int(f.read().strip())
+        removed = 0
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) <= current - keep_last:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed += 1
+        return removed
 
     def write_initial(self, df: DataFrame) -> None:
         if self.num_buckets is not None:

@@ -351,3 +351,29 @@ def test_interval_overlap_join_edges(spark):
     got = {(r["k"], r["rs"]) for r in rows}
     assert got == {(1, D(2024, 1, 1, 2, 0)), (2, D(2024, 1, 1, 6, 0))}
     assert len(rows) == 2  # multi-bucket pair deduped to one row
+
+
+def test_state_table_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned layout: every merge leaves the prior version readable
+    (time travel) until vacuum drops superseded versions; the current
+    version always survives."""
+    import os
+
+    state = ParquetStateTable(spark, str(tmp_path / "st"), "id")
+    state.write_initial(
+        spark.createDataFrame([("a", "1")], ["id", "v"])
+    )
+    state.update(spark.createDataFrame([("b", "2")], ["id", "v"]), ["v"])
+    state.update(spark.createDataFrame([("c", "3")], ["id", "v"]), ["v"])
+
+    assert {r["id"] for r in state.read(version=0).collect()} == {"a"}
+    assert {r["id"] for r in state.read(version=1).collect()} == {"a", "b"}
+    assert {r["id"] for r in state.read().collect()} == {"a", "b", "c"}
+
+    removed = state.vacuum(keep_last=1)
+    assert removed == 2  # v0, v1 dropped; v2 (current) kept
+    assert state.read(version=0) is None
+    assert {r["id"] for r in state.read().collect()} == {"a", "b", "c"}
+    assert sorted(
+        d for d in os.listdir(str(tmp_path / "st")) if d.startswith("v")
+    ) == ["v2"]
