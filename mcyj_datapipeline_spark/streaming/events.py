@@ -308,3 +308,37 @@ def stream_dedup_within_watermark(
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    corpus: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key: str = "sha256",
+) -> None:
+    """Streaming ingest that drops documents already in the corpus: a
+    stream-static LEFT ANTI join on the content key — the streaming
+    twin of the batch ``pending_work`` anti-join and the exact-dedup
+    complement of :func:`...dedup.minhash_lsh_pairs_incremental`.
+
+    The static side is re-resolved per micro-batch (a corpus digest
+    table: key column only, so the join build is digests, not
+    documents), and the stream side is STATELESS — nothing accumulates
+    in the state store, because membership lives in the corpus table
+    itself. Combine with ``dropDuplicatesWithinWatermark`` upstream for
+    intra-stream dups; at 100 TB the corpus digest table is exactly
+    what the exact-dedup pass already maintains."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    fresh = stream.join(corpus.select(key), on=key, how="left_anti")
+    (
+        fresh.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -342,3 +342,40 @@ def test_stateful_session_stream_event_time_timeout(spark, tmp_path):
     assert rows[1]["session_start"] == D(2024, 1, 1, 10, 0)
     assert rows[1]["session_end"] == D(2024, 1, 1, 10, 10)
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 5.0
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Stream-static anti-join ingest: docs whose sha is already in the
+    corpus never reach the sink; the corpus table can GROW between runs
+    and the next batch respects the additions (static side re-resolved
+    per micro-batch)."""
+    schema = T.StructType(
+        [
+            T.StructField("sha256", T.StringType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ck"))
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([("A", "known")], schema).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    from mcyj_datapipeline_spark.streaming.events import (
+        stream_dedup_against_corpus,
+    )
+
+    spark.createDataFrame(
+        [("A", "dup"), ("B", "new")], schema
+    ).write.mode("append").parquet(src)
+    stream_dedup_against_corpus(spark, src, corpus, sink, ckpt, schema)
+    assert {r["sha256"] for r in spark.read.parquet(sink).collect()} == {"B"}
+
+    # Corpus grows (B was ingested); a later batch with B and C drops B.
+    spark.createDataFrame([("B", "new")], schema).write.mode("append").parquet(
+        corpus_path
+    )
+    spark.createDataFrame(
+        [("B", "dup-now"), ("C", "newest")], schema
+    ).write.mode("append").parquet(src)
+    stream_dedup_against_corpus(spark, src, corpus, sink, ckpt, schema)
+    assert {r["sha256"] for r in spark.read.parquet(sink).collect()} == {"B", "C"}
