@@ -377,3 +377,26 @@ def test_state_table_time_travel_and_vacuum(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(str(tmp_path / "st")) if d.startswith("v")
     ) == ["v2"]
+
+
+def test_bucketed_state_read_is_partition_pruned(spark, tmp_path):
+    """The merge's read of existing state must prune to the touched
+    buckets at PARTITION level (directory listing), not scan-and-filter
+    — that is what makes merge cost track the update, not the table."""
+    state = ParquetStateTable(spark, str(tmp_path / "st"), "id", num_buckets=8)
+    state.write_initial(
+        spark.createDataFrame(
+            [(f"k{i}", str(i)) for i in range(64)], ["id", "v"]
+        )
+    )
+    touched = [3]
+    pruned = (
+        spark.read.parquet(str(tmp_path / "st" / "data"))
+        .filter(F.col("_bucket").isin(touched))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # And the pruned scan reads strictly fewer rows than the table.
+    assert 0 < pruned.count() < 64
