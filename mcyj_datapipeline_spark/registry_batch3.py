@@ -3542,3 +3542,49 @@ def dedup_ngram_containment_pairs(spark, sf_dir):
     return _D4.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.8, metric="containment"
     )
+
+
+@register(
+    "e7_corpus_health_report",
+    r"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(len(toks)), 4) AS avg_tokens,
+           round(avg(len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / greatest(len(toks), 1)), 6) AS avg_stopword_ratio,
+           round(avg(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1)), 6) AS avg_alpha_ratio,
+           round(count(DISTINCT sha256(text))::DOUBLE / count(*), 6)
+             AS distinct_ratio
+    FROM (SELECT source, text,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+    GROUP BY source
+    """,
+    "E7 corpus health dashboard: per-source document count, token "
+    "volume, quality-signal means, and exact-dup ratio in ONE pass — "
+    "the report that decides which crawl sources to keep, reweight, or "
+    "drop. All signals are row-local column expressions before a single "
+    "groupBy(source); the shuffle carries one partial-agg row per "
+    "(partition, source)",
+)
+def e7_corpus_health_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    per_row = docs.select(
+        "source",
+        TA.token_count(F.col("text")).alias("n_tok"),
+        TA.stopword_ratio(F.col("text")).alias("sw"),
+        TA.alpha_ratio(F.col("text")).alias("al"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    return per_row.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("sw"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("al"), 6).alias("avg_alpha_ratio"),
+        F.round(
+            F.countDistinct("sha").cast("double") / F.count(F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
