@@ -3588,3 +3588,34 @@ def e7_corpus_health_report(spark, sf_dir):
             F.countDistinct("sha").cast("double") / F.count(F.lit(1)), 6
         ).alias("distinct_ratio"),
     )
+
+
+@register(
+    "q1b_winsorized_approx",
+    None,
+    "q1 scale twin: winsorize against approx_percentile cutpoints — a "
+    "mergeable sketch (one pass, no exact global sort of the column) "
+    "whose cutpoints differ from exact percentiles only within the "
+    "sketch's rank-error bound, so no cross-engine oracle; the "
+    "tolerance test pins it against the exact twin",
+)
+def q1b_winsorized_approx(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.01, 0.99), 10000)"
+        ).alias("pcts")
+    ).select(
+        F.col("pcts")[0].alias("p01"), F.col("pcts")[1].alias("p99")
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.round(F.first("p01"), 2).alias("p01"),
+            F.round(F.first("p99"), 2).alias("p99"),
+            F.round(F.avg(clipped), 4).alias("mean_clipped"),
+        )
+    )

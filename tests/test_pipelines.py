@@ -400,3 +400,19 @@ def test_bucketed_state_read_is_partition_pruned(spark, tmp_path):
     )[1][:120]
     # And the pruned scan reads strictly fewer rows than the table.
     assert 0 < pruned.count() < 64
+
+
+def test_winsorize_approx_twin_within_tolerance(spark, sf_dir):
+    """The approx_percentile scale twin must land within a small
+    relative tolerance of the exact winsorized mean (rank error of the
+    sketch at accuracy 10000 is tiny at these row counts)."""
+    from mcyj_datapipeline_spark import registry
+
+    qs = registry.queries()
+    exact = qs["q1_winsorized_stats"](spark, sf_dir).first()
+    approx = qs["q1b_winsorized_approx"](spark, sf_dir).first()
+    assert (
+        abs(approx["mean_clipped"] - exact["mean_clipped"])
+        / exact["mean_clipped"]
+        < 0.01
+    )
