@@ -114,3 +114,77 @@ def test_grouped_zscore_degenerate_groups(spark):
     assert out[("solo", 5)] == 0.0
     assert out[("flat", 3)] == 0.0
     assert out[("mix", 1)] == -1.0 and out[("mix", 3)] == 1.0
+
+
+def test_chunking_partitions_tokens_exactly(spark):
+    """Model check: with stride == chunk_size the chunks PARTITION the
+    token stream — reassembling them in chunk_idx order reproduces the
+    original text exactly, for random lengths including the
+    shorter-than-one-chunk edge."""
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(1, 90))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=16, stride=16).collect()
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    assert len(rebuilt) == len(rows)
+    for doc_id, text in rows:
+        parts = [c for _, c in sorted(rebuilt[doc_id])]
+        assert " ".join(p for p in parts if p) == text
+
+
+def test_quantization_error_bound_property(spark):
+    """|x - dequant(quant(x))| <= max|x| / 254 for every element of
+    random vectors (the symmetric-int8 guarantee the 4x compression
+    rides on)."""
+    from mcyj_datapipeline_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(16)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["i", "e"])
+    got = df.select(
+        "i", "e", dequantize_int8(quantize_int8(F.col("e"))).alias("d")
+    ).collect()
+    for r in got:
+        bound = max(abs(x) for x in r["e"]) / 254 + 1e-9
+        assert all(abs(a - b) <= bound for a, b in zip(r["e"], r["d"]))
+
+
+def test_mixture_resample_shares_property(spark):
+    """For random skewed corpora, the resampled output's stratum shares
+    must land near the requested mixture, and no stratum may exceed its
+    available rows (never upsample)."""
+    from mcyj_datapipeline_spark.operators.sampling import mixture_resample
+
+    rng = random.Random(31)
+    sizes = {"a": 900, "b": 420, "c": 150}
+    rows = [
+        (f"{s}{i}", s) for s, n in sizes.items() for i in range(n)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+    out = mixture_resample(df, "lang", "doc_id", targets)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    # c is the binding stratum: 150/0.2 = 750 target output size.
+    assert counts["c"] == 150
+    for s, t in targets.items():
+        assert counts[s] <= sizes[s]
+        assert abs(counts[s] / total - t) < 0.05
