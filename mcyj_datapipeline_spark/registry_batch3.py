@@ -3619,3 +3619,34 @@ def q1b_winsorized_approx(spark, sf_dir):
             F.round(F.avg(clipped), 4).alias("mean_clipped"),
         )
     )
+
+
+@register(
+    "dedup_exact_incremental",
+    """
+    SELECT d.doc_id, sha256(d.text) AS content_sha
+    FROM documents d
+    WHERE d.doc_id >= 400
+      AND NOT EXISTS (
+        SELECT 1 FROM documents e
+        WHERE e.doc_id < 400 AND sha256(e.text) = sha256(d.text)
+      )
+    """,
+    "Incremental exact dedup: new batch (doc_id >= 400) anti-joined "
+    "against the corpus digest set — only genuinely-new content "
+    "survives to ingest. The batch twin of the stream-static anti-join "
+    "ingest; the shuffle carries 32-byte digests, never text, and at "
+    "scale the corpus side IS the digest table the exact-dedup pass "
+    "already maintains (bloom-filtered for point probes)",
+)
+def dedup_exact_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    corpus = docs.filter(F.col("doc_id") < 400).select(
+        F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+    return new.join(corpus, on="content_sha", how="left_anti").select(
+        "doc_id", "content_sha"
+    )
