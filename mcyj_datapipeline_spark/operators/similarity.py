@@ -501,3 +501,49 @@ def dequantize_int8(qstruct: Column) -> Column:
     return F.transform(
         qstruct["q"], lambda v: v.cast("double") / qstruct["scale"]
     )
+
+
+def semantic_dedup_winners(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): cluster the embedding space, compare pairs only WITHIN a
+    cluster, and drop every vector that has a near-semantic-duplicate
+    (cosine >= ``tau``) with a smaller id in its cluster. Returns the
+    surviving (id, centroid_id) rows.
+
+    The whole point of the cluster step is to avoid the corpus-wide
+    all-pairs comparison: the within-cluster self-join is an equi-join
+    on centroid_id, so the quadratic term is bounded by the largest
+    cluster (~corpus/k with balanced k-means), and k scales with the
+    corpus at 100 TB. Assignment itself is the map-side broadcast
+    argmax from :func:`ivf_assign` — the corpus never shuffles for it.
+    The smaller-id-wins rule needs no transitive closure (unlike
+    MinHash clustering): one self-join, one distinct, one anti-join.
+    Deterministic smallest-id centroids keep it oracle-checkable;
+    :func:`kmeans_centroids` slots into ``centroids`` for recall."""
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    near = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= F.lit(tau))
+    )
+    losers = near.select(F.col("_idb").alias(id_col)).distinct()
+    return assigned.join(losers, id_col, "left_anti").select(
+        id_col, "centroid_id"
+    )

@@ -282,3 +282,174 @@ def char_entropy(text: Column) -> Column:
             * F.log2(F.size(F.filter(chars, lambda x: x == c)) / n),
         )
     )
+
+
+def split_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Explode a document into (id, pos, line) rows — the segmentation
+    step before line-level dedup/boilerplate passes. ``pos`` preserves
+    document order so the cleaned text can be reassembled."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+
+
+def window_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 3,
+) -> DataFrame:
+    """Synthesized 'lines' for single-line corpora: disjoint
+    ``line_words``-token windows via :func:`chunk_documents` (real
+    newline-delimited corpora use :func:`split_lines` instead). Same
+    (id, pos, line) contract."""
+    return chunk_documents(
+        df, text_col, id_col, chunk_size=line_words, stride=line_words
+    ).select(
+        id_col,
+        F.col("chunk_idx").alias("pos"),
+        F.col("chunk").alias("line"),
+    )
+
+
+def remove_boilerplate_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    min_docs: int = 3,
+    joiner: str = " ",
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal: a line that
+    appears in >= ``min_docs`` DISTINCT documents is navigation/footer
+    boilerplate; drop every occurrence corpus-wide and reassemble each
+    document from its surviving lines in original order.
+
+    Returns (id, clean_text, n_kept, n_dropped); documents whose lines
+    were ALL boilerplate survive with clean_text = ''.
+
+    100 TB plan: one explode (done by the caller's segmentation), one
+    groupBy on the line text (map-side partial count-distinct via the
+    two-level (line, id) agg), and one left-anti hash join back — the
+    shuffle carries (line, id) pairs, never document bodies, and the
+    boilerplate side of the anti-join is the tiny high-frequency tail
+    so AQE broadcasts it. Reassembly groups by id: collect_list of
+    (pos, line) structs, array_sort, join — each group is one document,
+    so state is bounded by document length, not corpus size."""
+    per_doc_line = lines.groupBy(line_col, id_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    boiler = (
+        per_doc_line.groupBy(line_col)
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select(line_col)
+    )
+    kept = lines.join(boiler, line_col, "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(pos_col), F.col(line_col)))
+                ),
+                lambda s: s[line_col],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order preserved) — unlike
+    dedup.word_shingles, repeats are kept because repetition is the
+    signal here. Short texts yield an empty array (same sequence(1,0)
+    guard as word_shingles)."""
+    words = F.split(text, " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_share(
+    df: DataFrame, text_col: str, id_col: str, n: int, out: str
+) -> DataFrame:
+    grams = df.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    per = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return per.groupBy(id_col).agg(
+        F.round(F.max("_c") / F.sum("_c"), 6).alias(out)
+    )
+
+
+def line_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 3,
+) -> DataFrame:
+    """Gopher-style line/n-gram repetition filters (Rae et al. 2021,
+    public): per document, the fraction of duplicate lines, the
+    fraction of characters inside duplicated lines, and the share of
+    the most frequent word 2-gram / 3-gram. High values flag
+    boilerplate, spam and template pages for the cleaning pipeline.
+
+    Everything is explode + two-level aggregation on (id, unit) — all
+    partial-agg friendly, no UDFs, no windows; the join back together
+    is id-keyed so the three signal branches co-partition after the
+    first shuffle. Missing branches (documents too short for an
+    n-gram) coalesce to 0.0."""
+    lines = window_lines(df, text_col, id_col, line_words)
+    per_line = (
+        lines.withColumn("_len", F.length("line"))
+        .groupBy(id_col, "line", "_len")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    line_sig = per_line.groupBy(id_col).agg(
+        F.round(1 - F.count(F.lit(1)) / F.sum("_c"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c") * F.col("_len")).otherwise(F.lit(0)))
+            / F.sum(F.col("_c") * F.col("_len")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    g2 = _top_gram_share(df, text_col, id_col, 2, "top_bigram_share")
+    g3 = _top_gram_share(df, text_col, id_col, 3, "top_trigram_share")
+    return (
+        line_sig.join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce("top_bigram_share", F.lit(0.0)).alias(
+                "top_bigram_share"
+            ),
+            F.coalesce("top_trigram_share", F.lit(0.0)).alias(
+                "top_trigram_share"
+            ),
+        )
+    )
