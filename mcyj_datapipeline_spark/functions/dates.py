@@ -42,3 +42,17 @@ def parse_iso_timestamp(col: Column) -> Column:
         F.try_to_timestamp(col, F.lit(API_TS_FORMATS[0])),
         F.try_to_timestamp(col, F.lit(API_TS_FORMATS[1])),
     )
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch, tolerant of TIMESTAMP vs TIMESTAMP_NTZ.
+
+    Parquet written by pandas/pyarrow without an explicit UTC flag reads
+    as TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ``, and
+    ``unix_micros`` rejects NTZ input. The cast interprets NTZ values in
+    the session timezone (pinned to UTC by ``session.get_spark``), so it
+    is value-preserving there; callers that only difference two
+    ``epoch_us`` values are additionally immune to any fixed offset.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mcyj_datapipeline_spark.functions.dates import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -94,7 +96,7 @@ def point_in_interval_join(
         raise ValueError(f"unsupported bucket spec: {bucket!r}") from exc
 
     def bucket_of(col):
-        return F.floor(F.unix_micros(F.col(col)) / F.lit(bucket_us))
+        return F.floor(epoch_us(col) / F.lit(bucket_us))
 
     p = points.withColumn("_bucket", bucket_of(point_ts))
     iv = intervals.withColumn(
@@ -145,7 +147,7 @@ def interval_overlap_join(
         raise ValueError(f"unsupported bucket spec: {bucket!r}") from exc
 
     def bucket_of(col: str):
-        return F.floor(F.unix_micros(F.col(col)) / F.lit(bucket_us))
+        return F.floor(epoch_us(col) / F.lit(bucket_us))
 
     lb = left.withColumn(
         "_bucket",

@@ -179,3 +179,26 @@ def dedup_semantic_semdedup(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup_winners(emb, tau=0.30, n_centroids=16)
+
+
+# ===========================================================================
+# ML quality classifier (pyspark.ml, fastText-style weak supervision)
+# ===========================================================================
+
+@register(
+    "ml_quality_classifier_score",
+    None,  # iterative L-BFGS training is not SQL-expressible → rows-only
+    "ML quality scoring (public GPT-3/LLaMA corpus-filter pattern): "
+    "weak labels from the heuristic quality score, hashed word+bigram "
+    "features, distributed logistic regression; scoring is a pure map "
+    "(no Exchange — asserted in tests/test_ml_quality.py). One score "
+    "row per document.",
+)
+def ml_quality_classifier_score(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.ml_quality import train_and_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = train_and_score(docs, num_features=1 << 14)
+    return scored.select(
+        "doc_id", F.round("ml_quality_prob", 4).alias("ml_quality_prob")
+    )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mcyj_datapipeline_spark.functions.dates import epoch_us
+
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Tumbling event-time window: per (window, event_type) count + sum."""
@@ -58,7 +60,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         (
             F.col("_prev_ts").isNull()
             | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("_prev_ts"))
+                epoch_us("ts") - epoch_us("_prev_ts")
                 > gap_minutes * 60 * 1_000_000
             )
         ).cast("int"),
@@ -78,8 +80,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .withColumn(
             "duration_us",
-            F.unix_micros(F.col("session_end"))
-            - F.unix_micros(F.col("session_start")),
+            epoch_us("session_end")
+            - epoch_us("session_start"),
         )
     )
 
