@@ -547,3 +547,48 @@ def semantic_dedup_winners(
     return assigned.join(losers, id_col, "left_anti").select(
         id_col, "centroid_id"
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose cosine to ANY benchmark vector reaches ``tau`` — the semantic
+    complement of :func:`..dedup.ngram_contamination` (which catches
+    verbatim leaks, this catches paraphrased ones).
+
+    Plan: benchmark sets are tiny relative to the corpus (thousands vs
+    billions), so the benchmark side broadcasts and the scan is a pure
+    map over the corpus — no shuffle, no corpus replication. Each corpus
+    row reports its worst (max) benchmark cosine plus the offending
+    benchmark id, argmax-style via ``max(struct)`` so one aggregation
+    carries both. For benchmark sets too large to broadcast, route
+    through :func:`ivf_topk` buckets instead.
+    """
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv")
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(bench))
+        .select(
+            id_col,
+            F.struct(
+                F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("cosine"),
+                F.col("bench_id"),
+            ).alias("hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("hit").alias("best"))
+        .select(
+            id_col,
+            F.col("best.bench_id").alias("bench_id"),
+            F.col("best.cosine").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+    return hits

@@ -1613,3 +1613,4 @@ def sim_lsh_topk(spark, sf_dir):
 # base entries above already exist; batch3 imports back into this module).
 from mcyj_datapipeline_spark import registry_batch3  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch4  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch5  # noqa: E402,F401
