@@ -39,20 +39,25 @@ def _t(spark, sf_dir, name):
     "mode at gate cardinality, where estimates are exact.",
 )
 def sk_hll_daily_uniques_rollup(spark, sf_dir):
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     # total = union of the DAILY sketches (not a second scan of events):
-    # this is the merge the pattern exists for.
-    total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_uniques")
+    # this is the merge the pattern exists for. The unpartitioned window
+    # runs over the DAY-grain frame — one row per day, bounded input, so
+    # the single-reducer hazard the w5 exhibit documents does not apply.
+    total_sk = F.hll_union_agg("sk").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
         daily.select(
-            "day", F.hll_sketch_estimate("sk").alias("daily_uniques")
+            "day",
+            F.hll_sketch_estimate("sk").alias("daily_uniques"),
+            F.hll_sketch_estimate(total_sk).alias("total_uniques"),
         )
-        .join(F.broadcast(total))
         .orderBy("day")
     )
 
@@ -150,4 +155,121 @@ def sql5_local_supplier_volume(spark, sf_dir):
     return spark.sql(
         _SQL5.format(c="sql5_customer", o="sql5_orders", l="sql5_lineitem",
                      s="sql5_supplier", n="sql5_nation", r="sql5_region")
+    )
+
+
+# ===========================================================================
+# URL canonicalization + URL-keyed dedup
+# ===========================================================================
+
+# The documents table has no URL column, so each query synthesizes a
+# deterministically messy URL per doc (same printf on both sides — the
+# batch-4 "lines" convention): three shapes covering tracking params,
+# userinfo, default vs non-default ports, casing, dup slashes, fragments.
+_MESSY_URL_SPARK = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN format_string('HTTPS://WWW.News%d.COM:443/Articles/%d//?utm_source=feed&z=26&a=1&gclid=g%d#frag', CAST(doc_id % 7 AS INT), CAST(doc_id AS INT), CAST(doc_id AS INT)) "
+    "WHEN 1 THEN format_string('http://user:pw@Example%d.org:8080/p/%d', CAST(doc_id % 5 AS INT), CAST(doc_id AS INT)) "
+    "ELSE format_string('HTTP://Blog%d.net:80/?b=2&utm_medium=em&a=1', CAST(doc_id % 4 AS INT)) END"
+)
+
+_MESSY_URL_DUCK = """
+    CASE doc_id % 3
+      WHEN 0 THEN printf('HTTPS://WWW.News%d.COM:443/Articles/%d//?utm_source=feed&z=26&a=1&gclid=g%d#frag', doc_id % 7, doc_id, doc_id)
+      WHEN 1 THEN printf('http://user:pw@Example%d.org:8080/p/%d', doc_id % 5, doc_id)
+      ELSE printf('HTTP://Blog%d.net:80/?b=2&utm_medium=em&a=1', doc_id % 4)
+    END
+"""
+
+# DuckDB replica of functions/urls.py normalize_url, as a CTE chain.
+_URL_CANON_DUCK = f"""
+    WITH raw AS (
+      SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_replace(regexp_replace(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                 '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+             regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                 ':([0-9]+)$', 1) AS port,
+             regexp_replace(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                 '/+$', '') AS path0,
+             list_sort([p for p in
+                 string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')
+                 if p <> '' and not regexp_matches(p, '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref)=')
+             ]) AS params
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url, host,
+             regexp_extract(host, '([^.\\s]+\\.[^.\\s]+)$', 1) AS domain,
+             scheme || '://' ||
+             CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                       AND NOT (scheme = 'https' AND port = '443')
+                  THEN host || ':' || port ELSE host END ||
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                  ELSE '' END AS canonical
+      FROM parts
+    )
+"""
+
+
+@register(
+    "url_normalize_canonical",
+    _URL_CANON_DUCK + """
+    SELECT doc_id, url, canonical, host, domain FROM canon
+    """,
+    "URL canonicalization (web-corpus curation): lowercase scheme/host, "
+    "drop userinfo + fragments + tracking params, strip default ports, "
+    "collapse trailing slashes, sort surviving params — pure column "
+    "expressions, map-only, fuses with the scan.",
+)
+def url_normalize_canonical(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    host = U.url_host(F.col("url"))
+    return messy.select(
+        "doc_id",
+        "url",
+        U.normalize_url(F.col("url")).alias("canonical"),
+        host.alias("host"),
+        U.registered_domain(host).alias("domain"),
+    )
+
+
+@register(
+    "url_dedup_groups",
+    _URL_CANON_DUCK + """
+    SELECT sha256(canonical) AS url_key,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM canon
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY n_docs DESC, url_key
+    """,
+    "URL-keyed exact dedup: group on sha256(canonical URL) — the "
+    "fixed-width 32-byte key is what shuffles, never the URL string; "
+    "re-crawl groups report size + min-id winner. At 100 TB this is "
+    "the cheapest dedup pass and runs before any content hashing.",
+)
+def url_dedup_groups(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions import urls as U
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    return (
+        messy.groupBy(U.url_key(F.col("url")).alias("url_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "url_key")
     )

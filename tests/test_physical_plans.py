@@ -277,3 +277,44 @@ def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_winsorized_stats")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_url_normalize_is_map_only(spark, sf_dir):
+    """URL canonicalization is pure column expressions — no Exchange,
+    no BatchEvalPython; it must fuse with the scan."""
+    plan = plan_of(spark, sf_dir, "url_normalize_canonical")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_dedup_shuffles_fixed_width_key(spark, sf_dir):
+    """URL dedup groups on sha256(canonical) — the projection feeding
+    the exchange carries the 64-char key, not the raw text column."""
+    plan = plan_of(spark, sf_dir, "url_dedup_groups")
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "text" not in scan  # column pruning: only doc_id read
+
+
+def test_decon_corpus_side_never_shuffles(spark, sf_dir):
+    """Benchmark side broadcasts; the corpus side of the contamination
+    scan must reach the aggregate without a join-driven Exchange (the
+    only exchange allowed is the final groupBy on vec_id)."""
+    plan = plan_of(spark, sf_dir, "decon_embedding_contamination")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sql5_dim_chain_broadcasts(spark, sf_dir):
+    """Q5 shape: region/nation (fixed-cardinality dims) broadcast; no
+    cartesian product despite the comma-join syntax."""
+    plan = plan_of(spark, sf_dir, "sql5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_rollup_scans_events_once(spark, sf_dir):
+    """The corpus total is a union of the DAILY sketches, not a second
+    scan: exactly one FileScan of events in the plan."""
+    plan = plan_of(spark, sf_dir, "sk_hll_daily_uniques_rollup")
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "events" in l]
+    assert len(scans) == 1, plan

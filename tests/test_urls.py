@@ -1,0 +1,59 @@
+"""URL canonicalization unit tests — edge cases beyond the synthesized
+registry corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.functions import urls as U
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [
+        r["c"] for r in df.select(U.normalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_normalize_edge_cases(spark):
+    cases = {
+        # default port + tracking + fragment + trailing slashes
+        "HTTPS://WWW.X.COM:443/a/b//?utm_source=s&b=2&a=1#f":
+            "https://www.x.com/a/b?a=1&b=2",
+        # non-default port kept, userinfo dropped
+        "http://u:p@host.org:8080/path": "http://host.org:8080/path",
+        # bare host → '/', http default port stripped
+        "HTTP://Host.NET:80": "http://host.net/",
+        # IPv4 host, no port, empty query string
+        "http://10.0.0.1/x?": "http://10.0.0.1/x",
+        # all params are tracking → query dropped entirely
+        "https://a.io/p?utm_a=1&gclid=2&fbclid=3": "https://a.io/p",
+        # params already canonical stay put
+        "https://a.io/p?a=1&b=2": "https://a.io/p?a=1&b=2",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values()), dict(zip(cases, got))
+
+
+def test_host_and_domain(spark):
+    df = spark.createDataFrame(
+        [("https://news.sub.example.co:9999/x",)], "url string"
+    )
+    row = df.select(
+        U.url_host(F.col("url")).alias("h"),
+        U.registered_domain(U.url_host(F.col("url"))).alias("d"),
+    ).collect()[0]
+    assert row["h"] == "news.sub.example.co"
+    assert row["d"] == "example.co"  # naive eTLD+1, documented
+
+
+def test_url_key_is_case_and_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://A.IO/p?b=2&a=1",),
+            ("https://a.io/p?a=1&b=2",),
+        ],
+        "url string",
+    )
+    keys = {r["k"] for r in df.select(U.url_key(F.col("url")).alias("k")).collect()}
+    assert len(keys) == 1
