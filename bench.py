@@ -47,6 +47,11 @@ HEADLINE = [
     "e6_dedup_corpus_rewrite",
     "text_chunk_windows",
     "v2_embedding_quantization",
+    "ml_quality_classifier_score",
+    "url_dedup_groups",
+    "sk_hll_daily_uniques_rollup",
+    "decon_embedding_contamination",
+    "sql5_local_supplier_volume",
 ]
 
 
@@ -76,11 +81,16 @@ def main() -> None:
     warm_spread: dict[str, float] = {}
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     for name in HEADLINE:
+        # Each query call persists its own intermediates (signatures, CC
+        # labels); without a clear, earlier queries' pinned blocks stack
+        # up and later queries measure memory pressure, not plan cost.
+        spark.catalog.clearCache()
         start = time.monotonic()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.monotonic() - start, 3)
         reps = []
         for _ in range(warm_reps):
+            spark.catalog.clearCache()
             start = time.monotonic()
             qs[name](spark, sf_dir).count()
             reps.append(time.monotonic() - start)

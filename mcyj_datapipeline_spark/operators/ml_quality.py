@@ -166,6 +166,7 @@ def train_and_score(
     num_features: int = 1 << 14,
     train_fraction_cap: int = 100_000,
     prob_col: str = "ml_quality_prob",
+    max_iter: int = 25,
 ) -> DataFrame:
     """End-to-end convenience: weak-label, train, score the full frame.
 
@@ -175,14 +176,22 @@ def train_and_score(
     would pass a hash-sampled slice instead of the full corpus.
     """
     labeled = weak_quality_labels(docs, text_col=text_col)
+    # persist: every L-BFGS iteration is a job over this frame — without
+    # the cache each one re-runs the weak-label lineage (quality regex +
+    # percentile agg + sort-limit) end to end.
     train = (
         labeled
         .withColumn("_h", F.xxhash64(F.col(text_col)))
         .orderBy("label", "_h")
         .limit(train_fraction_cap)
         .drop("_h")
+        .persist()
     )
-    model = train_quality_classifier(
-        train, text_col=text_col, num_features=num_features
-    )
+    try:
+        model = train_quality_classifier(
+            train, text_col=text_col, num_features=num_features,
+            max_iter=max_iter,
+        )
+    finally:
+        train.unpersist()
     return score_quality(model, docs, prob_col=prob_col)

@@ -198,7 +198,10 @@ def ml_quality_classifier_score(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.ml_quality import train_and_score
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = train_and_score(docs, num_features=1 << 14)
+    # max_iter=8: on the weakly-labeled bands L-BFGS converges in a
+    # handful of rounds; each extra round is a full distributed job
+    # whose scheduler overhead dominates at any data size.
+    scored = train_and_score(docs, num_features=1 << 14, max_iter=8)
     return scored.select(
         "doc_id", F.round("ml_quality_prob", 4).alias("ml_quality_prob")
     )
