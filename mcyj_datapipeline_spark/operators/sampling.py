@@ -131,3 +131,45 @@ def mixture_resample(
             F.col(stratum) == s, F.lit(rate * n_buckets)
         ).otherwise(cutoff)
     return df.filter(hash_bucket(F.col(key), n_buckets) < cutoff)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across the boundary: documents are split by their duplicate-CLUSTER
+    key, not their own id, so every member of a near-dup cluster (from
+    :func:`..dedup.connected_components` over e.g. MinHash pairs) lands
+    on the same side. Singletons fall back to their own id.
+
+    This is the eval-hygiene op every public lineage describes (GPT-3's
+    train/test overlap post-mortem; the decontamination sections of
+    Llama/Pile papers): dedup BEFORE splitting, or equivalently split by
+    canonical duplicate key. Cost at 100 TB: CC over the candidate-pair
+    edge list (edges only — tiny vs the corpus) + one broadcast-size
+    join back; the split itself stays a pure map of the key hash.
+    """
+    from mcyj_datapipeline_spark.operators.dedup import connected_components
+
+    comps = connected_components(dup_edges, src, dst).select(
+        F.col("doc_id").alias("_cc_node"), F.col("cluster_id").alias("_cc_id")
+    )
+    keyed = docs.join(
+        comps, docs[id_col] == comps["_cc_node"], "left"
+    ).withColumn(
+        "split_key", F.coalesce(F.col("_cc_id"), F.col(id_col))
+    ).drop("_cc_node", "_cc_id")
+    return split_assign(
+        keyed,
+        key="split_key",
+        val_fraction=val_fraction,
+        test_fraction=test_fraction,
+        n_buckets=n_buckets,
+    )

@@ -273,3 +273,56 @@ def url_dedup_groups(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "url_key")
     )
+
+
+# ===========================================================================
+# Leakage-safe train/val/test split (split by duplicate cluster)
+# ===========================================================================
+
+def _leakage_split_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.operators.hashing import hash60_sql
+    from mcyj_datapipeline_spark.registry import _minhash_oracle_sql
+
+    bucket = hash60_sql("CAST(split_key AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle_sql()})
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION
+      SELECT id_b AS u, id_a AS v FROM edges
+    ), walk(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, walk.comp FROM walk JOIN und ON und.u = walk.node
+    ), comps AS (
+      SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {bucket} % 10000 < 1000 THEN 'val'
+                WHEN {bucket} % 10000 < 2000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM keyed
+    """
+
+
+@register(
+    "split_leakage_safe",
+    _leakage_split_oracle_sql(),
+    "Leakage-safe train/val/test split: near-dup clusters (connected "
+    "components over MinHash-LSH pairs) are split by CLUSTER key, so "
+    "no near-duplicate pair ever straddles train/eval — the "
+    "decontamination-by-construction op from the public GPT-3/Pile "
+    "lineage. Singletons hash on their own id; assignment is a pure "
+    "function (reruns, scale factors, and engines agree).",
+)
+def split_leakage_safe(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import minhash_lsh_pairs
+    from mcyj_datapipeline_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
+    return leakage_safe_split(docs.select("doc_id"), pairs)
