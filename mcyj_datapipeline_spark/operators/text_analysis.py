@@ -453,3 +453,71 @@ def line_repetition_signals(
             ),
         )
     )
+
+
+def pack_training_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end-to-end
+    per stream (language) in deterministic ``id_col`` order and cut into
+    fixed ``seq_len``-token training sequences; documents crossing a cut
+    split into pieces. Returns one row per (sequence, document piece):
+    ``(stream, seq_id, doc_id, piece_offset, piece_tokens)`` —
+    ``piece_offset`` is the token offset inside the document, so a
+    loader can reassemble sequences exactly.
+
+    This is the training-loader packing step (padding-free batching, as
+    described in public LM-training writeups) downstream of cleaning;
+    :func:`chunk_documents` is the RAG-style overlapping chunker, and
+    the e5 query packs whole docs to shard granularity — this one
+    splits at exact token boundaries.
+
+    Scale: the running sum partitions by ``stream_col`` (the natural
+    training-mix key) — no global window. For a single-language corpus
+    at 100 TB, sub-shard the stream key (e.g. ``(lang, hash_bucket)``)
+    and accept one partial sequence of waste per sub-shard; the
+    boundary-piece explode is a per-row ``sequence()`` of length
+    1 + pieces, never a join.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n"),
+    ).filter(F.col("n") > 0)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        toks.withColumn("end", F.sum("n").over(w))
+        .withColumn("start", (F.col("end") - F.col("n")).cast("long"))
+        .withColumn("end", F.col("end").cast("long"))
+    )
+    pieces = spans.select(
+        "stream",
+        id_col,
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / seq_len).cast("long"),
+                F.floor((F.col("end") - 1) / seq_len).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+    hi = F.least(F.col("end"), (F.col("seq_id") + 1) * seq_len)
+    return pieces.select(
+        "stream",
+        "seq_id",
+        id_col,
+        (lo - F.col("start")).alias("piece_offset"),
+        (hi - lo).alias("piece_tokens"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.operators import text_analysis as TA
 from mcyj_datapipeline_spark.registry import register
 
 
@@ -326,3 +327,89 @@ def split_leakage_safe(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.8)
     return leakage_safe_split(docs.select("doc_id"), pairs)
+
+
+# ===========================================================================
+# Training-sequence packing (concat-and-chop to fixed token windows)
+# ===========================================================================
+
+@register(
+    "pack_training_sequences",
+    """
+    WITH toks AS (
+      SELECT lang AS stream, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n
+      FROM documents
+    ), spans AS (
+      SELECT stream, doc_id, n,
+             sum(n) OVER (PARTITION BY stream ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS "end"
+      FROM toks WHERE n > 0
+    ), pieces AS (
+      SELECT stream, doc_id, ("end" - n) AS strt, "end",
+             unnest(generate_series(((("end" - n) // 256))::BIGINT,
+                                    ((("end" - 1) // 256))::BIGINT)) AS seq_id
+      FROM spans
+    )
+    SELECT stream, seq_id, doc_id,
+           (greatest(strt, seq_id * 256) - strt)::BIGINT AS piece_offset,
+           (least("end", (seq_id + 1) * 256)
+             - greatest(strt, seq_id * 256))::BIGINT AS piece_tokens
+    FROM pieces
+    """,
+    "Training-loader sequence packing: docs laid end-to-end per "
+    "language stream in deterministic order, cut into fixed 256-token "
+    "sequences, boundary docs split into pieces with exact offsets — "
+    "padding-free batching. Running sum partitions by stream (no "
+    "global window); the piece explode is per-row sequence(), never a "
+    "join.",
+)
+def pack_training_sequences(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TA.pack_training_sequences(docs, seq_len=256)
+
+
+# ===========================================================================
+# Per-language adaptive quality threshold (keep top quartile per lang)
+# ===========================================================================
+
+def _quality_top_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry_batch3 import _E4_QUALITY_SQL
+
+    return f"""
+    WITH scored AS ({_E4_QUALITY_SQL}),
+    cuts AS (
+      SELECT lang, round(quantile_cont(quality, 0.75), 6) AS cutoff
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, c.cutoff
+    FROM scored s JOIN cuts c ON s.lang = c.lang
+    WHERE s.quality >= c.cutoff
+    """
+
+
+@register(
+    "quality_keep_top_per_lang",
+    _quality_top_oracle_sql(),
+    "Per-language adaptive quality threshold: keep each language's top "
+    "quartile by heuristic quality score — a fixed global cutoff "
+    "over/under-filters low-resource languages, so the cutpoint is "
+    "computed per stratum (exact percentile here; approx_percentile at "
+    "100 TB) and joined back by broadcast (one row per language).",
+)
+def quality_keep_top_per_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(quality, 0.75)"), 6).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("quality") >= F.col("cutoff"))
+        .select("doc_id", "lang", "quality", "cutoff")
+    )

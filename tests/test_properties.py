@@ -188,3 +188,51 @@ def test_mixture_resample_shares_property(spark):
     for s, t in targets.items():
         assert counts[s] <= sizes[s]
         assert abs(counts[s] / total - t) < 0.05
+
+
+def test_sequence_packing_partition_exactness(spark, sf_dir):
+    """Packing is a partition of the token stream: per-doc piece sums
+    re-add to the doc's token count; per-sequence sums never exceed
+    seq_len; offsets tile each document without gaps."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators import text_analysis as TA
+
+    docs = read_table(spark, sf_dir, "documents")
+    pieces = TA.pack_training_sequences(docs, seq_len=64)
+
+    toks = docs.select(
+        "doc_id", TA.token_count(F.col("text")).alias("n")
+    ).filter(F.col("n") > 0)
+    per_doc = pieces.groupBy("doc_id").agg(
+        F.sum("piece_tokens").alias("s"), F.min("piece_offset").alias("o0")
+    )
+    bad = (
+        toks.join(per_doc, "doc_id", "left")
+        .filter(
+            (F.col("s") != F.col("n")) | (F.col("o0") != 0) | F.col("s").isNull()
+        )
+        .count()
+    )
+    assert bad == 0
+
+    over = (
+        pieces.groupBy("stream", "seq_id")
+        .agg(F.sum("piece_tokens").alias("s"))
+        .filter(F.col("s") > 64)
+        .count()
+    )
+    assert over == 0
+
+    # every sequence except each stream's last is exactly full
+    per_seq = pieces.groupBy("stream", "seq_id").agg(
+        F.sum("piece_tokens").alias("s")
+    )
+    last = per_seq.groupBy("stream").agg(F.max("seq_id").alias("last_seq"))
+    partial = (
+        per_seq.join(last, "stream")
+        .filter((F.col("seq_id") != F.col("last_seq")) & (F.col("s") != 64))
+        .count()
+    )
+    assert partial == 0
