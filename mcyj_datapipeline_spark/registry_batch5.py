@@ -413,3 +413,70 @@ def quality_keep_top_per_lang(spark, sf_dir):
         .filter(F.col("quality") >= F.col("cutoff"))
         .select("doc_id", "lang", "quality", "cutoff")
     )
+
+
+# ===========================================================================
+# Real WAV decode (the one multimodal kernel that needs no external lib)
+# ===========================================================================
+
+@register(
+    "mm_wav_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           (800 + doc_id % 100)::BIGINT AS n_samples,
+           round((800 + doc_id % 100) / 8000.0, 6) AS duration_s,
+           round((100 + doc_id % 1000)::DOUBLE, 6) AS rms,
+           (100 + doc_id % 1000)::BIGINT AS peak
+    FROM documents
+    """,
+    "Multimodal/REAL decode: per-doc synthetic PCM16 WAV (alternating "
+    "±amplitude signal) decoded by an actual RIFF parser (struct chunk "
+    "walk + numpy frombuffer) in Arrow mapInPandas — no stub: the "
+    "oracle's closed-form RMS/peak/duration only match if the decoder "
+    "truly parses the container. Malformed blobs yield null-stats rows "
+    "rather than failing the stage.",
+)
+def mm_wav_decode_features(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        WAV_FEATURES_SCHEMA,  # noqa: F401  (decode schema reused below)
+        decode_wav_features,
+        synth_pcm16_wav,
+    )
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "content": [
+                        synth_pcm16_wav(
+                            800 + int(i) % 100, 8000, 100 + int(i) % 1000
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    feats = decode_wav_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )

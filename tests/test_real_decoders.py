@@ -149,3 +149,59 @@ def _idat_payload(png: bytes) -> bytes:
             return png[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
     raise AssertionError("no IDAT")
+
+
+# ---------------------------------------------------------------------------
+# WAV: the one REAL (non-stub) decoder — stdlib struct + numpy, no
+# external library, so these do NOT skip.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_decode_roundtrip_and_poison(spark):
+    import numpy as np
+
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_pcm16_wav,
+    )
+
+    good = synth_pcm16_wav(1600, 16000, 1000)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"not a riff file")),      # poison blob
+            (3, bytearray(good[:20])),               # truncated container
+            (4, None),                               # null content
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_wav_features(df).collect()}
+    ok = rows[1]
+    assert (ok["sample_rate"], ok["n_channels"], ok["n_samples"]) == (16000, 1, 1600)
+    assert abs(ok["duration_s"] - 0.1) < 1e-12
+    assert abs(ok["rms"] - 1000.0) < 1e-9   # alternating ±A → RMS == A
+    assert ok["peak"] == 1000
+    for bad in (2, 3, 4):
+        assert rows[bad]["sample_rate"] is None  # null-stats, not a crash
+
+
+def test_wav_decode_agrees_with_stdlib_wave(spark):
+    """Cross-validate the RIFF parser against Python's independent
+    stdlib `wave` implementation on the same bytes."""
+    import io
+    import wave
+
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_pcm16_wav,
+    )
+
+    blob = synth_pcm16_wav(777, 8000, 321)
+    w = wave.open(io.BytesIO(blob))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    got = decode_wav_features(df).collect()[0]
+    assert got["sample_rate"] == w.getframerate()
+    assert got["n_channels"] == w.getnchannels()
+    assert got["n_samples"] == w.getnframes()
