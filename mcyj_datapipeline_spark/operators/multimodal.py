@@ -343,3 +343,98 @@ def decode_wav_features(
 
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real grayscale-PNG decode (stdlib-only: zlib inflate + scanline
+# unfilter). Like the WAV kernel, no external library is required for
+# this subset, so it is NOT a stub — pass it as ``decoder=`` to
+# :func:`extract_image_features` (the auto path still prefers Pillow,
+# which handles every other format).
+# ---------------------------------------------------------------------------
+
+
+def synth_gray_png(width: int, height: int, value: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG with every pixel == ``value`` —
+    constant image, so mean luma == value EXACTLY (the closed form the
+    value oracle needs)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([value]) * width) * height  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_image(content: bytes) -> tuple[int, int, float]:
+    """REAL decoder for 8-bit grayscale PNG: chunk walk, zlib inflate,
+    full scanline unfilter (all five PNG filter types), mean over the
+    recovered pixels. Raises ValueError on anything it cannot decode
+    (caller decides poison policy)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(content):
+        (size,) = struct.unpack(">I", content[pos:pos + 4])
+        ctype = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or color != 0:
+                raise ValueError("only 8-bit grayscale supported here")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) < stride * h:
+        raise ValueError("truncated pixel data")
+    total = 0
+    prev = bytearray(w)
+    for y in range(h):
+        row = bytearray(raw[y * stride + 1:(y + 1) * stride])
+        ftype = raw[y * stride]
+        if ftype == 1:  # Sub
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(w):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(w):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter {ftype}")
+        total += sum(row)
+        prev = row
+    return w, h, total / (w * h)

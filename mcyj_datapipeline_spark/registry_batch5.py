@@ -480,3 +480,63 @@ def mm_wav_decode_features(spark, sf_dir):
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+# ===========================================================================
+# Real grayscale-PNG decode (stdlib zlib) — same pattern as the WAV query
+# ===========================================================================
+
+@register(
+    "mm_png_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           (8 + doc_id % 16)::INT AS width,
+           (8 + doc_id % 8)::INT AS height,
+           round((doc_id % 256)::DOUBLE, 6) AS mean_luma
+    FROM documents
+    """,
+    "Multimodal/REAL decode: per-doc synthetic constant-pixel grayscale "
+    "PNG decoded by an actual PNG reader (chunk walk, zlib inflate, all "
+    "five scanline filters) — constant images give mean luma a closed "
+    "form, so the real decoder carries a full value oracle like the WAV "
+    "twin. Pillow remains the auto-path for every other format.",
+)
+def mm_png_decode_features(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        _png_decode_image,
+        extract_image_features,
+        synth_gray_png,
+    )
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype("int64"),
+                    "content": [
+                        synth_gray_png(
+                            8 + int(i) % 16, 8 + int(i) % 8, int(i) % 256
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    feats = extract_image_features(media, decoder=_png_decode_image)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )

@@ -205,3 +205,71 @@ def test_wav_decode_agrees_with_stdlib_wave(spark):
     assert got["sample_rate"] == w.getframerate()
     assert got["n_channels"] == w.getnchannels()
     assert got["n_samples"] == w.getnframes()
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib decoder (zlib inflate + scanline unfilter) — does
+# not skip either.
+# ---------------------------------------------------------------------------
+
+
+def test_png_decode_all_filter_types():
+    """Unit-level: hand-encoded scanlines for every PNG filter type
+    recover the intended pixels."""
+    import struct
+    import zlib
+
+    from mcyj_datapipeline_spark.operators.multimodal import _png_decode_image
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    # 3x5 image, pixels row r = [r*10+1, r*10+2, r*10+3], one row per
+    # filter type 0..4 encoded accordingly.
+    rows = [[r * 10 + 1, r * 10 + 2, r * 10 + 3] for r in range(5)]
+    enc = bytearray()
+    prev = [0, 0, 0]
+    for r, px in enumerate(rows):
+        f = r  # filter type == row index
+        enc.append(f)
+        for x in range(3):
+            a = px[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                enc.append(px[x])
+            elif f == 1:
+                enc.append((px[x] - a) & 0xFF)
+            elif f == 2:
+                enc.append((px[x] - b) & 0xFF)
+            elif f == 3:
+                enc.append((px[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((px[x] - pred) & 0xFF)
+        prev = px
+    ihdr = struct.pack(">IIBBBBB", 3, 5, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, mean = _png_decode_image(png)
+    flat = [v for row in rows for v in row]
+    assert (w, h) == (3, 5)
+    assert abs(mean - sum(flat) / len(flat)) < 1e-12
+
+
+def test_png_decode_rejects_non_png():
+    import pytest as _pytest
+
+    from mcyj_datapipeline_spark.operators.multimodal import _png_decode_image
+
+    with _pytest.raises(ValueError):
+        _png_decode_image(b"GIF89a not a png")
