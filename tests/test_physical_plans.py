@@ -318,3 +318,29 @@ def test_hll_rollup_scans_events_once(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sk_hll_daily_uniques_rollup")
     scans = [l for l in plan.splitlines() if "FileScan" in l and "events" in l]
     assert len(scans) == 1, plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The running token sum must partition by stream — a global window
+    would serialize the whole corpus through one reducer."""
+    plan = plan_of(spark, sf_dir, "pack_training_sequences")
+    assert "WindowExec: No Partition Defined" not in plan
+    assert "Window" in plan
+
+
+def test_quality_threshold_broadcasts_cutpoints(spark, sf_dir):
+    """Per-language cutoffs are a languages-count row set — must join
+    back by broadcast, never SMJ."""
+    plan = plan_of(spark, sf_dir, "quality_keep_top_per_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_decode_python_is_kernel_only(spark, sf_dir):
+    """WAV/PNG decode queries: exactly the two mapInPandas stages
+    (synth + decode) touch Python — no row-at-a-time BatchEvalPython
+    anywhere."""
+    for name in ("mm_wav_decode_features", "mm_png_decode_features"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("MapInPandas") == 2, (name, plan.count("MapInPandas"))
