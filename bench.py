@@ -52,6 +52,7 @@ HEADLINE = [
     "sk_hll_daily_uniques_rollup",
     "decon_embedding_contamination",
     "sql5_local_supplier_volume",
+    "e8_curation_pipeline",
 ]
 
 

@@ -540,3 +540,108 @@ def mm_png_decode_features(spark, sf_dir):
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
+
+
+# ===========================================================================
+# E8 — full curation pipeline in ONE declarative plan:
+# URL dedup → quality gate → content dedup → split → sequence packing
+# ===========================================================================
+
+def _e8_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.operators.hashing import hash60_sql
+    from mcyj_datapipeline_spark.registry_batch3 import _E4_QUALITY_SQL
+
+    bucket = hash60_sql("CAST(k.doc_id AS VARCHAR)")
+    return f"""
+    {_URL_CANON_DUCK},
+    url_canon AS (
+      SELECT doc_id, sha256(canonical) AS url_key FROM canon
+    ),
+    url_winners AS (
+      SELECT min(doc_id) AS doc_id FROM url_canon GROUP BY url_key
+    ),
+    scored AS ({_E4_QUALITY_SQL}),
+    quality_kept AS (
+      SELECT s.doc_id, s.lang, s.text FROM scored s
+      SEMI JOIN url_winners u ON s.doc_id = u.doc_id
+      WHERE s.quality >= 0.5
+    ),
+    content_winners AS (
+      SELECT min(doc_id) AS doc_id FROM quality_kept GROUP BY sha256(text)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.lang,
+             len(list_filter(string_split_regex(k.text, '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             CASE WHEN {bucket} % 10000 < 1000 THEN 'val'
+                  WHEN {bucket} % 10000 < 2000 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM quality_kept k SEMI JOIN content_winners w ON k.doc_id = w.doc_id
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           ceil(sum(n_tokens) / 128.0)::BIGINT AS n_sequences
+    FROM kept WHERE n_tokens > 0
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """
+
+
+@register(
+    "e8_curation_pipeline",
+    _e8_oracle_sql(),
+    "E8 flagship: the full curation flow as ONE declarative plan — URL "
+    "canonical dedup (cheapest pass, 32-byte keys), quality gate, "
+    "exact content dedup (digest-only shuffle), deterministic split, "
+    "then concat-and-chop sequence packing per (split, lang) stream. "
+    "Spark counts ACTUAL packed sequences (countDistinct seq_id); the "
+    "oracle uses the closed form ceil(tokens/128) — they agree exactly "
+    "because packing tiles the token stream (the property test). Every "
+    "filter precedes every shuffle; Catalyst sees the whole pipeline.",
+)
+def e8_curation_pipeline(spark, sf_dir):
+    from mcyj_datapipeline_spark.functions import urls as U
+    from mcyj_datapipeline_spark.operators.sampling import split_assign
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    with_url = docs.withColumn("url", F.expr(_MESSY_URL_SPARK))
+    url_winners = (
+        with_url.groupBy(U.url_key(F.col("url")).alias("_uk"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality_kept = (
+        docs.join(url_winners, "doc_id", "left_semi")
+        .filter(TA.quality_score(F.col("text")) >= 0.5)
+        .select("doc_id", "lang", "text")
+    )
+    content_winners = (
+        quality_kept.groupBy(F.sha2("text", 256).alias("_sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = split_assign(
+        quality_kept.join(content_winners, "doc_id", "left_semi"),
+        key="doc_id",
+    )
+    pieces = TA.pack_training_sequences(
+        kept.withColumn(
+            "stream_key", F.concat_ws("|", "split", "lang")
+        ),
+        seq_len=128,
+        stream_col="stream_key",
+    )
+    return (
+        pieces.withColumn("split", F.split("stream", "\\|")[0])
+        .withColumn("lang", F.split("stream", "\\|")[1])
+        .groupBy("split", "lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("piece_tokens").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_sequences"),
+        )
+        .orderBy("split", "lang")
+    )
