@@ -344,3 +344,19 @@ def test_media_decode_python_is_kernel_only(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert plan.count("MapInPandas") == 2, (name, plan.count("MapInPandas"))
+
+
+def test_e8_pipeline_plan_quality(spark, sf_dir):
+    """E8: the whole curation flow is one Catalyst plan — no Python
+    stages outside sequence bookkeeping, broadcast for the semi-joins
+    against the winner sets (tiny at every scale relative to the fact
+    side at gate SF), and the text column never reaches the packer's
+    window (only token counts shuffle)."""
+    plan = plan_of(spark, sf_dir, "e8_curation_pipeline")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # packing is pure column ops
+    assert "CartesianProduct" not in plan
+    # token counts are computed in a projection BEFORE the window's
+    # exchange (`... AS n#`): the shuffle carries counts, not text
+    window_part = plan.split("Window")[-1]
+    assert " AS n#" in window_part
