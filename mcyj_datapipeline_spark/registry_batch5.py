@@ -645,3 +645,36 @@ def e8_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+# ===========================================================================
+# SQL entry: EXISTS decorrelation (TPC-H Q4 shape)
+# ===========================================================================
+
+# Q4's commit/receipt-date condition maps onto the synthetic schema's
+# returnflag (the correlated-EXISTS shape is what is under test).
+_SQL6 = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM {o}
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND EXISTS (
+        SELECT 1 FROM {l}
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql6_order_priority_exists",
+    _SQL6.format(o="orders", l="lineitem"),
+    "SQL entry, TPC-H Q4 shape: correlated EXISTS — Catalyst "
+    "decorrelates it into a left-semi join (plan-asserted; a naive "
+    "per-row subquery would be quadratic), with the date filter pushed "
+    "into the orders scan.",
+)
+def sql6_order_priority_exists(spark, sf_dir):
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"sql6_{t}")
+    return spark.sql(_SQL6.format(o="sql6_orders", l="sql6_lineitem"))

@@ -360,3 +360,9 @@ def test_e8_pipeline_plan_quality(spark, sf_dir):
     # exchange (`... AS n#`): the shuffle carries counts, not text
     window_part = plan.split("Window")[-1]
     assert " AS n#" in window_part
+
+
+def test_sql6_exists_becomes_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sql6_order_priority_exists")
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in plan.split("DataFilters")[1][:300]
