@@ -57,3 +57,26 @@ def test_url_key_is_case_and_order_insensitive(spark):
     )
     keys = {r["k"] for r in df.select(U.url_key(F.col("url")).alias("k")).collect()}
     assert len(keys) == 1
+
+
+def test_ipv6_and_odd_hosts_documented_behavior(spark):
+    """IPv6 bracket hosts: the port-strip regex removes ':8080' but the
+    bracket form is preserved as-is (lowercased); registered_domain
+    yields '' for non-dotted hosts — documented naive-eTLD behavior,
+    not silent corruption."""
+    df = spark.createDataFrame(
+        [("http://[2001:DB8::1]:8080/x",), ("http://localhost:9090/y",)],
+        "url string",
+    )
+    rows = df.select(
+        U.url_host(F.col("url")).alias("h"),
+        U.registered_domain(U.url_host(F.col("url"))).alias("d"),
+        U.normalize_url(F.col("url")).alias("c"),
+    ).collect()
+    ipv6, local = rows
+    assert ipv6["h"] == "[2001:db8::1]"
+    assert ipv6["d"] == ""            # bracket host: no eTLD+1
+    assert ipv6["c"] == "http://[2001:db8::1]:8080/x"
+    assert local["h"] == "localhost"
+    assert local["d"] == ""           # single-label host: no eTLD+1
+    assert local["c"] == "http://localhost:9090/y"
