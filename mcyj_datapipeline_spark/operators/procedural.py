@@ -217,3 +217,106 @@ def salvage_json(text: str) -> dict | None:
                 except ValueError:
                     start = None
     return None
+
+
+# ---------------------------------------------------------------------------
+# Real PDF text extraction for the simple subset (stdlib-only) — the
+# same pattern as the WAV/PNG kernels in multimodal.py: pdfplumber
+# remains the auto-path for arbitrary PDFs, but uncompressed/Flate
+# content streams with literal-string Tj/TJ operators need no external
+# library at all.
+# ---------------------------------------------------------------------------
+
+
+def synth_simple_pdf(page_texts: list[str]) -> bytes:
+    """A syntactically complete N-page PDF (catalog, page tree, one
+    Flate content stream per page, xref, trailer) drawing each page's
+    text with the built-in Helvetica — valid input for pdfplumber AND
+    for :func:`_stdlib_pdf_pages`."""
+    import zlib
+
+    n = len(page_texts)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    # (4+2i) page object, (5+2i) content stream
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, text in enumerate(page_texts):
+        esc = (
+            text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+        stream = zlib.compress(
+            f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode()
+        )
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {5 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+        objects.append(
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _stdlib_pdf_pages(content: bytes) -> list[str]:
+    """REAL extractor for the simple PDF subset: walks content streams
+    (raw or FlateDecode), pulls literal strings shown via ``Tj`` / ``TJ``
+    and unescapes them; each content stream that shows text is one page
+    (true for the one-stream-per-page layout every simple generator
+    emits). Raises ValueError when the file is not a PDF — poison
+    policy belongs to the caller, exactly like the PNG kernel."""
+    import re
+    import zlib
+
+    if not content.startswith(b"%PDF"):
+        raise ValueError("not a PDF")
+    pages: list[str] = []
+    for m in re.finditer(
+        rb"<<(?P<dict>[^>]*)>>\s*stream\r?\n(?P<body>.*?)endstream",
+        content,
+        re.DOTALL,
+    ):
+        body = m.group("body").rstrip(b"\r\n")
+        if b"FlateDecode" in m.group("dict"):
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        shown = re.findall(rb"\(((?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")", body)
+        shown += [
+            s
+            for arr in re.findall(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", body)
+            for s in re.findall(rb"\(((?:\\.|[^\\()])*)\)", arr)
+        ]
+        if not shown:
+            continue
+        page = "".join(
+            s.decode("latin-1")
+            .replace(r"\(", "(")
+            .replace(r"\)", ")")
+            .replace(r"\\", "\\")
+            for s in shown
+        )
+        pages.append(page)
+    return pages

@@ -678,3 +678,68 @@ def sql6_order_priority_exists(spark, sf_dir):
     for t in ("orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"sql6_{t}")
     return spark.sql(_SQL6.format(o="sql6_orders", l="sql6_lineitem"))
+
+
+# ===========================================================================
+# U1b — REAL PDF text extraction (stdlib subset), same pattern as WAV/PNG
+# ===========================================================================
+
+@register(
+    "u1b_pdf_stdlib_extract",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(1, 1 + doc_id % 3))::BIGINT AS page_no,
+           printf('Doc %d page %d', doc_id, unnest(generate_series(1, 1 + doc_id % 3))) AS page_text
+    FROM documents
+    """,
+    "U1 real path: per-doc synthetic multi-page PDFs (Flate content "
+    "streams, correct xref) extracted by an actual stdlib parser "
+    "(stream walk, inflate, Tj/TJ literal-string pull with escape "
+    "handling) — the oracle's closed-form page texts only match if the "
+    "parser truly reads the container. pdfplumber remains the auto "
+    "path for arbitrary PDFs (reference extract_pdf_text.py:98-105).",
+)
+def u1b_pdf_stdlib_extract(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        extract_pdf_text,
+        synth_simple_pdf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "sha256": ids.astype("str"),
+                    "content": [
+                        synth_simple_pdf(
+                            [
+                                f"Doc {int(i)} page {p}"
+                                for p in range(1, 2 + int(i) % 3)
+                            ]
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="sha256 string, content binary"
+    )
+    extracted = extract_pdf_text(media, extractor=_stdlib_pdf_pages)
+    return extracted.select(
+        F.col("sha256").cast("long").alias("media_id"),
+        F.posexplode("text").alias("page_idx", "page_text"),
+    ).select(
+        "media_id",
+        (F.col("page_idx") + 1).cast("long").alias("page_no"),
+        "page_text",
+    )

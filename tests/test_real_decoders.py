@@ -273,3 +273,44 @@ def test_png_decode_rejects_non_png():
 
     with _pytest.raises(ValueError):
         _png_decode_image(b"GIF89a not a png")
+
+
+# ---------------------------------------------------------------------------
+# PDF: real stdlib extractor for the simple subset (Flate/raw streams,
+# literal-string Tj/TJ) — does not skip.
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_stdlib_extract_multipage_and_escapes():
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        synth_simple_pdf,
+    )
+
+    texts = ["Hello (world)", "Back\\slash page", "Plain third"]
+    assert _stdlib_pdf_pages(synth_simple_pdf(texts)) == texts
+
+
+def test_pdf_stdlib_extract_rejects_non_pdf():
+    import pytest as _pytest
+
+    from mcyj_datapipeline_spark.operators.procedural import _stdlib_pdf_pages
+
+    with _pytest.raises(ValueError):
+        _stdlib_pdf_pages(b"%PNG nope")
+
+
+def test_pdf_stdlib_agrees_with_pdfplumber_if_present():
+    pdfplumber = pytest.importorskip("pdfplumber")
+    import io
+
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        synth_simple_pdf,
+    )
+
+    texts = ["Cross check one", "Cross check two"]
+    blob = synth_simple_pdf(texts)
+    with pdfplumber.open(io.BytesIO(blob)) as pdf:
+        ref = [p.extract_text() or "" for p in pdf.pages]
+    assert _stdlib_pdf_pages(blob) == ref == texts
