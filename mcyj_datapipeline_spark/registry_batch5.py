@@ -743,3 +743,76 @@ def u1b_pdf_stdlib_extract(spark, sf_dir):
         (F.col("page_idx") + 1).cast("long").alias("page_no"),
         "page_text",
     )
+
+
+# ===========================================================================
+# S10 — WARC record parsing (Common Crawl's container; stdlib parser)
+# ===========================================================================
+
+@register(
+    "s10_warc_record_parse",
+    """
+    WITH recs AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, doc_id % 3)) AS record_no
+      FROM documents
+    )
+    SELECT media_id, record_no::INT AS record_no,
+           CASE WHEN record_no = 0 THEN 'response' ELSE 'request' END
+             AS warc_type,
+           printf('http://site%d.example/page/%d', media_id % 50, media_id)
+             AS target_uri,
+           (CASE WHEN record_no = 0 THEN 40 + media_id % 60
+                 ELSE 10 + record_no END)::BIGINT AS payload_len,
+           CASE WHEN record_no = 0
+                THEN substr(repeat(printf('B%d ', media_id),
+                            (40 + media_id % 60 + 3) // 3), 1,
+                            least(32, 40 + media_id % 60))
+                ELSE substr('R' || repeat('q', 127), 1, 10 + record_no)
+           END AS payload_prefix
+    FROM recs
+    """,
+    "S10 source format: WARC (ISO 28500, the Common Crawl container) "
+    "parsed by a real stdlib record walker — headers to the blank "
+    "line, payload sliced by Content-Length (payloads may contain "
+    "separators), truncated trailers stop cleanly. One file row in -> "
+    "N record rows out; files are the unit of parallelism so no "
+    "shuffle precedes extraction. Closed-form oracle over synthesized "
+    "multi-record files.",
+)
+def s10_warc_record_parse(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.io import parse_warc_records, synth_warc
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out_ids, out_bufs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                body = ("B%d " % i).encode()
+                body = (body * ((40 + i % 60) // len(body) + 1))[: 40 + i % 60]
+                recs = [
+                    ("response", f"http://site{i % 50}.example/page/{i}", body)
+                ]
+                for r in range(1, (i % 3) + 1):
+                    recs.append(
+                        (
+                            "request",
+                            f"http://site{i % 50}.example/page/{i}",
+                            ("R" + "q" * 127)[: 10 + r].encode(),
+                        )
+                    )
+                out_ids.append(i)
+                out_bufs.append(synth_warc(recs))
+            yield pd.DataFrame({"media_id": out_ids, "content": out_bufs})
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    return parse_warc_records(media)

@@ -326,3 +326,30 @@ def test_zorder_write_bounds_both_dimensions(spark, sf_dir):
         avg_span = sum(b[col][1] - b[col][0] for b in bounds) / len(bounds)
         # Random placement would give every file ~the full range.
         assert avg_span < 0.8 * (g_hi - g_lo), col
+
+
+def test_warc_payload_may_contain_separators(spark):
+    """Payloads are sliced by Content-Length, so a payload containing
+    the record separator (or a fake version line) must not split the
+    record or spawn phantom records."""
+    from mcyj_datapipeline_spark.io import parse_warc_records, synth_warc
+
+    evil = b"x\r\n\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nyy"
+    buf = synth_warc(
+        [("response", "http://a.io/1", evil), ("request", "http://a.io/1", b"GET")]
+    )
+    df = spark.createDataFrame([(7, bytearray(buf))], "media_id long, content binary")
+    rows = parse_warc_records(df).collect()
+    assert [r["warc_type"] for r in rows] == ["response", "request"]
+    assert rows[0]["payload_len"] == len(evil)
+
+
+def test_warc_truncated_trailer_stops_cleanly(spark):
+    from mcyj_datapipeline_spark.io import parse_warc_records, synth_warc
+
+    buf = synth_warc([("response", "http://a.io/1", b"FULL RECORD")])
+    cut = buf + synth_warc([("response", "http://a.io/2", b"LOST" * 10)])[:-25]
+    df = spark.createDataFrame([(1, bytearray(cut))], "media_id long, content binary")
+    rows = parse_warc_records(df).collect()
+    assert len(rows) == 1  # the truncated second record is dropped, no crash
+    assert rows[0]["target_uri"] == "http://a.io/1"
