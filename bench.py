@@ -53,6 +53,7 @@ HEADLINE = [
     "decon_embedding_contamination",
     "sql5_local_supplier_volume",
     "e8_curation_pipeline",
+    "s10_warc_record_parse",
 ]
 
 
