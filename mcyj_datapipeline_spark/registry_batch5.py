@@ -816,3 +816,66 @@ def s10_warc_record_parse(spark, sf_dir):
         synth, schema="media_id long, content binary"
     )
     return parse_warc_records(media)
+
+
+# ===========================================================================
+# S11 — HTML main-text extraction (stdlib html.parser; trafilatura-lite)
+# ===========================================================================
+
+@register(
+    "s11_html_text_extract",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN printf('Page %d', doc_id)
+                ELSE '' END AS title,
+           CASE WHEN doc_id % 2 = 0
+                THEN printf('Heading %d Body paragraph %d for document. More Info',
+                            doc_id, doc_id)
+                ELSE printf('Odd %d content bold', doc_id)
+           END AS text,
+           CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END::INT AS n_links
+    FROM documents
+    """,
+    "S11 source format: HTML -> visible text via a real stdlib "
+    "html.parser kernel — script/style/head subtrees skipped, entities "
+    "decoded, block boundaries spaced, inline tags never split words, "
+    "links counted; malformed markup (odd docs: unclosed tags) "
+    "degrades to best-effort text instead of failing. Follows the WARC "
+    "walk as a second shuffle-free map stage.",
+)
+def s11_html_text_extract(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+    from mcyj_datapipeline_spark.operators.procedural import (
+        extract_html_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    html = (
+                        f"<html><head><title>Page {i}</title>"
+                        f"<script>var x={i};</script><style>p{{}}</style>"
+                        f"</head><body><h1>Heading {i}</h1>"
+                        f"<p>Body paragraph {i} for document.</p>"
+                        f'<a href="/l1">More</a> <a href="/l2">Info</a>'
+                        f"</body></html>"
+                    )
+                else:
+                    html = f"<html><body><p>Odd {i} content <b>bold"
+                ids.append(i)
+                pages.append(html)
+            yield pd.DataFrame({"media_id": ids, "content": pages})
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content string"
+    )
+    return extract_html_text(media)

@@ -314,3 +314,26 @@ def test_pdf_stdlib_agrees_with_pdfplumber_if_present():
     with pdfplumber.open(io.BytesIO(blob)) as pdf:
         ref = [p.extract_text() or "" for p in pdf.pages]
     assert _stdlib_pdf_pages(blob) == ref == texts
+
+
+# ---------------------------------------------------------------------------
+# HTML: real stdlib extractor — does not skip.
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_entities_blocks_inline_and_poison():
+    from mcyj_datapipeline_spark.operators.procedural import _extract_html
+
+    title, text, n_links = _extract_html(
+        "<html><head><title>A&amp;B</title><script>var s='<p>x</p>';</script>"
+        "</head><body><h1>H</h1><p>un<b>usual</b> &lt;word&gt;</p>"
+        "<a href=a>l1</a><a href=b>l2</a><noscript>no</noscript></body>"
+    )
+    assert title == "A&B"
+    assert text == "H unusual <word> l1l2"  # inline <a> never splits
+    assert n_links == 2
+    # malformed: unclosed everything, still best-effort
+    _, poison_text, _ = _extract_html("<div><p>ok <b>still")
+    assert poison_text == "ok still"
+    # empty input
+    assert _extract_html("") == ("", "", 0)
