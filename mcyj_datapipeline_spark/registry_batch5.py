@@ -879,3 +879,57 @@ def s11_html_text_extract(spark, sf_dir):
         synth, schema="media_id long, content string"
     )
     return extract_html_text(media)
+
+
+# ===========================================================================
+# S12 — robots.txt politeness filter (stdlib urllib.robotparser)
+# ===========================================================================
+
+@register(
+    "s12_robots_politeness_filter",
+    """
+    SELECT doc_id AS url_id,
+           printf('site%d.example', doc_id % 10) AS host,
+           CASE
+             WHEN doc_id % 3 = 0 THEN FALSE                -- /private/ always blocked
+             WHEN doc_id % 3 = 1 THEN (doc_id % 10) % 2 = 0 -- /tmp/ blocked on odd domains
+             ELSE TRUE                                      -- /public/ allowed
+           END AS allowed
+    FROM documents
+    """,
+    "S12 crawl politeness: per-host robots.txt evaluated by the REAL "
+    "stdlib urllib.robotparser (correct rule precedence) — URLs "
+    "equi-join the one-row-per-domain rules side (AQE broadcasts it), "
+    "one Arrow map evaluates with a per-host parser cache. Hosts "
+    "without rules default to allowed. Closed-form oracle over "
+    "synthesized path/rule combinations.",
+)
+def s12_robots_politeness_filter(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.procedural import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.format_string("site%d.example", (F.col("doc_id") % 10).cast("int")).alias("host"),
+        F.format_string(
+            "http://site%d.example%s",
+            (F.col("doc_id") % 10).cast("int"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.format_string("/private/p%d", F.col("doc_id").cast("int")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.format_string("/tmp/t%d", F.col("doc_id").cast("int")))
+            .otherwise(F.format_string("/public/x%d", F.col("doc_id").cast("int"))),
+        ).alias("url"),
+    )
+    # one rules row per domain: odd domains also disallow /tmp/
+    robots = (
+        urls.select("host").distinct()
+        .withColumn(
+            "robots_txt",
+            F.when(
+                F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 2 == 1,
+                F.lit("User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n"),
+            ).otherwise(F.lit("User-agent: *\nDisallow: /private/\n")),
+        )
+    )
+    return robots_filter(urls, robots)

@@ -337,3 +337,21 @@ def test_html_extract_entities_blocks_inline_and_poison():
     assert poison_text == "ok still"
     # empty input
     assert _extract_html("") == ("", "", 0)
+
+
+def test_robots_filter_missing_rules_defaults_to_allowed(spark):
+    from mcyj_datapipeline_spark.operators.procedural import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.io", "http://a.io/private/x"),
+            (2, "norules.io", "http://norules.io/private/x"),
+        ],
+        "url_id long, host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.io", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    got = {r["url_id"]: r["allowed"] for r in robots_filter(urls, robots).collect()}
+    assert got == {1: False, 2: True}
