@@ -486,3 +486,60 @@ def robots_filter(
     )
     src = spread_for_compute(joined, id_col)
     return src.mapInPandas(kernel, schema=ROBOTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real charset sniffing (BOM detection + strict decode attempts) — the
+# step before any text op when ingesting raw crawl bytes.
+# ---------------------------------------------------------------------------
+
+CHARSET_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("encoding", T.StringType()),
+        T.StructField("clean_decode", T.BooleanType()),
+        T.StructField("text_prefix", T.StringType()),
+    ]
+)
+
+
+def sniff_decode_text(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    prefix_chars: int = 32,
+) -> DataFrame:
+    """Detect encoding and decode: BOMs first (UTF-8-sig, UTF-16 LE/BE),
+    then a STRICT utf-8 attempt, then the latin-1 total fallback (every
+    byte maps, so ``clean_decode`` is False to flag the guess). These
+    are real ``bytes.decode`` calls, not length heuristics — the
+    decode-or-fallback policy every web-ingest pipeline needs before
+    text ops. One Arrow map, no shuffle."""
+
+    def _sniff(buf: bytes):
+        if buf.startswith(b"\xef\xbb\xbf"):
+            return "utf-8-sig", True, buf[3:].decode("utf-8", "replace")
+        if buf.startswith(b"\xff\xfe"):
+            return "utf-16-le", True, buf[2:].decode("utf-16-le", "replace")
+        if buf.startswith(b"\xfe\xff"):
+            return "utf-16-be", True, buf[2:].decode("utf-16-be", "replace")
+        try:
+            return "utf-8", True, buf.decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            return "latin-1", False, buf.decode("latin-1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for mid, content in zip(pdf_batch[id_col], pdf_batch[content_col]):
+                enc, clean, text = _sniff(
+                    bytes(content) if content is not None else b""
+                )
+                rows.append((int(mid), enc, clean, text[:prefix_chars]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "encoding", "clean_decode", "text_prefix"],
+            )
+
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=CHARSET_SCHEMA)

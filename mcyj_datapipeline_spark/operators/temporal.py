@@ -166,3 +166,34 @@ def interval_overlap_join(
         .drop("_bucket")
     )
     return joined.dropDuplicates()
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    id_col: str = "url_id",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Crawl-frontier scheduling: assign each URL a fetch offset that
+    honors its host's crawl delay — the i-th URL of a host fetches at
+    ``i * delay`` seconds. One window per host (ordered by ``id_col``
+    for determinism) joined against the one-row-per-domain delay table
+    (broadcast side). The schedule is a pure function of (host, rank),
+    so retries and re-runs agree; real crawlers add jitter on top.
+
+    At 100 TB of frontier this is exactly the per-host sequence the
+    politeness constraint forces — the window partitions by host, so no
+    global ordering ever materializes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(id_col)
+    return (
+        urls.join(F.broadcast(delays), host_col)
+        .withColumn("_rank", F.row_number().over(w) - 1)
+        .select(
+            id_col,
+            host_col,
+            (F.col("_rank") * F.col(delay_col)).cast("long").alias("fetch_at_s"),
+        )
+    )

@@ -933,3 +933,110 @@ def s12_robots_politeness_filter(spark, sf_dir):
         )
     )
     return robots_filter(urls, robots)
+
+
+# ===========================================================================
+# S13 — charset sniff + decode (real bytes.decode attempts)
+# ===========================================================================
+
+@register(
+    "s13_charset_sniff_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'utf-8-sig'
+             WHEN 1 THEN 'utf-16-le'
+             WHEN 2 THEN 'latin-1'
+             ELSE 'utf-8'
+           END AS encoding,
+           doc_id % 4 <> 2 AS clean_decode,
+           CASE doc_id % 4
+             WHEN 0 THEN printf('Héllo %d', doc_id)
+             WHEN 1 THEN printf('Wide %d', doc_id)
+             WHEN 2 THEN printf('Àbad %d', doc_id)
+             ELSE printf('Plain %d', doc_id)
+           END AS text_prefix
+    FROM documents
+    """,
+    "S13 ingest: charset sniffing with REAL decode attempts — BOM "
+    "detection (UTF-8-sig, UTF-16 LE), strict utf-8 try, latin-1 "
+    "total fallback flagged as unclean. Synthesized byte patterns per "
+    "case (BOM'd utf-8, BOM'd utf-16, invalid-utf-8 high byte, plain "
+    "ascii) with closed-form expected decodes.",
+)
+def s13_charset_sniff_decode(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+    from mcyj_datapipeline_spark.operators.procedural import sniff_decode_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, bufs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 4 == 0:
+                    b = b"\xef\xbb\xbf" + f"Héllo {i}".encode("utf-8")
+                elif i % 4 == 1:
+                    b = b"\xff\xfe" + f"Wide {i}".encode("utf-16-le")
+                elif i % 4 == 2:
+                    # 0xC0 is an invalid utf-8 lead byte -> latin-1 'À'
+                    b = b"\xc0" + f"bad {i}".encode("ascii")
+                else:
+                    b = f"Plain {i}".encode("ascii")
+                ids.append(i)
+                bufs.append(b)
+            yield pd.DataFrame({"media_id": ids, "content": bufs})
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    return sniff_decode_text(media)
+
+
+# ===========================================================================
+# T7 — crawl-frontier scheduling (per-host politeness delays)
+# ===========================================================================
+
+@register(
+    "t7_frontier_schedule",
+    """
+    WITH urls AS (
+      SELECT doc_id AS url_id,
+             printf('site%d.example', doc_id % 10) AS host
+      FROM documents
+    ),
+    ranked AS (
+      SELECT url_id, host,
+             row_number() OVER (PARTITION BY host ORDER BY url_id) - 1 AS rk
+      FROM urls
+    )
+    SELECT url_id, host,
+           (rk * (1 + (CAST(regexp_extract(host, 'site(\\d+)', 1) AS INT) % 5)))::BIGINT
+             AS fetch_at_s
+    FROM ranked
+    """,
+    "T7 crawl-frontier scheduling: i-th URL of a host fetches at "
+    "i * crawl_delay — window per host (never global), one-row-per-"
+    "domain delay table broadcast; the schedule is a pure function of "
+    "(host, rank) so retries agree.",
+)
+def t7_frontier_schedule(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.temporal import frontier_schedule
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.format_string(
+            "site%d.example", (F.col("doc_id") % 10).cast("int")
+        ).alias("host"),
+    )
+    delays = urls.select("host").distinct().withColumn(
+        "crawl_delay_s",
+        1 + (F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 5),
+    )
+    return frontier_schedule(urls, delays)

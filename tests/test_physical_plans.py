@@ -366,3 +366,9 @@ def test_sql6_exists_becomes_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql6_order_priority_exists")
     assert "LeftSemi" in plan
     assert "o_orderdate" in plan.split("DataFilters")[1][:300]
+
+
+def test_frontier_schedule_window_is_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "t7_frontier_schedule")
+    assert "WindowExec: No Partition Defined" not in plan
+    assert "BroadcastHashJoin" in plan  # delay table rides broadcast

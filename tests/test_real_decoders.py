@@ -355,3 +355,20 @@ def test_robots_filter_missing_rules_defaults_to_allowed(spark):
     )
     got = {r["url_id"]: r["allowed"] for r in robots_filter(urls, robots).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_charset_sniff_edges(spark):
+    from mcyj_datapipeline_spark.operators.procedural import sniff_decode_text
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"")),                      # empty: utf-8, clean
+            (2, bytearray(b"\xfe\xff\x00A")),          # UTF-16-BE BOM
+            (3, None),                                 # null content
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in sniff_decode_text(df).collect()}
+    assert (rows[1]["encoding"], rows[1]["clean_decode"]) == ("utf-8", True)
+    assert rows[2]["encoding"] == "utf-16-be" and rows[2]["text_prefix"] == "A"
+    assert rows[3]["encoding"] == "utf-8" and rows[3]["text_prefix"] == ""
