@@ -357,6 +357,7 @@ def parse_warc_records(
     df,
     content_col: str = "content",
     id_col: str = "media_id",
+    with_payload: bool = False,
 ):
     """REAL WARC parser over a binary column: walks records by version
     line, reads headers until the blank line, slices the payload by
@@ -376,16 +377,19 @@ def parse_warc_records(
         spread_for_compute,
     )
 
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("record_no", T.IntegerType()),
-            T.StructField("warc_type", T.StringType()),
-            T.StructField("target_uri", T.StringType()),
-            T.StructField("payload_len", T.LongType()),
-            T.StructField("payload_prefix", T.StringType()),
-        ]
-    )
+    fields = [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("record_no", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("payload_len", T.LongType()),
+        T.StructField("payload_prefix", T.StringType()),
+    ]
+    if with_payload:
+        # full payload for downstream extraction stages (E9); latin-1 is
+        # the byte-transparent carrier — charset handling is its own op
+        fields.append(T.StructField("payload", T.StringType()))
+    schema = T.StructType(fields)
 
     def _records(buf: bytes):
         pos, n = 0, 0
@@ -410,13 +414,16 @@ def parse_warc_records(
             payload = buf[hdr_end + 4:hdr_end + 4 + clen]
             if len(payload) < clen:
                 return  # truncated record: stop, don't guess
-            yield (
+            rec = (
                 n,
                 headers.get("warc-type", ""),
                 headers.get("warc-target-uri", ""),
                 clen,
                 payload[:32].decode("latin-1"),
             )
+            if with_payload:
+                rec += (payload.decode("latin-1"),)
+            yield rec
             n += 1
             pos = hdr_end + 4 + clen
 
@@ -428,13 +435,13 @@ def parse_warc_records(
                     continue
                 for rec in _records(bytes(content)):
                     rows.append((int(mid), *rec))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "record_no", "warc_type", "target_uri",
-                    "payload_len", "payload_prefix",
-                ],
-            )
+            cols = [
+                "media_id", "record_no", "warc_type", "target_uri",
+                "payload_len", "payload_prefix",
+            ]
+            if with_payload:
+                cols.append("payload")
+            yield pd.DataFrame(rows, columns=cols)
 
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=schema)

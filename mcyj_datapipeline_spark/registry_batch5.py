@@ -1040,3 +1040,88 @@ def t7_frontier_schedule(spark, sf_dir):
         1 + (F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 5),
     )
     return frontier_schedule(urls, delays)
+
+
+# ===========================================================================
+# E9 — acquisition flagship: WARC -> HTML -> quality in one plan
+# ===========================================================================
+
+def _e9_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry_batch3 import _E4_QUALITY_SQL
+
+    quality_over_synth = _E4_QUALITY_SQL.replace("FROM documents", "FROM e9_synth")
+    return f"""
+    WITH e9_synth AS (
+      SELECT doc_id,
+             printf('Crawl heading %d Crawl body paragraph number %d with several plain words.',
+                    doc_id, doc_id) AS text,
+             'en' AS lang
+      FROM documents
+    ),
+    scored AS ({quality_over_synth})
+    SELECT doc_id AS media_id,
+           printf('Crawl page %d', doc_id) AS title,
+           text, quality
+    FROM scored
+    """
+
+
+@register(
+    "e9_acquisition_pipeline",
+    _e9_oracle_sql(),
+    "E9 acquisition flagship: the upstream half of the corpus flow as "
+    "one plan — WARC record walk (response records only), HTML "
+    "main-text extraction from the payloads, heuristic quality scoring "
+    "on the extracted text. Map-only stages end to end. The oracle "
+    "re-applies the engine's own quality formula (the E4 SQL twin) to "
+    "the closed-form page text.",
+)
+def e9_acquisition_pipeline(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.io import parse_warc_records, synth_warc
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+    from mcyj_datapipeline_spark.operators.procedural import extract_html_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, bufs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                html = (
+                    f"<html><head><title>Crawl page {i}</title>"
+                    f"<script>track({i});</script></head>"
+                    f"<body><h1>Crawl heading {i}</h1>"
+                    f"<p>Crawl body paragraph number {i} with several "
+                    f"plain words.</p></body></html>"
+                )
+                recs = [
+                    ("request", f"http://site{i % 50}.example/p/{i}", b"GET"),
+                    (
+                        "response",
+                        f"http://site{i % 50}.example/p/{i}",
+                        html.encode(),
+                    ),
+                ]
+                ids.append(i)
+                bufs.append(synth_warc(recs))
+            yield pd.DataFrame({"media_id": ids, "content": bufs})
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    records = parse_warc_records(media, with_payload=True)
+    pages = records.filter(F.col("warc_type") == "response").select(
+        "media_id", F.col("payload").alias("content")
+    )
+    extracted = extract_html_text(pages)
+    return extracted.select(
+        "media_id",
+        "title",
+        "text",
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+    )

@@ -372,3 +372,14 @@ def test_frontier_schedule_window_is_partitioned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "t7_frontier_schedule")
     assert "WindowExec: No Partition Defined" not in plan
     assert "BroadcastHashJoin" in plan  # delay table rides broadcast
+
+
+def test_e9_acquisition_is_shuffle_free(spark, sf_dir):
+    """E9: WARC walk -> HTML extract -> quality score are consecutive
+    map stages. The only allowed exchange is the single head-of-chain
+    compute spread (REPARTITION to core count) — downstream kernels
+    must reuse that partitioning, never re-shuffle between stages."""
+    plan = plan_of(spark, sf_dir, "e9_acquisition_pipeline")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "REPARTITION" in plan  # the spread, not a semantic shuffle
+    assert plan.count("MapInPandas") == 3  # synth, WARC, HTML
