@@ -54,6 +54,7 @@ HEADLINE = [
     "sql5_local_supplier_volume",
     "e8_curation_pipeline",
     "s10_warc_record_parse",
+    "e9_acquisition_pipeline",
 ]
 
 
