@@ -445,3 +445,80 @@ def parse_warc_records(
 
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML parsing (stdlib xml.etree) — the discovery side of the
+# crawl chain (robots.txt points here; URLs found here feed the
+# frontier scheduler).
+# ---------------------------------------------------------------------------
+
+
+def synth_sitemap(entries: list[tuple[str, str, str]]) -> str:
+    """Valid sitemap XML (sitemaps.org schema) from (loc, lastmod,
+    changefreq) entries."""
+    urls = "".join(
+        f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod>"
+        f"<changefreq>{freq}</changefreq></url>"
+        for loc, lastmod, freq in entries
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{urls}</urlset>"
+    )
+
+
+def parse_sitemaps(
+    df,
+    content_col: str = "content",
+    id_col: str = "media_id",
+):
+    """REAL sitemap parser (stdlib ElementTree, namespace-aware): one
+    sitemap document row in → one row per <url> entry out. Malformed
+    XML yields zero rows for that document (poison policy: skip, never
+    fail the stage); missing optional fields surface as nulls."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+            T.StructField("changefreq", T.StringType()),
+        ]
+    )
+    NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+    def kernel(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    root = ET.fromstring(str(content))
+                except ET.ParseError:
+                    continue
+                for url in root.iter(f"{NS}url"):
+                    get = lambda tag: (  # noqa: E731
+                        url.findtext(f"{NS}{tag}") or None
+                    )
+                    loc = get("loc")
+                    if loc is None:
+                        continue
+                    rows.append((int(mid), loc, get("lastmod"), get("changefreq")))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "loc", "lastmod", "changefreq"]
+            )
+
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=schema)

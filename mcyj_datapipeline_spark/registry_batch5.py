@@ -1125,3 +1125,65 @@ def e9_acquisition_pipeline(spark, sf_dir):
         "text",
         F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
     )
+
+
+# ===========================================================================
+# S14 — sitemap XML parsing (stdlib ElementTree, namespace-aware)
+# ===========================================================================
+
+@register(
+    "s14_sitemap_parse",
+    """
+    WITH entries AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, doc_id % 4)) AS k
+      FROM documents
+      WHERE doc_id % 7 <> 0   -- every 7th sitemap is malformed: 0 rows
+    )
+    SELECT media_id,
+           printf('http://site%d.example/page/%d', media_id % 50, k) AS loc,
+           printf('2026-0%d-01', 1 + k % 9) AS lastmod,
+           CASE WHEN k % 2 = 0 THEN 'daily' ELSE 'weekly' END AS changefreq
+    FROM entries
+    """,
+    "S14 crawl discovery: sitemap XML parsed by the real stdlib "
+    "ElementTree (namespace-aware, per sitemaps.org schema) — one "
+    "document row in, one row per <url> out; malformed XML skips the "
+    "document instead of failing the stage (every 7th synthesized "
+    "sitemap is truncated mid-tag to prove it).",
+)
+def s14_sitemap_parse(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.io import parse_sitemaps, synth_sitemap
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids, xmls = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                xml = synth_sitemap(
+                    [
+                        (
+                            f"http://site{i % 50}.example/page/{k}",
+                            f"2026-0{1 + k % 9}-01",
+                            "daily" if k % 2 == 0 else "weekly",
+                        )
+                        for k in range(1 + i % 4)
+                    ]
+                )
+                if i % 7 == 0:
+                    xml = xml[: len(xml) // 2]  # truncated mid-document
+                ids.append(i)
+                xmls.append(xml)
+            yield pd.DataFrame({"media_id": ids, "content": xmls})
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="media_id long, content string"
+    )
+    return parse_sitemaps(media)

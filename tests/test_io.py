@@ -353,3 +353,23 @@ def test_warc_truncated_trailer_stops_cleanly(spark):
     rows = parse_warc_records(df).collect()
     assert len(rows) == 1  # the truncated second record is dropped, no crash
     assert rows[0]["target_uri"] == "http://a.io/1"
+
+
+def test_sitemap_parse_missing_fields_and_poison(spark):
+    from mcyj_datapipeline_spark.io import parse_sitemaps
+
+    ok = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a.io/1</loc></url>"   # no lastmod/changefreq
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [(1, ok), (2, "<urlset><url><loc>busted")],
+        "media_id long, content string",
+    )
+    rows = parse_sitemaps(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["loc"] == "http://a.io/1"
+    assert rows[0]["lastmod"] is None and rows[0]["changefreq"] is None
