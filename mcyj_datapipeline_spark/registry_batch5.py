@@ -1187,3 +1187,52 @@ def s14_sitemap_parse(spark, sf_dir):
         synth, schema="media_id long, content string"
     )
     return parse_sitemaps(media)
+
+
+# ===========================================================================
+# Lang-ID evaluation: confusion matrix of heuristic prediction vs label
+# ===========================================================================
+
+def _langid_confusion_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry import _REGISTRY
+
+    pred_sql = _REGISTRY["text_lang_id"][1]
+    return f"""
+    WITH pred AS ({pred_sql})
+    SELECT d.lang, p.lang_pred, count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY d.lang), 6)
+             AS share_of_label
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY d.lang, p.lang_pred
+    """
+
+
+@register(
+    "text_langid_confusion",
+    _langid_confusion_oracle_sql(),
+    "Lang-ID evaluation: confusion matrix of the heuristic predictor "
+    "against the corpus label, with each cell's share of its true-label "
+    "row (the per-class recall diagonal) — the classifier-evaluation "
+    "query any curation pipeline runs before trusting a filter. One "
+    "aggregation; the share window runs over the label-grain result.",
+)
+def text_langid_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "doc_id", "lang", TA.lang_id(F.col("text")).alias("lang_pred")
+    )
+    counts = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_label = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_label), 6).alias(
+            "share_of_label"
+        ),
+    ).orderBy("lang", "lang_pred")
