@@ -522,3 +522,36 @@ def parse_sitemaps(
 
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=schema)
+
+
+def compact_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized for scan efficiency. The operational fix for the classic
+    100 TB failure mode — streaming/incremental jobs leave thousands of
+    KB-sized files per partition, and every downstream scan then pays
+    per-file open/footer costs and tiny-task scheduling overhead.
+
+    File count comes from actual input BYTES (not row counts): total
+    size / target, minimum 1. Uses coalesce (narrow — no shuffle; the
+    goal is fewer output files, not a new distribution); pair with
+    write_range_clustered when the rewrite should also establish
+    clustering. Returns the number of files written."""
+    import glob as _glob
+    import os as _os
+
+    total_bytes = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(src_dir, "**", "*.parquet"),
+                            recursive=True)
+    )
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    return len(
+        [p for p in _os.listdir(dst_dir) if p.endswith(".parquet")]
+    )

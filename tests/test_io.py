@@ -373,3 +373,25 @@ def test_sitemap_parse_missing_fields_and_poison(spark):
     assert len(rows) == 1
     assert rows[0]["loc"] == "http://a.io/1"
     assert rows[0]["lastmod"] is None and rows[0]["changefreq"] is None
+
+
+def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    """Many tiny files in -> few right-sized files out, data identical
+    (same rows, any order)."""
+    from mcyj_datapipeline_spark.io import compact_parquet_dir, read_table
+
+    src = str(tmp_path / "small_files")
+    dst = str(tmp_path / "compacted")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(src)  # simulate incremental debris
+
+    import os
+    n_small = len([p for p in os.listdir(src) if p.endswith(".parquet")])
+    assert n_small == 64
+
+    n_out = compact_parquet_dir(spark, src, dst, target_file_mb=128)
+    assert n_out == 1  # tiny table: everything fits one target file
+
+    a = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["o_orderkey"] for r in spark.read.parquet(dst).collect())
+    assert a == b

@@ -71,3 +71,22 @@ def test_train_and_score_deterministic(corpus):
     rb = {r["doc_id"]: round(r["ml_quality_prob"], 6) for r in b.collect()}
     assert ra == rb
     assert len(ra) == 80
+
+
+def test_model_persistence_roundtrip(corpus, tmp_path):
+    """Production pattern: train ONCE, persist, score many batches —
+    a loaded PipelineModel must reproduce byte-identical scores (the
+    registry entry retrains per call only because driver queries must
+    be self-contained)."""
+    from pyspark.ml import PipelineModel
+
+    labeled = weak_quality_labels(corpus)
+    model = train_quality_classifier(labeled, num_features=1 << 12)
+    path = str(tmp_path / "quality_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+
+    a = {r["doc_id"]: r["ml_quality_prob"] for r in score_quality(model, corpus).collect()}
+    b = {r["doc_id"]: r["ml_quality_prob"] for r in score_quality(loaded, corpus).collect()}
+    assert a == b
+    assert len(b) == 80
