@@ -1236,3 +1236,54 @@ def text_langid_confusion(spark, sf_dir):
             "share_of_label"
         ),
     ).orderBy("lang", "lang_pred")
+
+
+# ===========================================================================
+# Int8-quantized ANN search (the 4x-memory corpus side)
+# ===========================================================================
+
+@register(
+    "sim_cosine_topk_int8",
+    None,  # no closed form: quantization error shifts ranks; the recall
+    # floor vs the float baseline is asserted in tests instead
+    "Similarity at memory scale: top-k cosine where the CORPUS side is "
+    "int8-quantized (4x smaller residency — at 100 TB of embeddings "
+    "the quantized copy is what fits the cluster) and dequantized "
+    "on the fly inside the scan; queries stay float. Recall@5 vs the "
+    "float brute-force baseline asserted >= 0.9 in "
+    "tests/test_dedup_similarity.py.",
+)
+def sim_cosine_topk_int8(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        dequantize_int8(quantize_int8(F.col("e"))).alias("cv"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

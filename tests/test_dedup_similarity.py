@@ -448,3 +448,18 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert len(cont) == 1
     assert (cont[0]["id_a"], cont[0]["id_b"]) == (1, 2)
     assert cont[0]["containment"] == 1.0
+
+
+def test_int8_topk_recall_vs_float_baseline(spark, sf_dir):
+    """Quantized-corpus search must agree with the float baseline on
+    >= 90% of top-5 neighbors (int8 error bound is ~1/255 per dim)."""
+    from mcyj_datapipeline_spark import registry
+
+    qs = registry.queries()
+    base = qs["sim_cosine_topk_bruteforce"](spark, sf_dir).collect()
+    quant = qs["sim_cosine_topk_int8"](spark, sf_dir).collect()
+    b = {(r["query_id"], r["neighbor_id"]) for r in base}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant}
+    assert len(b) == len(q)
+    recall = len(b & q) / len(b)
+    assert recall >= 0.9, recall
