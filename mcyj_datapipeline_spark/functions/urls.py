@@ -25,7 +25,10 @@ TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Anchored so a '?' inside the fragment can never be promoted to a
+# query string ([^#?]* cannot skip past the first real '?'): the query
+# is everything after the FIRST '?' that precedes any '#'.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def url_scheme(url: Column) -> Column:

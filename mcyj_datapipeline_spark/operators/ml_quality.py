@@ -170,10 +170,13 @@ def train_and_score(
 ) -> DataFrame:
     """End-to-end convenience: weak-label, train, score the full frame.
 
-    ``train_fraction_cap`` bounds the training set row count (labeled
-    frame is limited AFTER a deterministic sort on the weak label and
-    text hash, keeping the subset stable across runs); at 100 TB you
-    would pass a hash-sampled slice instead of the full corpus.
+    ``train_fraction_cap`` bounds the training set row count. The cap
+    is taken after a deterministic sort on the TEXT HASH ALONE — a
+    stable pseudo-random interleave of both classes — never on the
+    label: sorting label-first would fill the cap entirely with
+    negatives whenever they outnumber it, training a degenerate
+    single-class model. At 100 TB pass a hash-sampled slice instead of
+    the full corpus.
     """
     labeled = weak_quality_labels(docs, text_col=text_col)
     # persist: every L-BFGS iteration is a job over this frame — without
@@ -182,7 +185,7 @@ def train_and_score(
     train = (
         labeled
         .withColumn("_h", F.xxhash64(F.col(text_col)))
-        .orderBy("label", "_h")
+        .orderBy("_h")
         .limit(train_fraction_cap)
         .drop("_h")
         .persist()

@@ -200,7 +200,7 @@ _URL_CANON_DUCK = f"""
                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
                  '/+$', '') AS path0,
              list_sort([p for p in
-                 string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')
+                 string_split(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '&')
                  if p <> '' and not regexp_matches(p, '^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref)=')
              ]) AS params
       FROM raw
@@ -1254,36 +1254,23 @@ def text_langid_confusion(spark, sf_dir):
     "tests/test_dedup_similarity.py.",
 )
 def sim_cosine_topk_int8(spark, sf_dir):
+    # delegate to cosine_topk (same scoring/ranking as the float
+    # baseline, incl. its compute spread) — only the corpus side
+    # changes: a quantize->dequantize round trip.
     from mcyj_datapipeline_spark.operators.similarity import (
-        cosine,
+        cosine_topk,
         dequantize_int8,
         quantize_int8,
     )
-    from pyspark.sql import Window
+    from mcyj_datapipeline_spark.registry import _ann_queries_filter
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        dequantize_int8(quantize_int8(F.col("e"))).alias("cv"),
+        "vec_id", dequantize_int8(quantize_int8(F.col("e"))).alias("embedding")
     )
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    queries = emb.filter(_ann_queries_filter()).select(
+        "vec_id", F.col("e").alias("embedding")
     )
-    scored = (
-        corpus.join(F.broadcast(queries))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "neighbor_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-    )
+    return cosine_topk(corpus, queries, k=5)

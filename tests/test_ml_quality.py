@@ -90,3 +90,21 @@ def test_model_persistence_roundtrip(corpus, tmp_path):
     b = {r["doc_id"]: r["ml_quality_prob"] for r in score_quality(loaded, corpus).collect()}
     assert a == b
     assert len(b) == 80
+
+
+def test_train_cap_interleaves_classes(spark):
+    """Regression: the training cap must sample BOTH classes (hash
+    order), not fill up with whichever label sorts first."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"{GOOD} case {i}") for i in range(40)]
+    rows += [(i + 40, f"{BAD} {'junk ' * (i % 7)}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = train_and_score(docs, num_features=1 << 12, train_fraction_cap=30)
+    agg = (
+        scored.withColumn("is_good", (F.col("doc_id") < 40).cast("int"))
+        .groupBy("is_good").agg(F.avg("ml_quality_prob").alias("p")).collect()
+    )
+    by = {r["is_good"]: r["p"] for r in agg}
+    # a degenerate single-class model scores everything alike
+    assert by[1] - by[0] > 0.5, by

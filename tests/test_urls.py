@@ -80,3 +80,20 @@ def test_ipv6_and_odd_hosts_documented_behavior(spark):
     assert local["h"] == "localhost"
     assert local["d"] == ""           # single-label host: no eTLD+1
     assert local["c"] == "http://localhost:9090/y"
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    """Regression: a '?' INSIDE the fragment must not be promoted to a
+    query string — 'p#frag?x=1' and 'p?x=1' are different resources and
+    must produce different dedup keys."""
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/p#frag?x=1",),
+            ("http://a.com/p?x=1",),
+        ],
+        "url string",
+    )
+    canon = [r["c"] for r in df.select(U.normalize_url(F.col("url")).alias("c")).collect()]
+    assert canon == ["http://a.com/p", "http://a.com/p?x=1"]
+    keys = {r["k"] for r in df.select(U.url_key(F.col("url")).alias("k")).collect()}
+    assert len(keys) == 2
