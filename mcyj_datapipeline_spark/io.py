@@ -62,7 +62,6 @@ def read_csv(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
-    quote_all: bool = False,
 ) -> DataFrame:
     """S1/S2: header CSV scan. With ``schema`` the read is typed and the
     scan prunes columns; without, Spark infers (header-only string cols,
@@ -311,6 +310,11 @@ def write_zordered(
     lo1, hi1, lo2, hi2 = df.agg(
         F.min(c1), F.max(c1), F.min(c2), F.max(c2)
     ).first()
+    if lo1 is None or lo2 is None:
+        # empty (or all-null cluster-column) input: write it as-is —
+        # an empty dataset, like write_range_clustered, not a TypeError
+        df.write.mode("overwrite").parquet(path)
+        return
     z = zorder_value(
         F.col(c1).cast("double"),
         F.col(c2).cast("double"),
@@ -523,35 +527,3 @@ def parse_sitemaps(
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=schema)
 
-
-def compact_parquet_dir(
-    spark,
-    src_dir: str,
-    dst_dir: str,
-    target_file_mb: int = 128,
-) -> int:
-    """Small-files compaction: rewrite a parquet directory into files
-    sized for scan efficiency. The operational fix for the classic
-    100 TB failure mode — streaming/incremental jobs leave thousands of
-    KB-sized files per partition, and every downstream scan then pays
-    per-file open/footer costs and tiny-task scheduling overhead.
-
-    File count comes from actual input BYTES (not row counts): total
-    size / target, minimum 1. Uses coalesce (narrow — no shuffle; the
-    goal is fewer output files, not a new distribution); pair with
-    write_range_clustered when the rewrite should also establish
-    clustering. Returns the number of files written."""
-    import glob as _glob
-    import os as _os
-
-    total_bytes = sum(
-        _os.path.getsize(p)
-        for p in _glob.glob(_os.path.join(src_dir, "**", "*.parquet"),
-                            recursive=True)
-    )
-    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(src_dir)
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
-    return len(
-        [p for p in _os.listdir(dst_dir) if p.endswith(".parquet")]
-    )

@@ -192,7 +192,7 @@ def resize_images(
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                src = bytes(content) if content is not None else b"\x00"
+                src = bytes(content) if content else b"\x00"  # None OR b""
                 n = tw * th
                 stride = max(1, len(src) // n)
                 out = bytes(src[(i * stride) % len(src)] for i in range(n))

@@ -123,10 +123,15 @@ def mixture_resample(
         for r in df.groupBy(stratum).agg(F.count(F.lit(1))).collect()
         if r[0] in targets
     }
-    n_out = min(counts[s] / t for s, t in targets.items() if t > 0)
+    # a target stratum with zero input rows pins the mixture to empty
+    # (can't upsample) — a defined degenerate result, not a KeyError;
+    # likewise an all-zero target dict.
+    ratios = [counts.get(s, 0) / t for s, t in targets.items() if t > 0]
+    n_out = min(ratios) if ratios else 0
     cutoff = F.lit(-1.0)  # unknown strata: bucket < -1 never holds
     for s, t in sorted(targets.items()):
-        rate = min(1.0, (n_out * t) / counts[s])
+        n_s = counts.get(s, 0)
+        rate = 0.0 if n_s == 0 else min(1.0, (n_out * t) / n_s)
         cutoff = F.when(
             F.col(stratum) == s, F.lit(rate * n_buckets)
         ).otherwise(cutoff)

@@ -34,11 +34,17 @@ def asof_join(
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_side", F.lit(1)
     )
+    # Right rows carry their values inside ONE struct: last(ignorenulls)
+    # must key on "was there a right ROW" — a right row whose VALUE is
+    # legitimately NULL still matches (DuckDB ASOF returns its NULL; a
+    # per-column ignorenulls would skip past it to a stale older value).
     r_tagged = (
         right.select(
             key,
             F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+            F.struct(
+                *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+            ).alias("_rvals"),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -51,14 +57,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rvals", ignorenulls=True).over(w).alias("_asof")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols
+        F.col(f"_asof._r_{c}").alias(f"asof_{c}") for c in value_cols
     ]
     return carried.filter(F.col("_side") == 1).select(*out_cols)
 
@@ -128,8 +130,12 @@ def interval_overlap_join(
     Banding: each interval explodes into every fixed-width bucket it
     overlaps; the equi-join on (key, bucket) finds every overlapping
     pair (two overlapping intervals share the bucket containing
-    max(l_start, r_start)), then the exact predicate refines and
-    ``dropDuplicates`` collapses multi-bucket double-hits. Shuffle is
+    max(l_start, r_start)), then the exact predicate refines and the
+    CANONICAL-BUCKET filter (keep the pair only in that shared
+    max-start bucket) collapses multi-bucket double-hits — emitting
+    each pair exactly once without a dedup shuffle, and without
+    conflating genuinely duplicate input rows the way a row-wide
+    ``dropDuplicates`` would. Shuffle is
     on (key, bucket); per-bucket density bounds the quadratic term.
     Pick ``bucket`` near the typical interval length: too small
     multiplies fan-out rows, too large re-creates per-key density."""
@@ -157,15 +163,18 @@ def interval_overlap_join(
         "_bucket",
         F.explode(F.sequence(bucket_of(r_start), bucket_of(r_end), F.lit(1))),
     )
-    joined = (
+    canonical = F.floor(
+        epoch_us(F.greatest(F.col(l_start), F.col(r_start))) / F.lit(bucket_us)
+    )
+    return (
         lb.join(rb, on=[key, "_bucket"])
         .filter(
             (F.col(l_start) <= F.col(r_end))
             & (F.col(r_start) <= F.col(l_end))
         )
+        .filter(F.col("_bucket") == canonical)
         .drop("_bucket")
     )
-    return joined.dropDuplicates()
 
 
 def frontier_schedule(
@@ -174,13 +183,19 @@ def frontier_schedule(
     id_col: str = "url_id",
     host_col: str = "host",
     delay_col: str = "crawl_delay_s",
+    default_delay_s: float = 1.0,
 ) -> DataFrame:
     """Crawl-frontier scheduling: assign each URL a fetch offset that
     honors its host's crawl delay — the i-th URL of a host fetches at
     ``i * delay`` seconds. One window per host (ordered by ``id_col``
-    for determinism) joined against the one-row-per-domain delay table
-    (broadcast side). The schedule is a pure function of (host, rank),
-    so retries and re-runs agree; real crawlers add jitter on top.
+    for determinism) LEFT-joined against the one-row-per-domain delay
+    table (broadcast side) — a host with no delay row schedules at
+    ``default_delay_s`` instead of silently vanishing from the
+    frontier (the missing-rules convention :func:`..procedural
+    .robots_filter` also uses). Offsets stay fractional so sub-second
+    delays keep their politeness spacing. The schedule is a pure
+    function of (host, rank), so retries and re-runs agree; real
+    crawlers add jitter on top.
 
     At 100 TB of frontier this is exactly the per-host sequence the
     politeness constraint forces — the window partitions by host, so no
@@ -188,12 +203,13 @@ def frontier_schedule(
     from pyspark.sql import Window
 
     w = Window.partitionBy(host_col).orderBy(id_col)
+    delay = F.coalesce(F.col(delay_col), F.lit(default_delay_s))
     return (
-        urls.join(F.broadcast(delays), host_col)
+        urls.join(F.broadcast(delays), host_col, "left")
         .withColumn("_rank", F.row_number().over(w) - 1)
         .select(
             id_col,
             host_col,
-            (F.col("_rank") * F.col(delay_col)).cast("long").alias("fetch_at_s"),
+            (F.col("_rank") * delay).cast("double").alias("fetch_at_s"),
         )
     )

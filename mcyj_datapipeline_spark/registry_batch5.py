@@ -1016,7 +1016,7 @@ def s13_charset_sniff_decode(spark, sf_dir):
       FROM urls
     )
     SELECT url_id, host,
-           (rk * (1 + (CAST(regexp_extract(host, 'site(\\d+)', 1) AS INT) % 5)))::BIGINT
+           (rk * (1 + (CAST(regexp_extract(host, 'site(\\d+)', 1) AS INT) % 5)))::DOUBLE
              AS fetch_at_s
     FROM ranked
     """,

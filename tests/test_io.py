@@ -378,7 +378,7 @@ def test_sitemap_parse_missing_fields_and_poison(spark):
 def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     """Many tiny files in -> few right-sized files out, data identical
     (same rows, any order)."""
-    from mcyj_datapipeline_spark.io import compact_parquet_dir, read_table
+    from mcyj_datapipeline_spark.io import compact_parquet, read_table
 
     src = str(tmp_path / "small_files")
     dst = str(tmp_path / "compacted")
@@ -389,7 +389,7 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     n_small = len([p for p in os.listdir(src) if p.endswith(".parquet")])
     assert n_small == 64
 
-    n_out = compact_parquet_dir(spark, src, dst, target_file_mb=128)
+    n_out = compact_parquet(spark, src, dst)
     assert n_out == 1  # tiny table: everything fits one target file
 
     a = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())

@@ -372,3 +372,21 @@ def test_charset_sniff_edges(spark):
     assert (rows[1]["encoding"], rows[1]["clean_decode"]) == ("utf-8", True)
     assert rows[2]["encoding"] == "utf-16-be" and rows[2]["text_prefix"] == "A"
     assert rows[3]["encoding"] == "utf-8" and rows[3]["text_prefix"] == ""
+
+
+def test_frontier_schedule_missing_host_and_fractional_delay(spark):
+    """Regression: hosts absent from the delay table keep their URLs
+    (default delay), and fractional delays preserve spacing instead of
+    truncating to the same integer second."""
+    from mcyj_datapipeline_spark.operators.temporal import frontier_schedule
+
+    urls = spark.createDataFrame(
+        [(1, "a.io"), (2, "a.io"), (3, "a.io"), (4, "nodelay.io")],
+        "url_id long, host string",
+    )
+    delays = spark.createDataFrame(
+        [("a.io", 0.5)], "host string, crawl_delay_s double"
+    )
+    rows = {r["url_id"]: r["fetch_at_s"] for r in frontier_schedule(urls, delays).collect()}
+    assert rows[4] == 0.0          # unknown host scheduled, not dropped
+    assert (rows[1], rows[2], rows[3]) == (0.0, 0.5, 1.0)  # spacing kept
