@@ -374,16 +374,36 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 60-bit fingerprint into 4
-    15-bit chunks; by pigeonhole any pair with Hamming distance ≤ 3
-    agrees on ≥1 chunk, so the chunk self-join finds all such pairs
-    without a cross join. Verify with exact ``bit_count(xor)``.
+    """SimHash near-dup pairs: band the 60-bit fingerprint into
+    ``max_hamming + 1`` near-equal chunks; by pigeonhole any pair with
+    Hamming distance ≤ ``max_hamming`` agrees on ≥1 chunk, so the chunk
+    self-join finds ALL such pairs without a cross join — the chunk
+    count adapts to the requested radius rather than silently missing
+    pairs beyond a fixed banding's guarantee. Verify with exact
+    ``bit_count(xor)``. (Wider radii explode more rows per doc and
+    coarser chunks collide more — recall stays total, candidate cost
+    grows; 60 chunks = radius 59 degenerates to all-pairs, refuse it.)
 
     Two-step projection: materialize the token-hash array first, then
     fold the 60 bit votes over it — one md5 pass per token total.
     Persisted: the chunk explode and both sides of the self-join would
     otherwise re-inline (CollapseProject) the 60-fold signature
-    expression several times over."""
+    expression several times over. (The cache lives until the session
+    clears it — long-lived drivers screening many batches should
+    ``spark.catalog.clearCache()`` between rounds, as bench.py does.)"""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 30:
+        raise ValueError(
+            f"max_hamming={max_hamming}: need 1..29 (chunks of >= 2 bits "
+            "— beyond that the banding degenerates toward all-pairs)"
+        )
+    base, extra = divmod(60, n_chunks)
+    spans = []  # (shift, width) per chunk, covering all 60 bits
+    shift = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        spans.append((shift, width))
+        shift += width
     sigs = simhash_signatures(df, text_col, id_col).persist()
     chunks = sigs.select(
         id_col,
@@ -393,11 +413,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sig"), c * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright(F.col("sig"), sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c, (sh, w) in enumerate(spans)
                 ]
             )
         ).alias("ck"),
@@ -557,14 +577,17 @@ def ngram_contamination(
     a doc don't inflate the score. At 100 TB the corpus side is the
     same explode→groupBy spine as MinHash, so the two passes share the
     shingle relation if materialized."""
+    # shingle_hashes is array_distinct per document, so the exploded
+    # (id, sh) rows are already unique — no corpus-wide distinct needed
+    # (it would be a full hash-aggregate shuffle that removes nothing)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    )
     b = benchmark.select(
         F.col(id_col).alias("bench_id"),
         F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    )
     return (
         c.join(b, "sh")
         .groupBy("corpus_id")
@@ -675,7 +698,19 @@ def chunk_near_dup_pairs(
         chunk_documents,
     )
 
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"chunk_near_dup_pairs needs an integer {id_col!r} for the "
+            f"composite chunk id (got {id_type!r}); map string ids to a "
+            "dense integer surrogate first"
+        )
     chunks = chunk_documents(df, text_col, id_col, chunk_size, stride)
+    # composite id = doc*id_mult + idx: cap idx so a pathologically long
+    # document can never overflow into the next doc's id space (the
+    # chunks beyond the cap are skipped — documented truncation, not
+    # silent cross-document corruption)
+    chunks = chunks.filter(F.col("chunk_idx") < id_mult)
     ch = chunks.select(
         (F.col(id_col) * id_mult + F.col("chunk_idx")).alias("doc_id"),
         F.col("chunk").alias("text"),

@@ -203,9 +203,20 @@ def default_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic centroid seed: the n smallest-id vectors (oracle-
-    expressible). :func:`kmeans_centroids` refines these for recall."""
-    return corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    expressible). :func:`kmeans_centroids` refines these for recall.
+
+    The n SMALLEST ids, not ``id < n`` — an id space that doesn't start
+    at 0 (re-crawled corpora, sharded id ranges) would otherwise yield
+    an empty or undersized centroid set and every IVF consumer would
+    silently return nothing. ``orderBy().limit()`` plans as a
+    TakeOrdered over the id column only; the vectors join back in the
+    same select."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
     )
 
 

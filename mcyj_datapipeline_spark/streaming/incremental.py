@@ -133,7 +133,10 @@ class ParquetStateTable:
         removed = 0
         for name in os.listdir(self.path):
             m = re.fullmatch(r"v(\d+)", name)
-            if m and int(m.group(1)) <= current - keep_last:
+            # keep_last is clamped to >= 1: the CURRENT version must
+            # survive any vacuum (the docstring's guarantee) — keep_last=0
+            # would otherwise delete the directory _CURRENT points at
+            if m and int(m.group(1)) <= current - max(1, keep_last):
                 shutil.rmtree(os.path.join(self.path, name))
                 removed += 1
         return removed
@@ -225,7 +228,8 @@ def pending_work(
         done = state if done_predicate is None else state.filter(done_predicate)
         work = candidates.join(done.select(key), key, "left_anti")
     work = work.orderBy(key)
-    return work.limit(limit) if limit else work
+    # limit=0 is a real request ("no budget this run"), not "unbounded"
+    return work.limit(limit) if limit is not None else work
 
 
 def three_way_download_decision(api: DataFrame, state: DataFrame) -> DataFrame:
