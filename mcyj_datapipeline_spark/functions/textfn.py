@@ -78,12 +78,13 @@ _LLM_JSON_SCHEMA = T.StructType(
 
 def extract_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
     """F15 (reference update_sir_summaries.py:226-249): pull the first
-    flat ``{...}`` object containing the expected keys out of free-form
-    LLM text, then parse. ``from_json`` returns null on malformed input
-    exactly like the reference's try/except."""
-    candidate = F.regexp_extract(
-        col, r'(\{[^{}]*"summary"[^{}]*"violation"[^{}]*\})', 1
-    )
+    flat ``{...}`` object containing the anchor key out of free-form
+    LLM text, then parse. Anchoring on ``"summary"`` alone keeps the
+    match key-order-agnostic — LLMs emit fields in any order, and
+    requiring ``summary`` before ``violation`` would silently null a
+    valid ``{"violation": ..., "summary": ...}``. ``from_json`` returns
+    null on malformed input exactly like the reference's try/except."""
+    candidate = F.regexp_extract(col, r'(\{[^{}]*"summary"[^{}]*\})', 1)
     return F.from_json(F.nullif(candidate, F.lit("")), schema or _LLM_JSON_SCHEMA)
 
 

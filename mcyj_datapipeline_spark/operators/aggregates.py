@@ -23,13 +23,22 @@ def nest_documents_per_agency(
     """A1 + W2 (reference generate_website_data.py:164-221,305-323):
     group documents under their agency; per group keep the doc structs
     (newest-first, via sort_array on a desc-ordered struct key), a
-    ``total_reports`` count, and the last-seen agency name."""
+    ``total_reports`` count, and the LAST-SEEN agency name — max_by on
+    ``order_col``, not max of the name (lexicographic max would return
+    a stale 'Zeta Dept' over a newer 'Alpha Dept' rename). The max_by
+    ordering key appends the name after the string-cast order column so
+    same-instant ties break deterministically; dates/ISO timestamps
+    cast to chronologically-sortable strings (the supported contract —
+    a numeric order_col would need zero-padding)."""
     cols = doc_cols or [c for c in docs.columns if c != key]
     struct_col = F.struct(F.col(order_col), *[F.col(c) for c in cols if c != order_col])
+    last_seen = F.expr(
+        f"max_by({name_col}, concat(cast({order_col} as string), '|', {name_col}))"
+    )
     return docs.groupBy(key).agg(
         F.reverse(F.sort_array(F.collect_list(struct_col))).alias("documents"),
         F.count(F.lit(1)).alias("total_reports"),
-        F.max(name_col).alias(name_col),
+        last_seen.alias(name_col),
     )
 
 
@@ -167,7 +176,9 @@ def build_inverted_index(
         F.col(weight_col).alias("weight"),
         F.explode(
             F.array_union(
-                F.array(F.lower(F.col(phrase_col))),
+                # trim BOTH branches: an untrimmed full-phrase term
+                # (' water quality') would never match a trimmed query
+                F.array(F.lower(F.trim(F.col(phrase_col)))),
                 F.split(F.lower(F.trim(F.col(phrase_col))), r"\s+"),
             )
         ).alias("term"),

@@ -31,7 +31,11 @@ def left_enrich(
     and therefore GROW with the corpus; a hard hint on those would
     force an executor-OOM broadcast at 100 TB. Pass ``True`` only for
     genuinely fixed-cardinality dims (a lookup table that stays ~kB no
-    matter the corpus size), ``False`` to forbid the hint entirely.
+    matter the corpus size). ``False`` behaves like ``None`` — the hint
+    is simply omitted and AQE may still auto-broadcast under its size
+    threshold; to truly force a shuffle join, set
+    ``spark.sql.autoBroadcastJoinThreshold=-1`` or hint
+    ``dim.hint("shuffle_hash")`` at the call site.
     """
     d = F.broadcast(dim) if broadcast else dim
     return facts.join(d, on=on, how="left")
@@ -73,7 +77,12 @@ def union_dedup_first_wins(
     tagged = preferred.withColumn("_prec", F.lit(0)).unionByName(
         legacy.withColumn("_prec", F.lit(1)), allowMissingColumns=True
     )
-    w = Window.partitionBy(*keys).orderBy("_prec")
+    # duplicate keys WITHIN a side would tie on _prec alone and resolve
+    # per-partitioning; a row-content hash tiebreak (to_json handles any
+    # column type) keeps the pick deterministic across runs
+    others = [c for c in tagged.columns if c not in keys and c != "_prec"]
+    tiebreak = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in others])))
+    w = Window.partitionBy(*keys).orderBy("_prec", tiebreak)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -148,17 +157,32 @@ def fallback_two_key_join(
 ) -> DataFrame:
     """J10 (reference download_all_pdfs.py:146-148): resolve each left row
     against ``right`` by ``primary`` key, else by ``fallback`` key.
-    Implemented as two broadcast joins + struct pick, not a per-row probe."""
+    Implemented as two broadcast joins + struct pick, not a per-row probe.
+
+    The reference's dict probe yields exactly ONE match per input row,
+    so each right side is deduplicated per key first (min struct —
+    deterministic) — duplicate right keys would otherwise multiply left
+    rows through the joins."""
     def _valid(col: Column, df: DataFrame, name: str) -> Column:
         is_str = dict(df.dtypes)[name] == "string"
         return col.isNotNull() & (col != "") if is_str else col.isNotNull()
 
-    r1 = right.select(
-        F.col(primary).alias("_k1"), F.struct(*right.columns).alias("_m1")
-    ).filter(_valid(F.col("_k1"), right, primary))
-    r2 = right.select(
-        F.col(fallback).alias("_k2"), F.struct(*right.columns).alias("_m2")
-    ).filter(_valid(F.col("_k2"), right, fallback))
+    r1 = (
+        right.select(
+            F.col(primary).alias("_k1"), F.struct(*right.columns).alias("_m1")
+        )
+        .filter(_valid(F.col("_k1"), right, primary))
+        .groupBy("_k1")
+        .agg(F.min("_m1").alias("_m1"))
+    )
+    r2 = (
+        right.select(
+            F.col(fallback).alias("_k2"), F.struct(*right.columns).alias("_m2")
+        )
+        .filter(_valid(F.col("_k2"), right, fallback))
+        .groupBy("_k2")
+        .agg(F.min("_m2").alias("_m2"))
+    )
     out = (
         left.join(F.broadcast(r1), left[primary] == r1["_k1"], "left")
         .join(F.broadcast(r2), left[fallback] == r2["_k2"], "left")

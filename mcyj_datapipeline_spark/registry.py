@@ -396,7 +396,9 @@ def a01_nested_rollup_scalar(spark, sf_dir):
            to_json(list(struct_pack(date_iso := date_iso, doc_key := doc_key)
                         ORDER BY date_iso DESC, doc_key DESC)) AS documents,
            count(*) AS total_reports,
-           max(agency_name) AS agency_name
+           arg_max(agency_name,
+                   CAST(date_iso AS VARCHAR) || '|' || agency_name)
+             AS agency_name
     FROM (
       SELECT o_custkey AS agency_id,
              o_orderkey AS doc_key,
@@ -1346,7 +1348,7 @@ def f14_normalize_violation_yn(spark, sf_dir):
       SELECT doc_id,
              regexp_extract(
                'Sure! {"summary": "doc ' || doc_id::VARCHAR || '", "violation": "y"} hope that helps',
-               '(\\{[^{}]*"summary"[^{}]*"violation"[^{}]*\\})', 1) AS j
+               '(\\{[^{}]*"summary"[^{}]*\\})', 1) AS j
       FROM documents
     )
     """,

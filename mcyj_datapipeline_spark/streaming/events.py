@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mcyj_datapipeline_spark.functions.dates import epoch_us
 
@@ -96,15 +97,26 @@ def stream_ingest_available_now(
     watermark: tuple[str, str] | None = None,
 ) -> None:
     """T2 as a real stream: file source over a landing dir, optional
-    within-stream dedup (``dropDuplicates`` with watermark bounds state),
-    parquet sink, ``Trigger.AvailableNow`` = process-everything-then-stop
-    — the exact 'incremental batch append' contract of the reference's
-    parquet batch files, with checkpointed exactly-once bookkeeping."""
+    within-stream dedup, parquet sink, ``Trigger.AvailableNow`` =
+    process-everything-then-stop — the exact 'incremental batch append'
+    contract of the reference's parquet batch files, with checkpointed
+    exactly-once bookkeeping.
+
+    Dedup state bounding: with a watermark the dedup uses
+    ``dropDuplicatesWithinWatermark`` — a plain
+    ``dropDuplicates([key])`` would NOT let the watermark evict state
+    (the event-time column isn't in the dedup subset), so the state
+    store would grow with every key ever seen. Without a watermark the
+    dedup is exact and the unbounded-state trade-off is the caller's
+    explicit choice."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if watermark:
         stream = stream.withWatermark(*watermark)
     if dedup_key:
-        stream = stream.dropDuplicates([dedup_key])
+        if watermark:
+            stream = stream.dropDuplicatesWithinWatermark([dedup_key])
+        else:
+            stream = stream.dropDuplicates([dedup_key])
     (
         stream.writeStream.format("parquet")
         .option("path", sink_dir)

@@ -123,3 +123,20 @@ def test_char_entropy_known_values(spark):
     assert abs(got[2] - 1.0) < 1e-12   # two symbols 50/50: 1 bit
     assert abs(got[3] - 2.0) < 1e-12   # four equiprobable: 2 bits
     assert math.isfinite(got[1])
+
+
+def test_llm_json_extract_key_order_agnostic(spark):
+    """Regression: a valid flat object with violation BEFORE summary
+    must still parse (LLMs emit fields in any order)."""
+    from mcyj_datapipeline_spark.functions.textfn import extract_llm_json
+
+    df = spark.createDataFrame(
+        [
+            ('ok {"summary": "s1", "violation": "y"} end',),
+            ('ok {"violation": "n", "summary": "s2"} end',),
+        ],
+        "txt string",
+    )
+    rows = df.select(extract_llm_json(F.col("txt")).alias("j")).collect()
+    assert rows[0]["j"]["summary"] == "s1" and rows[0]["j"]["violation"] == "y"
+    assert rows[1]["j"]["summary"] == "s2" and rows[1]["j"]["violation"] == "n"
