@@ -43,6 +43,10 @@ _INVESTIGATION_PATTERNS = [
 ]
 
 # Title cascade, priority-ordered (reference extract_document_info.py:92-115).
+# NOTE: some longer patterns (e.g. 'LICENSING STUDY REPORT') are
+# shadowed by earlier substrings ('LICENSING STUDY') — this mirrors the
+# REFERENCE's own priority order (extract_document_info.py:96-107)
+# exactly, shadowing included; parity outranks tidiness here.
 _TITLE_PATTERNS = [
     r"(?i)(?:BUREAU OF CHILDREN AND ADULT LICENSING\s+)?SPECIAL INVESTIGATION REPORT",
     r"(?i)(?:BUREAU OF CHILDREN AND ADULT LICENSING\s+)?LICENSING STUDY",

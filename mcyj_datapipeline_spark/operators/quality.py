@@ -21,13 +21,18 @@ def expectations_report(
     """One-pass row-level DQ report. ``rules`` are (name, VIOLATION
     condition) pairs — the condition marks bad rows. Output: one row per
     rule with (rule, n_violations, n_rows)."""
+    if not rules:
+        raise ValueError("expectations_report needs at least one rule")
     aggs = [
         F.count(F.when(cond, 1)).alias(f"_r{i}")
         for i, (_name, cond) in enumerate(rules)
     ]
     wide = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    # rule names are user strings — escape quotes rather than letting a
+    # name like "date isn't null" break the stack() SQL parse
     stack_args = ", ".join(
-        f"'{name}', _r{i}" for i, (name, _cond) in enumerate(rules)
+        "'{}', _r{}".format(name.replace("'", "\\'"), i)
+        for i, (name, _cond) in enumerate(rules)
     )
     return wide.select(
         F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"),

@@ -82,7 +82,7 @@ def salted_join(
     small or broadcast it instead."""
     salts = F.array(*[F.lit(i) for i in range(n_salt)])
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt))
+        "_salt", deterministic_salt(F.col(salt_source), n_salt)
     )
     small_s = small.withColumn("_salt", F.explode(salts))
     return big_s.join(small_s, [on, "_salt"]).drop("_salt")

@@ -35,7 +35,14 @@ def normalize_text_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     if field.dataType.simpleString().startswith("array"):
         return df
     c = F.col(text_col)
-    parsed = F.from_json(F.regexp_replace(c, r"^\[\s*'|'\s*\]$|',\s*'", '"'), "array<string>")
+    # "['a', 'b']" → '["a", "b"]': each delimiter needs its own JSON
+    # replacement (a single alternation collapsing all three to one
+    # quote emitted '"a"b"' — invalid JSON, so every legacy row silently
+    # took the wrap-as-one-page fallback)
+    s = F.regexp_replace(c, r"^\[\s*'", '["')
+    s = F.regexp_replace(s, r"'\s*\]$", '"]')
+    s = F.regexp_replace(s, r"'\s*,\s*'", '", "')
+    parsed = F.from_json(s, "array<string>")
     return df.withColumn(
         text_col,
         F.when(c.startswith("["), F.coalesce(parsed, F.array(c))).otherwise(

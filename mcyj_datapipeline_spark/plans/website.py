@@ -142,6 +142,5 @@ def nest_agencies(flat: DataFrame, doc_cols: list[str]) -> DataFrame:
             F.count(F.lit(1)).alias("total_reports"),
             F.max("agency_name").alias("agency_name"),
         )
-        .filter(F.size("documents") > 0)
         .orderBy("agency_name", "agency_id")
     )

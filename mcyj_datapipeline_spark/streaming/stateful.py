@@ -107,15 +107,30 @@ _SESSION_STATE_SCHEMA = T.StructType(
 
 
 def _session_fn(gap_seconds: int):
-    """Build the per-key session updater. A session CLOSES (and is
-    emitted) only via event-time TIMEOUT: when the watermark passes
-    last-event-time + gap, the state store fires the key with an empty
-    batch iterator and ``hasTimedOut`` set. Until then events keep
-    extending the open session in state. This is the semantics
-    ``session_window`` gives for free — implemented with arbitrary
-    state so the session can carry ANY payload (here value totals; in
-    the reference's world, accumulated download/enrichment facts)."""
+    """Build the per-key session updater. Sessions split on EVERY gap
+    larger than ``gap_seconds`` — including gaps between events that
+    arrive in the same microbatch (an availableNow backfill delivers a
+    key's whole history at once; merging it into one mega-session would
+    diverge from ``session_window`` semantics). All but the newest
+    session close and emit immediately; the newest stays open in state
+    and closes via event-time TIMEOUT when the watermark passes its end
+    + gap. Arbitrary state (vs built-in ``session_window``) so the
+    session can carry ANY payload (here value totals; in the
+    reference's world, accumulated download/enrichment facts)."""
     gap_us = gap_seconds * 1_000_000
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us") for s in sessions
+                ],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [round(s[3], 6) for s in sessions],
+            }
+        )
 
     def update(
         key: tuple,
@@ -123,31 +138,54 @@ def _session_fn(gap_seconds: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            start_us, end_us, n, total = state.get
+            closed = tuple(state.get)
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [round(total, 6)],
-                }
-            )
+            yield _emit(key, [closed])
             return
-        start_us, end_us, n, total = (
-            state.get if state.exists else (None, None, 0, 0.0)
-        )
+        events: list[tuple[int, float]] = []
         for pdf in batches:
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            lo, hi = min(ts_us), max(ts_us)
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((start_us, end_us, n, total))
-        # Close when the WATERMARK (not wall clock) passes end + gap.
-        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+            ts_us = pdf["ts"].astype("int64") // 1000
+            events.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
+        events.sort()
+        # fold sorted events into gap-separated blocks
+        blocks: list[list[float]] = []  # [start, end, n, total]
+        for ts, val in events:
+            if blocks and ts - blocks[-1][1] <= gap_us:
+                b = blocks[-1]
+                b[1] = ts
+                b[2] += 1
+                b[3] += float(val)
+            else:
+                blocks.append([ts, ts, 1, float(val)])
+        # carried open session: merge into the first block if the gap
+        # allows, else it is a finished session of its own
+        closed: list[tuple] = []
+        if state.exists:
+            cs, ce, cn, ct = state.get
+            if blocks and blocks[0][0] - ce <= gap_us:
+                b = blocks[0]
+                b[0] = min(b[0], cs)
+                b[1] = max(b[1], ce)
+                b[2] += cn
+                b[3] += ct
+            else:
+                closed.append((cs, ce, cn, ct))
+        closed.extend(tuple(b) for b in blocks[:-1])
+        open_s = tuple(blocks[-1]) if blocks else None
+        if open_s is None:  # only possible if carried state saw no events
+            state.remove()
+        else:
+            state.update(open_s)
+            # Close when the WATERMARK (not wall clock) passes end+gap.
+            # Clamp above the current watermark: a late straggler's
+            # candidate timeout could land behind it, which crashes the
+            # query (arbitrary-state ops don't auto-drop late rows).
+            candidate_ms = open_s[1] // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(
+                max(candidate_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield _emit(key, closed)
         return
         yield  # pragma: no cover - generator marker
 

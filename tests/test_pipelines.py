@@ -416,3 +416,38 @@ def test_winsorize_approx_twin_within_tolerance(spark, sf_dir):
         / exact["mean_clipped"]
         < 0.01
     )
+
+
+def test_normalize_text_column_parses_stringified_list(spark):
+    """Regression: legacy stringified-Python-list rows must parse into a
+    real page array (the old single-alternation regex emitted invalid
+    JSON, silently wrapping the whole repr as one page)."""
+    from mcyj_datapipeline_spark.plans.document_info import (
+        normalize_text_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("['page one', 'page two']",),
+            ("['only page']",),
+            ("plain text page",),
+        ],
+        "text string",
+    )
+    rows = [r["text"] for r in normalize_text_column(df).collect()]
+    assert rows[0] == ["page one", "page two"]
+    assert rows[1] == ["only page"]
+    assert rows[2] == ["plain text page"]
+
+
+def test_expectations_report_quoted_rule_name(spark, sf_dir):
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators.quality import expectations_report
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    rep = expectations_report(
+        orders, [("price isn't negative", F.col("o_totalprice") < 0)]
+    ).collect()
+    assert rep[0]["rule"] == "price isn't negative"
+    assert rep[0]["n_violations"] == 0

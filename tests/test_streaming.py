@@ -379,3 +379,57 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     ).write.mode("append").parquet(src)
     stream_dedup_against_corpus(spark, src, corpus, sink, ckpt, schema)
     assert {r["sha256"] for r in spark.read.parquet(sink).collect()} == {"B", "C"}
+
+
+def test_session_updater_splits_intra_batch_gaps():
+    """Regression: one microbatch delivering a key's whole history (the
+    availableNow backfill case) must split on gaps > gap_seconds, not
+    merge everything into one mega-session."""
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.streaming.stateful import _session_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.stored = None
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+        def remove(self):
+            self.stored = None
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    update = _session_fn(gap_seconds=1800)
+    state = FakeState()
+    base = pd.Timestamp("2026-01-01T00:00:00")
+    batch = pd.DataFrame(
+        {
+            "ts": [base, base + pd.Timedelta("10min"),
+                   base + pd.Timedelta("4h")],  # 4h ≫ 30min gap
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out = list(update((7,), iter([batch]), state))
+    # first session (2 events) closed immediately; third event stays open
+    assert len(out) == 1 and len(out[0]) == 1
+    closed = out[0].iloc[0]
+    assert closed["n_events"] == 2 and closed["total_value"] == 3.0
+    assert state.exists and state.stored[2] == 1  # open session: 1 event
+    # timeout set past the open session's end + gap
+    assert state.timeout_ms > 0
