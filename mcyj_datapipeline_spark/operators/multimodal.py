@@ -162,6 +162,7 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("out_width", T.IntegerType()),
         T.StructField("out_height", T.IntegerType()),
+        T.StructField("src_bytes", T.LongType()),
         T.StructField("resized", T.BinaryType()),
     ]
 )
@@ -196,9 +197,16 @@ def resize_images(
                 n = tw * th
                 stride = max(1, len(src) // n)
                 out = bytes(src[(i * stride) % len(src)] for i in range(n))
-                rows.append((int(mid), tw, th, out))
+                # src_bytes emitted here keeps the consumer ONE pass —
+                # joining the source back for its length would rescan it
+                n_src = len(bytes(content)) if content is not None else 0
+                rows.append((int(mid), tw, th, n_src, out))
             yield pd.DataFrame(
-                rows, columns=["media_id", "out_width", "out_height", "resized"]
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "src_bytes",
+                    "resized",
+                ],
             )
 
     src = spread_for_compute(df.select(id_col, content_col), id_col)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.io import read_table
@@ -36,10 +36,22 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None, str]] = {}
 
 def register(name: str, sql: str | None, description: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # silent clobber would shadow an earlier query AND its
+            # oracle while the coverage checklist kept reporting it
+            raise ValueError(f"duplicate query name: {name!r}")
         _REGISTRY[name] = (fn, sql, description)
         return fn
 
     return deco
+
+
+def set_oracle(name: str, sql: str) -> None:
+    """Attach/replace the oracle SQL of an already-registered query —
+    for oracles that must be composed AFTER registration (e.g. reusing
+    another query's SQL twin)."""
+    fn, _, desc = _REGISTRY[name]
+    _REGISTRY[name] = (fn, sql, desc)
 
 
 def queries() -> dict[str, QueryFn]:

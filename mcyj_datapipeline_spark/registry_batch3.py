@@ -980,11 +980,8 @@ def sim_cosine_topk_numpy(spark, sf_dir):
 # Share the brute-force oracle: same query semantics, different kernel.
 from mcyj_datapipeline_spark import registry as _reg  # noqa: E402
 
-_fn, _, _desc = _reg._REGISTRY["sim_cosine_topk_numpy"]
-_reg._REGISTRY["sim_cosine_topk_numpy"] = (
-    _fn,
-    _reg._REGISTRY["sim_cosine_topk_bruteforce"][1],
-    _desc,
+_reg.set_oracle(
+    "sim_cosine_topk_numpy", _reg._REGISTRY["sim_cosine_topk_bruteforce"][1]
 )
 
 
@@ -1078,14 +1075,8 @@ def _lsh_topk_oracle(k: int = 5) -> str:
     """
 
 
-from mcyj_datapipeline_spark import registry as _reg2  # noqa: E402
-
-for _name, _sql in (
-    ("sim_embedding_near_dup", _embedding_near_dup_oracle()),
-    ("sim_lsh_topk", _lsh_topk_oracle()),
-):
-    _f, _, _d = _reg2._REGISTRY[_name]
-    _reg2._REGISTRY[_name] = (_f, _sql, _d)
+_reg.set_oracle("sim_embedding_near_dup", _embedding_near_dup_oracle())
+_reg.set_oracle("sim_lsh_topk", _lsh_topk_oracle())
 
 
 @register(
@@ -1178,8 +1169,7 @@ def sim_lsh_multiprobe_topk(spark, sf_dir):
     return lsh_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-_f3, _, _d3 = _reg2._REGISTRY["sim_lsh_multiprobe_topk"]
-_reg2._REGISTRY["sim_lsh_multiprobe_topk"] = (_f3, _lsh_multiprobe_oracle(), _d3)
+_reg.set_oracle("sim_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
 
 
 @register(
@@ -1632,10 +1622,7 @@ def a05_bigram_counts(spark, sf_dir):
 )
 def mm_resize_images(spark, sf_dir):
     out = MM.resize_images(_media_df(spark, sf_dir))
-    src = _media_df(spark, sf_dir).select(
-        "media_id", F.length("content").alias("src_bytes")
-    )
-    return out.join(src, "media_id").select(
+    return out.select(
         "media_id",
         F.col("out_width").cast("int").alias("out_width"),
         F.col("out_height").cast("int").alias("out_height"),
@@ -1847,10 +1834,13 @@ def a03_pivot_status_priority(spark, sf_dir):
     "filter; proves the sink/ingest round trip inside the driver gate",
 )
 def o4_partitioned_write_roundtrip(spark, sf_dir):
+    import os
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="mcyj_roundtrip_")
+    out = os.path.join(tempfile.gettempdir(), "mcyj_roundtrip_fixed")
+    # fixed path + overwrite mode: repeated runs reuse ONE copy
+    # instead of leaking a new mkdtemp dir per invocation
     (
         orders.write.mode("overwrite")
         .partitionBy("o_orderstatus")
@@ -2524,10 +2514,13 @@ def c2_event_funnel(spark, sf_dir):
     "get the same pushdown/pruning treatment as parquet in Spark",
 )
 def o9_orc_roundtrip(spark, sf_dir):
+    import os
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="mcyj_orc_")
+    out = os.path.join(tempfile.gettempdir(), "mcyj_orc_fixed")
+    # fixed path + overwrite mode: repeated runs reuse ONE copy
+    # instead of leaking a new mkdtemp dir per invocation
     orders.write.mode("overwrite").option("compression", "zstd").orc(out)
     back = spark.read.orc(out)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
@@ -2548,10 +2541,13 @@ def o9_orc_roundtrip(spark, sf_dir):
     "path, which triggers a full extra scan), aggregated",
 )
 def o10_jsonl_roundtrip(spark, sf_dir):
+    import os
     import tempfile
 
     nation = _t(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="mcyj_jsonl_")
+    out = os.path.join(tempfile.gettempdir(), "mcyj_jsonl_fixed")
+    # fixed path + overwrite mode: repeated runs reuse ONE copy
+    # instead of leaking a new mkdtemp dir per invocation
     nation.write.mode("overwrite").json(out)
     back = spark.read.schema(nation.schema).json(out)
     return back.groupBy(F.col("n_regionkey").alias("region")).agg(
@@ -2726,10 +2722,7 @@ def a20_event_type_cooccurrence(spark, sf_dir):
     )
 
 
-from mcyj_datapipeline_spark.registry import (
-    _minhash_oracle_sql as _unused_mh,  # noqa: F401  (import anchor)
-)
-from mcyj_datapipeline_spark.operators.hashing import (
+from mcyj_datapipeline_spark.operators.hashing import (  # noqa: E402
     MINHASH_PRIME as _P,
     hash60_sql as _h60,
 )
@@ -3272,6 +3265,7 @@ def dedup_incremental_minhash(spark, sf_dir):
     "structurally in test_range_clustered_files_disjoint)",
 )
 def o11_range_clustered_write(spark, sf_dir):
+    import os
     import tempfile
 
     from mcyj_datapipeline_spark.io import write_range_clustered
@@ -3279,7 +3273,9 @@ def o11_range_clustered_write(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_returnflag", "l_quantity"
     )
-    out = tempfile.mkdtemp(prefix="mcyj_rangecluster_")
+    out = os.path.join(tempfile.gettempdir(), "mcyj_rangecluster_fixed")
+    # fixed path + overwrite mode: repeated runs reuse ONE copy
+    # instead of leaking a new mkdtemp dir per invocation
     write_range_clustered(li, out, ["l_shipdate"], n_files=8)
     back = spark.read.parquet(out)
     return (
