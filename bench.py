@@ -17,8 +17,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from mcyj_datapipeline_spark import registry
 from mcyj_datapipeline_spark.session import get_spark
+
+
+def materialized_count(df) -> int:
+    """Row count that FORCES every output expression to evaluate.
+
+    A bare ``df.count()`` lets Catalyst prune projection-only plans to
+    the underlying scan — a benchmark timing of a fingerprint or
+    quantization query would then measure parquet IO, not the operator.
+    Hashing the full output row into the aggregate makes every column
+    load-bearing; ``bit_xor`` folds the hashes without overflow."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("_h"),
+    ).collect()[0]
+    return row["n"]
 
 HEADLINE = [
     "a01_pricing_summary",
@@ -68,7 +85,9 @@ def main() -> None:
     # worker pool (one trivial mapInPandas spawns the per-core workers
     # that the Arrow-path queries reuse — session overhead, not
     # per-operator cost).
-    qs["a01_pricing_summary"](spark, sf_dir).count()
+    # warm up with a NON-headline query: warming a01 (first headline
+    # entry) would make its reported "cold" time secretly warm
+    qs["a06_distinct_sorted"](spark, sf_dir).count()
     spark.range(0, 1024, 1, spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
     ).count()
@@ -89,13 +108,13 @@ def main() -> None:
         # up and later queries measure memory pressure, not plan cost.
         spark.catalog.clearCache()
         start = time.monotonic()
-        n = qs[name](spark, sf_dir).count()
+        n = materialized_count(qs[name](spark, sf_dir))
         timings[name] = round(time.monotonic() - start, 3)
         reps = []
         for _ in range(warm_reps):
             spark.catalog.clearCache()
             start = time.monotonic()
-            qs[name](spark, sf_dir).count()
+            materialized_count(qs[name](spark, sf_dir))
             reps.append(time.monotonic() - start)
         warm[name] = round(min(reps), 3)
         warm_spread[name] = round(max(reps) - min(reps), 3)

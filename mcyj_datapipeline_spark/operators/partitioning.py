@@ -18,12 +18,24 @@ def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
     """Ensure ``df`` has at least core-count partitions before a
     compute-bound stage.
 
-    CONDITIONAL: when the scan already yields >= cores partitions (any
-    real cluster reading real data), no shuffle is added — an
-    unconditional repartition would funnel the full payload through an
-    exchange for nothing. Keyed hashing keeps distribution deterministic.
-    """
+    CONDITIONAL: when the input already has >= cores partitions, no
+    shuffle is added — an unconditional repartition would funnel the
+    full payload through an exchange for nothing. Keyed hashing keeps
+    distribution deterministic.
+
+    Two-step check, cheap first: if the lineage already contains a wide
+    transform (join/aggregate/repartition/window/sort), its output
+    partitioning tracks ``spark.sql.shuffle.partitions`` (>= cores by
+    our session defaults) — and, critically, calling ``.rdd`` on such
+    an AQE plan would EXECUTE its query stages just to report a
+    partition count, running the join twice. Only for narrow scan
+    lineages (where ``.rdd`` is free) do we consult the actual
+    partition count."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    wide_markers = ("Join", "Aggregate", "Repartition", "Window", "Sort ")
+    if any(m in plan for m in wide_markers):
+        return df
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism, key)

@@ -20,9 +20,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
-
 def get_spark(
     app_name: str = "mcyj_datapipeline_spark",
     master: str | None = None,
@@ -30,9 +27,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    # read SPARK_GRAFT_CPUS once, at CALL time, for both master and the
+    # shuffle-partition default — an import-time default could disagree
+    # with a master computed later (local[4] with 32 shuffle partitions)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    nshuffle = shuffle_partitions or int(cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -38,7 +38,12 @@ def main() -> int:
     rows_only = sorted(set(qs) - set(oracles))
     for name in rows_only:
         try:
-            qs[name](spark, sf_dir).count()
+            # materialize values, not count(): a bare count lets the
+            # optimizer prune the output expressions this smoke-test
+            # exists to execute
+            from bench import materialized_count
+
+            materialized_count(qs[name](spark, sf_dir))
         except Exception as ex:
             failures.append((name, str(ex)[:200]))
             print(f"FAIL (rows-only) {name}: {str(ex)[:200]}")

@@ -22,7 +22,10 @@ def main() -> None:
     rows = ["", "", "| query | check | covers |", "|---|---|---|"]
     for name, (_, sql, desc) in sorted(registry._REGISTRY.items()):
         kind = "oracle" if sql else "rows-only"
-        rows.append(f"| `{name}` | {kind} | {' '.join(desc.split())} |")
+        # escape literal pipes in descriptions (|A∩B| etc.) — raw pipes
+        # split the markdown row into phantom columns
+        safe_desc = " ".join(desc.split()).replace("|", "\\|")
+        rows.append(f"| `{name}` | {kind} | {safe_desc} |")
     open(path, "w").write(head + MARK + "\n".join(rows) + tail[table_end:])
     n = len(registry._REGISTRY)
     n_oracle = sum(1 for _, (f, s, d) in registry._REGISTRY.items() if s)
