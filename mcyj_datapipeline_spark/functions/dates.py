@@ -21,9 +21,16 @@ WEBSITE_DATE_FORMATS = [
     "yyyy-MM-dd",
 ]
 
-# API timestamp formats (run_full_pipeline.py:118-127).
+# API timestamp formats (run_full_pipeline.py:118-127), widened to the
+# shapes the engine itself emits: optional fractional seconds and Z /
+# +00 / +00:00 offsets ('X' alone does NOT match a colon offset — the
+# original two-format list returned null for the engine's own
+# '1970-01-01T00:00:00+00:00' dateprocessed stamps), plus bare date.
 API_TS_FORMATS = [
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
     "yyyy-MM-dd'T'HH:mm:ss.SSSX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ssX",
     "yyyy-MM-dd",
 ]
 
@@ -37,10 +44,10 @@ def parse_date_multi(col: Column, formats: list[str] | None = None) -> Column:
 
 
 def parse_iso_timestamp(col: Column) -> Column:
-    """F8 API variant: ISO-with-millis else bare date → timestamp."""
+    """F8 API variant: ISO timestamp (fraction and offset optional)
+    else bare date → timestamp; null if nothing parses."""
     return F.coalesce(
-        F.try_to_timestamp(col, F.lit(API_TS_FORMATS[0])),
-        F.try_to_timestamp(col, F.lit(API_TS_FORMATS[1])),
+        *[F.try_to_timestamp(col, F.lit(fmt)) for fmt in API_TS_FORMATS]
     )
 
 

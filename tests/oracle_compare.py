@@ -61,8 +61,6 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     expected = con.execute(sql).df()
     if len(actual) != len(expected):
         return False, f"row count {len(actual)} != {len(expected)}"
-    if len(actual.columns) != len(expected.columns):
-        return False, f"cols {sorted(actual.columns)} != {sorted(expected.columns)}"
     if sorted(actual.columns) != sorted(expected.columns):
         return False, f"col names {sorted(actual.columns)} != {sorted(expected.columns)}"
     a, e = _normalize(actual), _normalize(expected)

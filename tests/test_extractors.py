@@ -140,3 +140,26 @@ def test_llm_json_extract_key_order_agnostic(spark):
     rows = df.select(extract_llm_json(F.col("txt")).alias("j")).collect()
     assert rows[0]["j"]["summary"] == "s1" and rows[0]["j"]["violation"] == "y"
     assert rows[1]["j"]["summary"] == "s2" and rows[1]["j"]["violation"] == "n"
+
+
+def test_parse_iso_timestamp_engine_stamp_shapes(spark):
+    """Regression: the engine's own dateprocessed stamp shape
+    (no fraction, colon offset) must parse — the original format list
+    silently nulled every such value."""
+    from mcyj_datapipeline_spark.functions.dates import parse_iso_timestamp
+
+    df = spark.createDataFrame(
+        [
+            ("1970-01-01T00:00:00+00:00",),   # engine's own stamp
+            ("2024-03-05T10:20:30.123Z",),    # reference API shape
+            ("2024-03-05T10:20:30Z",),
+            ("2024-03-05",),
+            ("not a timestamp",),
+        ],
+        "s string",
+    )
+    got = [r["t"] for r in df.select(parse_iso_timestamp(F.col("s")).alias("t")).collect()]
+    assert got[0] is not None and got[0].year == 1970
+    assert got[1] is not None and got[1].microsecond == 123000
+    assert got[2] is not None and got[3] is not None
+    assert got[4] is None

@@ -34,7 +34,8 @@ def main() -> int:
         print(f"unknown query {name!r}; run with no args to list", file=sys.stderr)
         return 1
     spark = get_spark(app_name=f"run-{name}")
-    df = qs[name](spark, sf_dir)
+    # persist: show() + count() would otherwise execute the plan twice
+    df = qs[name](spark, sf_dir).persist()
     df.show(20, truncate=False)
     print(f"rows: {df.count()}")
     if "--plan" in flags:
@@ -44,16 +45,12 @@ def main() -> int:
         if sql is None:
             print("(no oracle registered — rows-only query)")
         else:
-            import duckdb
+            # reuse the canonical table list — an inline copy drifts
+            # when fixtures gain tables (check_driver_gate already
+            # imports the same helper)
+            from tests.oracle_compare import duckdb_conn
 
-            con = duckdb.connect()
-            for t in (
-                "region nation customer supplier part orders lineitem "
-                "events documents embeddings"
-            ).split():
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-                )
+            con = duckdb_conn(sf_dir)
             print(con.execute(sql).df().head(20).to_string())
     return 0
 
