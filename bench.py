@@ -125,21 +125,33 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "queries_warm_spread": warm_spread,
-                "warm_reps": warm_reps,
-                "total_warm": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # stdout carries ONE COMPACT machine line: the driver captures only a
+    # bounded stdout tail (round 2's line with three 34-entry dicts
+    # outgrew it -> "parsed": null), so warm/spread per-query detail goes
+    # to a sidecar file + stderr instead.
+    machine_line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "total_warm": round(sum(warm.values()), 3),
+        "sf": sf_val,
+    }
+    detail = dict(
+        machine_line,
+        queries_warm=warm,
+        queries_warm_spread=warm_spread,
+        warm_reps=warm_reps,
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", ""),
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail, indent=1), file=sys.stderr)
+    print(json.dumps(machine_line, separators=(",", ":")))
     spark.stop()
 
 

@@ -382,7 +382,8 @@ def simhash_near_pairs(
     pairs beyond a fixed banding's guarantee. Verify with exact
     ``bit_count(xor)``. (Wider radii explode more rows per doc and
     coarser chunks collide more — recall stays total, candidate cost
-    grows; 60 chunks = radius 59 degenerates to all-pairs, refuse it.)
+    grows; beyond 30 chunks (radius >= 30) chunks shrink under 2 bits
+    and the banding degenerates toward all-pairs, so refuse it.)
 
     Two-step projection: materialize the token-hash array first, then
     fold the 60 bit votes over it — one md5 pass per token total.
@@ -394,8 +395,9 @@ def simhash_near_pairs(
     n_chunks = max_hamming + 1
     if not 1 <= n_chunks <= 30:
         raise ValueError(
-            f"max_hamming={max_hamming}: need 1..29 (chunks of >= 2 bits "
-            "— beyond that the banding degenerates toward all-pairs)"
+            f"max_hamming={max_hamming}: must be in 0..29 (1..30 chunks "
+            "of >= 2 bits — beyond that the banding degenerates toward "
+            "all-pairs)"
         )
     base, extra = divmod(60, n_chunks)
     spans = []  # (shift, width) per chunk, covering all 60 bits

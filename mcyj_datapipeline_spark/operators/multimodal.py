@@ -198,8 +198,10 @@ def resize_images(
                 stride = max(1, len(src) // n)
                 out = bytes(src[(i * stride) % len(src)] for i in range(n))
                 # src_bytes emitted here keeps the consumer ONE pass —
-                # joining the source back for its length would rescan it
-                n_src = len(bytes(content)) if content is not None else 0
+                # joining the source back for its length would rescan it.
+                # None propagates as SQL NULL (octet_length(NULL) = NULL),
+                # not 0 — matches the oracle's NULL-propagation semantics.
+                n_src = len(bytes(content)) if content is not None else None
                 rows.append((int(mid), tw, th, n_src, out))
             yield pd.DataFrame(
                 rows,

@@ -32,10 +32,46 @@ def spread_for_compute(df: DataFrame, key: str) -> DataFrame:
     lineages (where ``.rdd`` is free) do we consult the actual
     partition count."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    wide_markers = ("Join", "Aggregate", "Repartition", "Window", "Sort ")
-    if any(m in plan for m in wide_markers):
+    if _has_wide_node(df._jdf.queryExecution().optimizedPlan()):
         return df
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism, key)
+
+
+_WIDE_NODE_NAMES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RepartitionOperation",
+        "Deduplicate",
+        "Distinct",
+        "Intersect",
+        "Except",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+        "GlobalLimit",
+    }
+)
+
+
+def _has_wide_node(jplan) -> bool:
+    """True if the JVM logical plan TREE contains a wide transform node.
+
+    Walks actual plan nodes and compares ``nodeName()`` exactly —
+    substring-matching the rendered plan string false-positives on any
+    column/alias/relation whose NAME contains 'Join'/'Sort'/etc., which
+    would silently skip the compute spread."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _WIDE_NODE_NAMES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False

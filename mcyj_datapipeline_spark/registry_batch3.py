@@ -29,6 +29,25 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _session_scratch(name: str) -> str:
+    """Per-process scratch dir for write-roundtrip queries.
+
+    Cached per name within one driver (repeated gate/bench runs reuse
+    ONE copy instead of leaking a new dir per invocation) but unique
+    across processes via ``mkdtemp`` — a fixed predictable name in
+    world-writable /tmp lets two concurrent sessions overwrite each
+    other mid-read, and is a symlink-attack surface on multi-user
+    hosts. ``mkdtemp`` also gives mode-0700 ownership."""
+    import tempfile
+
+    if name not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS[name] = tempfile.mkdtemp(prefix=f"mcyj_{name}_")
+    return _SCRATCH_DIRS[name]
+
+
 # ===========================================================================
 # §2.8 — dedicated scalar cascades F3 / F4 / F5
 # ===========================================================================
@@ -1838,9 +1857,9 @@ def o4_partitioned_write_roundtrip(spark, sf_dir):
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "mcyj_roundtrip_fixed")
-    # fixed path + overwrite mode: repeated runs reuse ONE copy
-    # instead of leaking a new mkdtemp dir per invocation
+    out = os.path.join(_session_scratch("roundtrip"), "data")
+    # per-process scratch + overwrite mode: repeated runs in one driver
+    # reuse ONE copy; concurrent sessions get disjoint dirs
     (
         orders.write.mode("overwrite")
         .partitionBy("o_orderstatus")
@@ -2518,9 +2537,9 @@ def o9_orc_roundtrip(spark, sf_dir):
     import tempfile
 
     orders = _t(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "mcyj_orc_fixed")
-    # fixed path + overwrite mode: repeated runs reuse ONE copy
-    # instead of leaking a new mkdtemp dir per invocation
+    out = os.path.join(_session_scratch("orc"), "data")
+    # per-process scratch + overwrite mode: repeated runs in one driver
+    # reuse ONE copy; concurrent sessions get disjoint dirs
     orders.write.mode("overwrite").option("compression", "zstd").orc(out)
     back = spark.read.orc(out)
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
@@ -2545,9 +2564,9 @@ def o10_jsonl_roundtrip(spark, sf_dir):
     import tempfile
 
     nation = _t(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "mcyj_jsonl_fixed")
-    # fixed path + overwrite mode: repeated runs reuse ONE copy
-    # instead of leaking a new mkdtemp dir per invocation
+    out = os.path.join(_session_scratch("jsonl"), "data")
+    # per-process scratch + overwrite mode: repeated runs in one driver
+    # reuse ONE copy; concurrent sessions get disjoint dirs
     nation.write.mode("overwrite").json(out)
     back = spark.read.schema(nation.schema).json(out)
     return back.groupBy(F.col("n_regionkey").alias("region")).agg(
@@ -3273,9 +3292,9 @@ def o11_range_clustered_write(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_returnflag", "l_quantity"
     )
-    out = os.path.join(tempfile.gettempdir(), "mcyj_rangecluster_fixed")
-    # fixed path + overwrite mode: repeated runs reuse ONE copy
-    # instead of leaking a new mkdtemp dir per invocation
+    out = os.path.join(_session_scratch("rangecluster"), "data")
+    # per-process scratch + overwrite mode: repeated runs in one driver
+    # reuse ONE copy; concurrent sessions get disjoint dirs
     write_range_clustered(li, out, ["l_shipdate"], n_files=8)
     back = spark.read.parquet(out)
     return (

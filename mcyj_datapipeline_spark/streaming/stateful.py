@@ -157,19 +157,26 @@ def _session_fn(gap_seconds: int):
                 b[3] += float(val)
             else:
                 blocks.append([ts, ts, 1, float(val)])
-        # carried open session: merge into the first block if the gap
-        # allows, else it is a finished session of its own
+        # carried open session: fold it in as a pseudo-block in ts order
+        # and re-merge adjacency. Special-casing blocks[0] would be wrong
+        # for out-of-order batches straddling the carried span (carried
+        # [100,200], new events at 10 and 150: the carried block must
+        # absorb BOTH neighbours, not just the earlier one).
         closed: list[tuple] = []
         if state.exists:
             cs, ce, cn, ct = state.get
-            if blocks and blocks[0][0] - ce <= gap_us:
-                b = blocks[0]
-                b[0] = min(b[0], cs)
-                b[1] = max(b[1], ce)
-                b[2] += cn
-                b[3] += ct
-            else:
-                closed.append((cs, ce, cn, ct))
+            blocks.append([cs, ce, cn, ct])
+            blocks.sort(key=lambda b: (b[0], b[1]))
+            merged: list[list[float]] = []
+            for b in blocks:
+                if merged and b[0] - merged[-1][1] <= gap_us:
+                    m = merged[-1]
+                    m[1] = max(m[1], b[1])
+                    m[2] += b[2]
+                    m[3] += b[3]
+                else:
+                    merged.append(b)
+            blocks = merged
         closed.extend(tuple(b) for b in blocks[:-1])
         open_s = tuple(blocks[-1]) if blocks else None
         if open_s is None:  # only possible if carried state saw no events

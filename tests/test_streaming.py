@@ -433,3 +433,66 @@ def test_session_updater_splits_intra_batch_gaps():
     assert state.exists and state.stored[2] == 1  # open session: 1 event
     # timeout set past the open session's end + gap
     assert state.timeout_ms > 0
+
+
+def test_session_updater_carried_state_straddled_by_late_events():
+    """Regression: a batch whose out-of-order events STRADDLE the carried
+    open session (carried [100,200]min, new events at 10min and 150min,
+    all gaps <= gap_seconds) must fold into ONE session [10,200] — the
+    old blocks[0]-only merge closed [10,200] while leaving the 150min
+    event open as an overlapping second session."""
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.streaming.stateful import _session_fn
+
+    class FakeState:
+        exists = True
+        hasTimedOut = False
+
+        def __init__(self, carried):
+            self.stored = carried
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+            self.exists = True
+
+        def remove(self):
+            self.stored = None
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    gap_min = 100  # gap_seconds = 6000
+    base_us = int(pd.Timestamp("2026-01-01T00:00:00").value // 1000)
+
+    def at_min(m):
+        return base_us + m * 60_000_000
+
+    # carried open session spans [100min, 200min], 5 events, total 5.0
+    state = FakeState((at_min(100), at_min(200), 5, 5.0))
+    update = _session_fn(gap_seconds=gap_min * 60)
+    batch = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp(at_min(150), unit="us"),  # inside carried span
+                pd.Timestamp(at_min(10), unit="us"),  # before it, gap 90min
+            ],
+            "value": [2.0, 1.0],
+        }
+    )
+    out = list(update((7,), iter([batch]), state))
+    # everything merges into ONE open session [10, 200]; nothing closes
+    assert out == []
+    assert state.exists
+    s, e, n, total = state.stored
+    assert (s, e) == (at_min(10), at_min(200))
+    assert n == 7 and total == 8.0
