@@ -29,23 +29,7 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
-_SCRATCH_DIRS: dict[str, str] = {}
-
-
-def _session_scratch(name: str) -> str:
-    """Per-process scratch dir for write-roundtrip queries.
-
-    Cached per name within one driver (repeated gate/bench runs reuse
-    ONE copy instead of leaking a new dir per invocation) but unique
-    across processes via ``mkdtemp`` — a fixed predictable name in
-    world-writable /tmp lets two concurrent sessions overwrite each
-    other mid-read, and is a symlink-attack surface on multi-user
-    hosts. ``mkdtemp`` also gives mode-0700 ownership."""
-    import tempfile
-
-    if name not in _SCRATCH_DIRS:
-        _SCRATCH_DIRS[name] = tempfile.mkdtemp(prefix=f"mcyj_{name}_")
-    return _SCRATCH_DIRS[name]
+from mcyj_datapipeline_spark.session import session_scratch as _session_scratch
 
 
 # ===========================================================================

@@ -62,3 +62,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def session_scratch(name: str) -> str:
+    """Per-process scratch dir, cached by ``name``.
+
+    Reused within one driver (repeated gate/bench runs write to ONE dir
+    instead of leaking a new one per invocation) but unique across
+    processes via ``mkdtemp`` — a fixed predictable name in
+    world-writable /tmp lets two concurrent sessions overwrite each
+    other mid-read, and is a symlink-attack surface on multi-user
+    hosts. ``mkdtemp`` also gives mode-0700 ownership."""
+    import tempfile
+
+    if name not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS[name] = tempfile.mkdtemp(prefix=f"mcyj_{name}_")
+    return _SCRATCH_DIRS[name]
