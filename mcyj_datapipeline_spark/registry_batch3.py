@@ -1904,11 +1904,13 @@ def w4_rolling_range_sum(spark, sf_dir):
            round(max(o_totalprice), 2) AS hi
     FROM d GROUP BY decile
     """,
-    "W5: ntile(10) price deciles under a DETERMINISTIC total order "
-    "(tie-broken by key, else bucket assignment at boundaries is "
-    "engine-dependent), aggregated to per-decile count/lo/hi. Note the "
-    "unpartitioned ORDER BY is a single-reducer sort — at 100 TB use "
-    "approx_percentile cutpoints + a map-side bucket join instead",
+    "W5 [TEST-SCALE-ONLY EXHIBIT — registry.TEST_SCALE_ONLY]: ntile(10) "
+    "price deciles under a DETERMINISTIC total order (tie-broken by key, "
+    "else bucket assignment at boundaries is engine-dependent), "
+    "aggregated to per-decile count/lo/hi. The unpartitioned ORDER BY "
+    "is a single-reducer sort — NOT a 100 TB path; the W5 scale surface "
+    "is w5b_decile_by_cutpoints (broadcast cutpoints, no global sort). "
+    "Kept only as the oracle-parity twin validating w5b's bucketing.",
 )
 def w5_ntile_deciles(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")

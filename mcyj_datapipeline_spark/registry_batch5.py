@@ -40,25 +40,26 @@ def _t(spark, sf_dir, name):
     "mode at gate cardinality, where estimates are exact.",
 )
 def sk_hll_daily_uniques_rollup(spark, sf_dir):
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # persist: the day-grain sketch frame (KB per row) feeds BOTH the
+    # per-day estimates and the total union — without it the events scan
+    # + sketch build runs twice.
+    daily = daily.persist()
     # total = union of the DAILY sketches (not a second scan of events):
-    # this is the merge the pattern exists for. The unpartitioned window
-    # runs over the DAY-grain frame — one row per day, bounded input, so
-    # the single-reducer hazard the w5 exhibit documents does not apply.
-    total_sk = F.hll_union_agg("sk").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # this is the merge the pattern exists for. A one-row aggregate
+    # broadcast-joined back — not a global window; the whole day-grain
+    # frame never funnels through one reducer's sort.
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_uniques")
     )
     return (
         daily.select(
-            "day",
-            F.hll_sketch_estimate("sk").alias("daily_uniques"),
-            F.hll_sketch_estimate(total_sk).alias("total_uniques"),
+            "day", F.hll_sketch_estimate("sk").alias("daily_uniques")
         )
+        .join(F.broadcast(total))
         .orderBy("day")
     )
 

@@ -314,10 +314,14 @@ def test_sql5_dim_chain_broadcasts(spark, sf_dir):
 
 def test_hll_rollup_scans_events_once(spark, sf_dir):
     """The corpus total is a union of the DAILY sketches, not a second
-    scan: exactly one FileScan of events in the plan."""
+    scan: both the per-day branch and the total branch must read the
+    persisted day-grain sketch cache (events is scanned once, when the
+    cache populates — the InMemoryRelation's printed lineage is the
+    only place a FileScan appears)."""
     plan = plan_of(spark, sf_dir, "sk_hll_daily_uniques_rollup")
-    scans = [l for l in plan.splitlines() if "FileScan" in l and "events" in l]
-    assert len(scans) == 1, plan
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # and the total rides a broadcast back onto the day rows
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_pack_sequences_window_is_partitioned(spark, sf_dir):
@@ -383,3 +387,40 @@ def test_e9_acquisition_is_shuffle_free(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "REPARTITION" in plan  # the spread, not a semantic shuffle
     assert plan.count("MapInPandas") == 3  # synth, WARC, HTML
+
+
+def test_registry_has_no_unpartitioned_windows_on_scale_paths(spark, sf_dir):
+    """Registry-wide scale gate: NO query outside registry.TEST_SCALE_ONLY
+    may contain an unpartitioned window (empty PARTITION BY = Spark
+    funnels the whole input through one reducer for the sort — the
+    classic silent 100 TB killer). Walks the optimized LOGICAL plan's
+    Window nodes and checks their partitionSpec directly, so a renamed
+    alias can't hide one and plan-string formatting can't break it."""
+
+    def has_global_window(df) -> bool:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if (
+                node.nodeName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+
+    offenders = []
+    for name, fn in registry.queries().items():
+        if name in registry.TEST_SCALE_ONLY:
+            continue
+        if has_global_window(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, (
+        f"unpartitioned window in scale-path queries: {offenders}"
+    )
+    # the exhibit set stays honest in both directions: every listed name
+    # must exist and actually contain the global window it is excused for
+    for name in registry.TEST_SCALE_ONLY:
+        assert has_global_window(registry.queries()[name](spark, sf_dir))
