@@ -88,11 +88,32 @@ def extract_llm_json(col: Column, schema: T.StructType | None = None) -> Column:
     return F.from_json(F.nullif(candidate, F.lit("")), schema or _LLM_JSON_SCHEMA)
 
 
+_CORRUPT = "_mcyj_corrupt"
+
+
 def _fast_llm_json(col: Column, schema: T.StructType) -> Column:
     """Greedy first-``{``-to-last-``}`` slice + ``from_json`` — the
-    JVM-side fast path shared by both salvage shapes below."""
-    return F.from_json(
-        F.nullif(F.regexp_extract(col, r"(\{.*\})", 1), F.lit("")), schema
+    JVM-side fast path shared by both salvage shapes below.
+
+    ``from_json`` runs PERMISSIVE, where a corrupt slice yields a
+    struct-of-nulls — NOT null — so a bare null-check would count
+    garbage like ``xx {not json} yy {"summary":"ok"}`` as a fast-path
+    HIT and the brace-matching salvage (which recovers the trailing
+    object) would never run. Parse with a corrupt-record column and
+    treat the fast path as failed whenever it is set; trailing junk
+    after a complete first object does NOT set it (Jackson stops at the
+    first value), matching the scanner's first-balanced-object pick."""
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    parsed = F.from_json(
+        F.nullif(F.regexp_extract(col, r"(\{.*\})", 1), F.lit("")),
+        aug,
+        {"columnNameOfCorruptRecord": _CORRUPT},
+    )
+    return F.when(
+        parsed.isNotNull() & parsed.getField(_CORRUPT).isNull(),
+        parsed.dropFields(_CORRUPT),
     )
 
 

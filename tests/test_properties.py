@@ -236,3 +236,129 @@ def test_sequence_packing_partition_exactness(spark, sf_dir):
         .count()
     )
     assert partial == 0
+
+
+def test_salvage_table_poison_heavy_equivalence_and_python_row_count(
+    spark, monkeypatch
+):
+    """F16 under a poison-heavy corpus (>50% of rows fail the JVM fast
+    path): salvage_llm_json_table must (a) produce exactly what the
+    pure-Python fast->slow reference cascade produces for EVERY row, and
+    (b) send exactly the fast-path-failed rows through the Python UDF —
+    counted by an accumulator inside a monkeypatched UDF, so the
+    assertion is on the BatchEvalPython stage's true input, not plan
+    structure."""
+    import json
+    import re as _re
+
+    import mcyj_datapipeline_spark.functions.textfn as tf
+    from mcyj_datapipeline_spark.operators.procedural import salvage_json
+    from pyspark.sql import types as T
+
+    rng = random.Random(20260814)
+    rows = []
+    n_fast_fail_expected = 0
+    kinds = [
+        "clean",
+        "clean_noisy",
+        "two_objects",  # fast hit: Jackson stops at the first object
+        "no_json",
+        "no_json",
+        "truncated",
+        "truncated",
+        "garbage_braces",  # corrupt slice -> must NOT count as fast hit
+        "poison_then_good",  # corrupt prefix, salvage recovers trailing
+        "poison_then_good",
+    ]
+    for i in range(300):
+        kind = rng.choice(kinds)
+        s = rng.choice(["ok", "bad {x}", 'quote " inside', "multi\nline"])
+        v = rng.choice(["HIGH", "LOW", "none"])
+        if kind == "clean":
+            text = f'{{"summary": {json.dumps(s)}, "violation": "{v}"}}'
+        elif kind == "clean_noisy":
+            text = (
+                f'LLM says: {{"summary": {json.dumps(s)}, '
+                f'"violation": "{v}"}} -- end of answer'
+            )
+        elif kind == "two_objects":
+            text = (
+                f'a {{"summary": {json.dumps(s)}}} b '
+                f'{{"violation": "{v}"}} c'
+            )
+        elif kind == "no_json":
+            text = f"no braces at all {s} {v}"
+        elif kind == "truncated":
+            text = f'{{"summary": {json.dumps(s)}, "violation": "{v}"'
+        elif kind == "garbage_braces":
+            text = f"xx {{not json {v}}} yy"
+        else:  # poison_then_good — the PERMISSIVE struct-of-nulls trap:
+            # the greedy slice is corrupt, but the scanner finds the
+            # trailing valid object; a bare from_json null-check would
+            # wrongly fast-hit with (null, null) here
+            text = (
+                f'xx {{not json}} yy {{"summary": {json.dumps(s)}, '
+                f'"violation": "{v}"}}'
+            )
+        rows.append((i, text))
+
+    # pure-Python reference: the documented fast->slow cascade. The
+    # fast model is raw_decode (parse the FIRST value, ignore trailing
+    # junk) — mirroring Jackson's from_json behavior, which stops at
+    # the first complete object.
+    def ref(text):
+        m = _re.search(r"\{.*\}", text, _re.DOTALL)
+        if m:
+            try:
+                obj, _ = json.JSONDecoder().raw_decode(m.group(0))
+                if isinstance(obj, dict):
+                    return obj, True
+            except ValueError:
+                pass
+        return salvage_json(text), False
+
+    expected = {}
+    for i, text in rows:
+        obj, fast_hit = ref(text)
+        if not fast_hit:
+            n_fast_fail_expected += 1
+        expected[i] = (
+            (None, None)
+            if obj is None
+            else (obj.get("summary"), obj.get("violation"))
+        )
+    assert n_fast_fail_expected > len(rows) * 0.5, (
+        "fixture must be poison-heavy: "
+        f"{n_fast_fail_expected}/{len(rows)} fast-path failures"
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_udf():
+        from pyspark.sql.functions import udf
+
+        @udf(returnType=T.StringType())
+        def _salvage(text):
+            acc.add(1)
+            obj = salvage_json(text or "")
+            return json.dumps(obj) if obj is not None else None
+
+        return _salvage
+
+    monkeypatch.setattr(tf, "_salvage_udf", counting_udf)
+
+    df = spark.createDataFrame(rows, "row_id long, raw string")
+    out = tf.salvage_llm_json_table(df, "raw", out="parsed").collect()
+
+    assert len(out) == len(rows)
+    got = {
+        r["row_id"]: (
+            (None, None)
+            if r["parsed"] is None
+            else (r["parsed"]["summary"], r["parsed"]["violation"])
+        )
+        for r in out
+    }
+    assert got == expected
+    # the Python stage saw exactly the fast-path-failed slice
+    assert acc.value == n_fast_fail_expected
