@@ -228,11 +228,30 @@ def salvage_json(text: str) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+def _pdf_show_op(text: str) -> bytes:
+    """One ``Tj`` show op for ``text``: a latin-1 literal string when
+    the text fits in one byte per char, else a BOM-prefixed UTF-16BE
+    hex string (the PDF text-string convention; real reference pages
+    are ~60% non-latin-1 — smart quotes, bullets)."""
+    try:
+        raw = text.encode("latin-1")
+        esc = (
+            raw.replace(b"\\", rb"\\")
+            .replace(b"(", rb"\(")
+            .replace(b")", rb"\)")
+        )
+        return b"(" + esc + b") Tj"
+    except UnicodeEncodeError:
+        payload = b"\xfe\xff" + text.encode("utf-16-be")
+        return b"<" + payload.hex().encode() + b"> Tj"
+
+
 def synth_simple_pdf(page_texts: list[str]) -> bytes:
     """A syntactically complete N-page PDF (catalog, page tree, one
     Flate content stream per page, xref, trailer) drawing each page's
     text with the built-in Helvetica — valid input for pdfplumber AND
-    for :func:`_stdlib_pdf_pages`."""
+    for :func:`_stdlib_pdf_pages`. Non-latin-1 pages are shown as
+    UTF-16BE hex strings (see :func:`_pdf_show_op`)."""
     import zlib
 
     n = len(page_texts)
@@ -245,11 +264,8 @@ def synth_simple_pdf(page_texts: list[str]) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     for i, text in enumerate(page_texts):
-        esc = (
-            text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-        )
         stream = zlib.compress(
-            f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode()
+            b"BT /F1 12 Tf 72 720 Td " + _pdf_show_op(text) + b" ET"
         )
         objects.append(
             (
@@ -279,46 +295,444 @@ def synth_simple_pdf(page_texts: list[str]) -> bytes:
     return bytes(out)
 
 
-def _stdlib_pdf_pages(content: bytes) -> list[str]:
-    """REAL extractor for the simple PDF subset: walks content streams
-    (raw or FlateDecode), pulls literal strings shown via ``Tj`` / ``TJ``
-    and unescapes them; each content stream that shows text is one page
-    (true for the one-stream-per-page layout every simple generator
-    emits). Raises ValueError when the file is not a PDF — poison
-    policy belongs to the caller, exactly like the PNG kernel."""
+def _png_predict_encode(data: bytes, columns: int, filter_type: int = 2) -> bytes:
+    """Apply a PNG row filter (for synth: Up=2) so tests can emit
+    Predictor-12 streams; rows padded to ``columns`` with spaces."""
+    pad = (-len(data)) % columns
+    data = data + b" " * pad
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), columns):
+        row = bytearray(data[r : r + columns])
+        enc = bytearray(columns)
+        for i in range(columns):
+            enc[i] = (row[i] - prev[i]) % 256 if filter_type == 2 else row[i]
+        out.append(filter_type if filter_type == 2 else 0)
+        out += enc
+        prev = row
+    return bytes(out)
+
+
+def synth_advanced_pdf(page_texts: list[str]) -> bytes:
+    """A PDF exercising the REAL-file features the simple generator
+    skips — the shapes Word/Adobe emit (reference corpus provenance:
+    extract_pdf_text.py) :
+
+    * page 0 split across TWO content streams (``/Contents [a, b]``),
+      the second one FlateDecode + **PNG Predictor 12** (``/DecodeParms
+      << /Predictor 12 /Columns N >>``),
+    * a ``TJ`` array mixing literal strings, kerning numbers, and hex
+      strings,
+    * octal escapes (``\\ddd``) in literal strings.
+
+    Pages after the first use plain single-stream Flate layout."""
+    import zlib
+
+    n = max(1, len(page_texts))
+    texts = list(page_texts) or [""]
+    # objects: 1 catalog, 2 pages, 3 font; page 0 = obj 4 + streams 5,6;
+    # pages i>=1 = obj (5+2i), stream (6+2i)
+    kids = " ".join(
+        ("4 0 R" if i == 0 else f"{5 + 2 * i} 0 R") for i in range(n)
+    )
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    # --- page 0: split text across two streams, stream B predictor-12
+    t0 = texts[0]
+    half = len(t0) // 2
+    a_txt, b_txt = t0[:half], t0[half:]
+    # stream A: TJ array with kerning numbers + octal escape demo — the
+    # octal spells the FIRST char of a_txt when it is latin-1
+    ops_a = b"BT /F1 12 Tf 72 720 Td "
+    try:
+        raw = a_txt.encode("latin-1")
+        if raw:
+            # TJ array mixing: octal-escaped literal (first char), a
+            # kerning number, then the REST as a plain latin-1 hex
+            # string — reconstructs a_txt exactly
+            first_oct = f"\\{raw[0]:03o}".encode()
+            ops_a += (
+                b"[(" + first_oct + b") -250 <"
+                + raw[1:].hex().encode() + b">] TJ "
+            )
+        else:
+            ops_a += b"[()] TJ "
+    except UnicodeEncodeError:
+        ops_a += b"<" + (b"\xfe\xff" + a_txt.encode("utf-16-be")).hex().encode() + b"> Tj "
+    ops_a += b"ET"
+    stream_a = zlib.compress(ops_a)
+    ops_b = b"BT /F1 12 Tf 72 700 Td " + _pdf_show_op(b_txt) + b" ET"
+    cols = 16
+    stream_b = zlib.compress(_png_predict_encode(ops_b, cols))
+    objects.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents [5 0 R 6 0 R] "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>"
+    )
+    objects.append(
+        f"<< /Length {len(stream_a)} /Filter /FlateDecode >>\nstream\n".encode()
+        + stream_a
+        + b"\nendstream"
+    )
+    objects.append(
+        (
+            f"<< /Length {len(stream_b)} /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns {cols} >> >>\nstream\n"
+        ).encode()
+        + stream_b
+        + b"\nendstream"
+    )
+    for i, text in enumerate(texts[1:], start=1):
+        stream = zlib.compress(
+            b"BT /F1 12 Tf 72 720 Td " + _pdf_show_op(text) + b" ET"
+        )
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {6 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+        objects.append(
+            f"<< /Length {len(stream)} /Filter /FlateDecode >>\nstream\n".encode()
+            + stream
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for idx, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{idx} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+_PDF_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+}
+
+
+def _pdf_decode_literal(raw: bytes) -> str:
+    """PDF literal-string unescape: ``\\n \\r \\t \\b \\f \\( \\) \\\\``,
+    1-3 digit octal ``\\ddd``, and backslash-newline continuations."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = raw[i]
+        if c in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[c]
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j - i < 3 and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif c in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if c == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        else:  # \( \) \\ and unknown escapes -> the char itself
+            out.append(c)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _pdf_decode_hex(raw: bytes) -> str:
+    """PDF hex-string decode. BOM ``FEFF`` prefix → UTF-16BE (the PDF
+    text-string convention; how non-latin-1 text round-trips without a
+    font CMap); otherwise one byte per char via latin-1."""
+    h = bytes(raw).translate(None, b" \t\r\n")
+    if len(h) % 2:
+        h += b"0"  # PDF: odd final digit implies trailing 0
+    try:
+        b = bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return ""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1")
+
+
+_PDF_SHOW_RE = None  # compiled lazily; pattern below
+
+
+def _pdf_text_ops(body: bytes) -> str:
+    """Pull shown text from one decoded content stream IN ORDER:
+    literal/hex strings via ``Tj`` ``'`` ``\"`` and ``TJ`` arrays
+    (mixing literal, hex, and kerning numbers)."""
+    import re
+
+    global _PDF_SHOW_RE
+    if _PDF_SHOW_RE is None:
+        _PDF_SHOW_RE = re.compile(
+            rb"\(((?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"  # literal show
+            rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"  # hex show
+            rb"|\[((?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ",
+            re.DOTALL,
+        )
+    parts: list[str] = []
+    for m in _PDF_SHOW_RE.finditer(body):
+        lit, hx, arr = m.group(1), m.group(2), m.group(3)
+        if lit is not None:
+            parts.append(_pdf_decode_literal(lit))
+        elif hx is not None:
+            parts.append(_pdf_decode_hex(hx))
+        else:
+            for em in re.finditer(
+                rb"\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>", arr
+            ):
+                el, eh = em.group(1), em.group(2)
+                parts.append(
+                    _pdf_decode_literal(el)
+                    if el is not None
+                    else _pdf_decode_hex(eh)
+                )
+    return "".join(parts)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Undo PNG row filters (Predictor 10-15): Sub/Up/Average/Paeth per
+    row, ``columns*colors*bpc/8`` bytes per row + 1 filter byte."""
+    bpp = max(1, colors * bpc // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data) - rowlen, rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) % 256
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) % 256
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) % 256
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _pdf_decode_stream(sdict: bytes, body: bytes) -> bytes | None:
+    """Decode one content stream: FlateDecode + optional PNG predictor
+    (``/DecodeParms << /Predictor >= 10 /Columns N >>`` — how Word/
+    Adobe compress xref and occasionally content streams)."""
     import re
     import zlib
 
+    if b"FlateDecode" in sdict:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return None
+    pm = re.search(rb"/Predictor\s+(\d+)", sdict)
+    if pm and int(pm.group(1)) >= 10:
+        cm = re.search(rb"/Columns\s+(\d+)", sdict)
+        colors = re.search(rb"/Colors\s+(\d+)", sdict)
+        bpc = re.search(rb"/BitsPerComponent\s+(\d+)", sdict)
+        body = _png_unpredict(
+            body,
+            int(cm.group(1)) if cm else 1,
+            int(colors.group(1)) if colors else 1,
+            int(bpc.group(1)) if bpc else 8,
+        )
+    return body
+
+
+def _pdf_objects(content: bytes) -> dict[int, bytes]:
+    """``num 0 obj ... endobj`` spans by object number. Stream extents
+    honor the dict's direct ``/Length`` when present, so compressed
+    bytes that happen to contain ``endobj``/``endstream`` cannot
+    truncate an object (generation numbers ignored — no incremental
+    updates in the simple subset)."""
+    import re
+
+    objects: dict[int, bytes] = {}
+    header = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+    stream_kw = re.compile(rb"stream\r?\n")
+    pos = 0
+    while True:
+        # sequential cursor, jumping past each object's full extent —
+        # a blind finditer would also match 'N M obj' byte patterns
+        # INSIDE compressed stream bodies and clobber real objects
+        m = header.search(content, pos)
+        if m is None:
+            return objects
+        num = int(m.group(1))
+        start = m.end()
+        em = content.find(b"endobj", start)
+        sm = stream_kw.search(content, start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            lm = re.search(rb"/Length\s+(\d+)\b", content[start : sm.start()])
+            if lm:
+                es = sm.end() + int(lm.group(1))
+            else:
+                es = content.find(b"endstream", sm.end())
+            em = content.find(b"endobj", es if es != -1 else sm.end())
+        if em == -1:
+            return objects
+        objects[num] = content[start:em]
+        pos = em + len(b"endobj")
+
+
+def _pdf_object_stream(obj: bytes) -> tuple[bytes, bytes] | None:
+    """Split one object span into (stream dict, raw stream body). The
+    body extent honors a direct ``/Length`` so compressed bytes that
+    contain ``endstream`` cannot truncate it."""
+    import re
+
+    sm = re.search(rb"<<(.*?)>>\s*stream\r?\n", obj, re.DOTALL)
+    if sm is None:
+        return None
+    sdict = sm.group(1)
+    lm = re.search(rb"/Length\s+(\d+)\b", sdict)
+    if lm:
+        # exact extent — do NOT strip: compressed data may legitimately
+        # end with 0x0A/0x0D bytes
+        body = obj[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        e = obj.find(b"endstream", sm.end())
+        body = obj[sm.end() : e if e != -1 else len(obj)]
+        # no /Length: drop at most ONE trailing EOL (the separator
+        # before 'endstream' the spec mandates)
+        if body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith((b"\n", b"\r")):
+            body = body[:-1]
+    return sdict, body
+
+
+def _pdf_page_text(objects: dict[int, bytes], page_obj: bytes) -> str:
+    """Decode a /Page object's /Contents (single ref or array of refs,
+    each possibly multi-stream — Word splits page content) and pull the
+    shown text in stream order."""
+    import re
+
+    cm = re.search(
+        rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[((?:\s*\d+\s+\d+\s+R)*)\s*\])",
+        page_obj,
+    )
+    if not cm:
+        return ""
+    refs = (
+        [int(cm.group(1))]
+        if cm.group(1)
+        else [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(2))]
+    )
+    texts: list[str] = []
+    for ref in refs:
+        obj = objects.get(ref)
+        if obj is None:
+            continue
+        split = _pdf_object_stream(obj)
+        if split is None:
+            continue
+        body = _pdf_decode_stream(*split)
+        if body is not None:
+            texts.append(_pdf_text_ops(body))
+    return "".join(texts)
+
+
+def _stdlib_pdf_pages(content: bytes) -> list[str]:
+    """REAL extractor for the simple-PDF subset, structured walk first:
+    parse the object table, follow trailer ``/Root`` → catalog
+    ``/Pages`` → ``/Kids`` in tree order, decode each page's
+    ``/Contents`` (single or array; FlateDecode, optional PNG
+    predictor) and pull ``Tj``/``'``/``\"``/``TJ`` strings (literal
+    with full escape/octal handling, hex with UTF-16BE BOM support) in
+    op order. Falls back to the flat stream scan when the structure is
+    unparsable (broken xref etc.). Raises ValueError when the file is
+    not a PDF — poison policy belongs to the caller, exactly like the
+    PNG kernel.
+
+    Documented limits (the pdfplumber auto-path covers these): font
+    CMap/ToUnicode remapping, object streams (``/ObjStm`` can hold
+    page DICTS; content streams themselves can never live inside one),
+    encrypted files, incremental updates."""
+    import re
+
     if not content.startswith(b"%PDF"):
         raise ValueError("not a PDF")
-    pages: list[str] = []
-    for m in re.finditer(
-        rb"<<(?P<dict>[^>]*)>>\s*stream\r?\n(?P<body>.*?)endstream",
-        content,
-        re.DOTALL,
-    ):
-        body = m.group("body").rstrip(b"\r\n")
-        if b"FlateDecode" in m.group("dict"):
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue
-        shown = re.findall(rb"\(((?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")", body)
-        shown += [
-            s
-            for arr in re.findall(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", body)
-            for s in re.findall(rb"\(((?:\\.|[^\\()])*)\)", arr)
-        ]
-        if not shown:
-            continue
-        page = "".join(
-            s.decode("latin-1")
-            .replace(r"\(", "(")
-            .replace(r"\)", ")")
-            .replace(r"\\", "\\")
-            for s in shown
+    # ---- structured: object table + page tree walk
+    try:
+        objects = _pdf_objects(content)
+        root_m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", content)
+        catalog = objects.get(int(root_m.group(1))) if root_m else None
+        pages_m = (
+            re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", catalog)
+            if catalog
+            else None
         )
-        pages.append(page)
+        page_objs: list[bytes] = []
+
+        def walk_kids(node: bytes, depth: int = 0) -> None:
+            if depth > 32:  # cycle guard
+                return
+            kids_m = re.search(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]", node)
+            if not kids_m:
+                return
+            for ref in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1)):
+                kid = objects.get(int(ref))
+                if kid is None:
+                    continue
+                if re.search(rb"/Type\s*/Page\b", kid) and not re.search(
+                    rb"/Type\s*/Pages\b", kid
+                ):
+                    page_objs.append(kid)
+                else:
+                    walk_kids(kid, depth + 1)
+
+        if pages_m and int(pages_m.group(1)) in objects:
+            walk_kids(objects[int(pages_m.group(1))])
+        if page_objs:
+            return [_pdf_page_text(objects, p) for p in page_objs]
+    except Exception:
+        pass
+    # ---- fallback: flat scan in file-offset order, one text-bearing
+    # stream per page (no trailer/page tree needed)
+    pages: list[str] = []
+    for obj in _pdf_objects(content).values():
+        split = _pdf_object_stream(obj)
+        if split is None:
+            continue
+        body = _pdf_decode_stream(*split)
+        if body is None:
+            continue
+        page = _pdf_text_ops(body)
+        if page:
+            pages.append(page)
     return pages
 
 

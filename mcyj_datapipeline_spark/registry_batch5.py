@@ -746,6 +746,69 @@ def u1b_pdf_stdlib_extract(spark, sf_dir):
     )
 
 
+@register(
+    "u1c_pdf_advanced_extract",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(1, 1 + doc_id % 3))::BIGINT AS page_no,
+           printf('Doc %d page %d', doc_id, unnest(generate_series(1, 1 + doc_id % 3))) AS page_text
+    FROM documents
+    """,
+    "U1 real path, ADVANCED container shapes (what Word/Adobe emit — "
+    "the reference corpus's provenance): page 0 split across TWO "
+    "content streams with the second FlateDecode + PNG Predictor 12, "
+    "TJ arrays mixing octal-escaped literals / kerning numbers / hex "
+    "strings, UTF-16BE hex text. Same stdlib extractor, structured "
+    "page-tree walk; the closed-form oracle only matches if every "
+    "decode layer (inflate, predictor unfilter, escape/hex decode, "
+    "/Contents array concat) is correct.",
+)
+def u1c_pdf_advanced_extract(spark, sf_dir):
+    import pandas as pd
+
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        extract_pdf_text,
+        synth_advanced_pdf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "sha256": ids.astype("str"),
+                    "content": [
+                        synth_advanced_pdf(
+                            [
+                                f"Doc {int(i)} page {p}"
+                                for p in range(1, 2 + int(i) % 3)
+                            ]
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = spread_for_compute(docs, "doc_id").mapInPandas(
+        synth, schema="sha256 string, content binary"
+    )
+    extracted = extract_pdf_text(media, extractor=_stdlib_pdf_pages)
+    return extracted.select(
+        F.col("sha256").cast("long").alias("media_id"),
+        F.posexplode("text").alias("page_idx", "page_text"),
+    ).select(
+        "media_id",
+        (F.col("page_idx") + 1).cast("long").alias("page_no"),
+        "page_text",
+    )
+
+
 # ===========================================================================
 # S10 — WARC record parsing (Common Crawl's container; stdlib parser)
 # ===========================================================================

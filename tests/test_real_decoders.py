@@ -7,6 +7,7 @@ zlib-only grayscale PNG) so no generator library is needed either."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -390,3 +391,101 @@ def test_frontier_schedule_missing_host_and_fractional_delay(spark):
     rows = {r["url_id"]: r["fetch_at_s"] for r in frontier_schedule(urls, delays).collect()}
     assert rows[4] == 0.0          # unknown host scheduled, not dropped
     assert (rows[1], rows[2], rows[3]) == (0.0, 0.5, 1.0)  # spacing kept
+
+
+# ---------------------------------------------------------------------------
+# PDF advanced subset: page-tree walk, multi-stream pages, PNG
+# predictors, hex strings, octal escapes — the shapes real
+# Word/Adobe-produced files (the reference corpus's provenance) emit.
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_advanced_multistream_predictor_hex_octal():
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        synth_advanced_pdf,
+    )
+
+    texts = [
+        "Page one is split across two content streams, stream B "
+        "rides FlateDecode + PNG Predictor 12.",
+        "Smart ’quotes” and bullets • go hex UTF-16BE",
+        "Plain (escaped) third \\ page",
+    ]
+    blob = synth_advanced_pdf(texts)
+    # structural sanity: the features are really in the file
+    assert b"/Contents [5 0 R 6 0 R]" in blob
+    assert b"/Predictor 12" in blob
+    assert _stdlib_pdf_pages(blob) == texts
+
+
+def test_pdf_literal_escape_decoding():
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _pdf_decode_literal,
+    )
+
+    assert _pdf_decode_literal(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _pdf_decode_literal(rb"\110\151!") == "Hi!"  # octal
+    assert _pdf_decode_literal(rb"tab\there") == "tab\there"
+    assert _pdf_decode_literal(b"line\\\ncont") == "linecont"  # continuation
+    assert _pdf_decode_literal(rb"\7bell") == "\x07bell"  # short octal
+
+
+def test_pdf_hex_string_decoding():
+    from mcyj_datapipeline_spark.operators.procedural import _pdf_decode_hex
+
+    assert _pdf_decode_hex(b"48 65 6C 6C 6F") == "Hello"
+    assert _pdf_decode_hex(b"48656") == "He`"  # odd digit -> trailing 0
+    bom16 = (b"\xfe\xff" + "d’accord".encode("utf-16-be")).hex().encode()
+    assert _pdf_decode_hex(bom16) == "d’accord"
+
+
+def test_png_predictor_roundtrip():
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _png_predict_encode,
+        _png_unpredict,
+    )
+
+    data = bytes(range(7, 250)) * 3
+    cols = 16
+    enc = _png_predict_encode(data, cols)
+    dec = _png_unpredict(enc, cols)
+    pad = (-len(data)) % cols
+    assert dec == data + b" " * pad
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/pdf_parsing/parquet_files"),
+    reason="reference pdf_parsing snapshot not present",
+)
+def test_pdf_stdlib_roundtrips_all_real_reference_texts():
+    """The reference snapshot commits NO pdf bytes (Downloads/ is not
+    in the repo — only the extracted text parquet), so byte-equality
+    against a real committed PDF is impossible by construction. The
+    strongest available substitute: run every one of the 596 REAL
+    production documents' page texts through the synth PDF writers
+    (both the simple layout and the advanced Word-shaped layout:
+    multi-stream pages, Predictor-12 Flate, hex/octal strings) and
+    require the stdlib extractor to reproduce every page EXACTLY.
+    596/596 at authoring time; any regression fails."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mcyj_datapipeline_spark.operators.procedural import (
+        _stdlib_pdf_pages,
+        synth_advanced_pdf,
+        synth_simple_pdf,
+    )
+
+    n = simple_ok = adv_ok = 0
+    for f in sorted(
+        glob.glob("/root/reference/pdf_parsing/parquet_files/*.parquet")
+    ):
+        for pages in pq.read_table(f).column("text").to_pylist():
+            n += 1
+            simple_ok += _stdlib_pdf_pages(synth_simple_pdf(pages)) == pages
+            adv_ok += _stdlib_pdf_pages(synth_advanced_pdf(pages)) == pages
+    assert n == 596
+    assert simple_ok == n, f"simple layout: {simple_ok}/{n}"
+    assert adv_ok == n, f"advanced layout: {adv_ok}/{n}"
