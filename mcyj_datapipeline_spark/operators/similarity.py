@@ -603,3 +603,247 @@ def embedding_contamination(
         .filter(F.col("cosine") >= tau)
     )
     return hits
+
+
+# ===========================================================================
+# Product quantization (PQ) — Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" (public). The 100 TB ANN compression
+# path: each D-dim float vector becomes m one-byte codes (32× smaller
+# at D=64/m=8), and query scoring is m table lookups per vector instead
+# of D multiplies. Composes with IVF (IVF-PQ: coarse lists partition the
+# corpus, PQ codes compress the residuals inside each list).
+# ===========================================================================
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 8,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train PQ codebooks driver-side on a deterministic sample.
+
+    The sample is the ``sample_n`` smallest-id vectors (same convention
+    as :func:`default_centroids` — deterministic, no RNG), l2-normalized
+    so downstream asymmetric-distance scoring approximates cosine.
+    Each of the ``m`` subspaces gets its own tiny Lloyd's k-means with
+    evenly-strided init. Driver memory is sample_n × D floats — bounded
+    and scale-independent (at 100 TB you still train on a few thousand
+    sampled rows; codebook quality depends on sample size, not corpus
+    size). Returns a list of m (n_codes × D/m) float matrices as nested
+    Python lists (small enough to close over / broadcast as literals)."""
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        # Evenly-strided deterministic init over the sorted-by-id sample
+        # (fewer centroids than sample rows if the corpus is tiny).
+        k_eff = min(n_codes, len(sub))
+        idx = np.linspace(0, len(sub) - 1, k_eff).astype(int)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                pts = sub[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` one-byte codes, packed into a
+    ``binary`` column (m bytes per vector — the honest PQ storage
+    payload; Spark's ByteType is signed, bytes() is the real uint8 pack).
+
+    Arrow-batched ``mapInPandas`` kernel: per batch, normalize, then per
+    subspace argmin over the (tiny, closure-captured) codebook — a
+    (batch × n_codes) distance matrix per subspace, pure NumPy. Map-only:
+    no shuffle; at 100 TB this is one pass that shrinks the stored/
+    shuffled ANN payload 4 B/dim → 1 B/subspace."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("pq_codes", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||^2 argmin == argmax(2 x·c - ||c||^2): one GEMM.
+                dots = sub @ B[j].T
+                codes[:, j] = (2 * dots - (B[j] ** 2).sum(1)).argmax(1)
+            yield pd.DataFrame(
+                {"vec_id": ids, "pq_codes": [c.tobytes() for c in codes]}
+            )
+
+    return _spread(corpus.select(id_col, vec_col), id_col).mapInPandas(
+        kernel, schema
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance
+    computation (ADC): per query, precompute an (m × n_codes) lookup
+    table of subvector dot products driver-side (tiny), then score each
+    encoded corpus row as m table lookups — never touching the original
+    floats. The scan reads 1 byte/subspace instead of 4 bytes/dim; at
+    100 TB that bandwidth ratio IS the speedup, and the same codes serve
+    every future query batch. Recall < 1 by construction — quantified
+    against ``cosine_topk`` in tests (like the int8 and IVF paths).
+
+    ``rerank > 0`` enables the standard refinement step: keep the top
+    ``rerank × k`` ADC candidates per query (a few dozen rows), join
+    their FLOAT vectors back, and exact-cosine re-rank only those. The
+    full corpus is still scanned as bytes; floats are touched for the
+    shortlist alone — near-exact recall at PQ scan cost."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if books is None:
+        books = pq_train_codebooks(
+            corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    B = [np.array(b, dtype=np.float64) for b in books]
+    m = len(B)
+    dsub = B[0].shape[1]
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small query batch
+    q_ids = [r[id_col] for r in q_rows]
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = q_sub_j · codebook_j[c]; sum over j approximates
+    # the cosine of the normalized pair.
+    lut = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ B[j].T for j in range(m)], axis=1
+    )  # (n_q, m, n_codes)
+
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = (
+                np.frombuffer(b"".join(pdf["pq_codes"]), dtype=np.uint8)
+                .reshape(len(pdf), m)
+                .astype(np.int64)
+            )
+            out = []
+            for qi, qid in enumerate(q_ids):
+                # Gather: score = sum_j LUT[qi, j, codes[:, j]].
+                s = lut[qi, np.arange(m)[None, :], codes].sum(1)
+                mask = ids != qid
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask],
+                            "score": np.round(s[mask], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = encoded.mapInPandas(kernel, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(
+                "query_id", "neighbor_id", "score", F.col("_rn").alias("rank")
+            )
+        )
+    # Refinement: shortlist by ADC, then exact cosine on the shortlist
+    # only. Both joined sides of the re-rank are tiny (n_q × rerank×k
+    # rows), so the float vectors come back via broadcast joins — the
+    # corpus-wide scan above never read them.
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    exact = (
+        F.broadcast(shortlist)
+        .join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("_rn").alias("rank"))
+    )

@@ -1636,3 +1636,4 @@ def sim_lsh_topk(spark, sf_dir):
 from mcyj_datapipeline_spark import registry_batch3  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch4  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch5  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch6  # noqa: E402,F401

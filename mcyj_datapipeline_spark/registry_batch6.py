@@ -1,0 +1,306 @@
+"""Batch 6 registry entries (round 3): decorrelated-subquery SQL shapes
+(TPC-H Q13/Q16/Q22 analogs), robust MAD outlier detection, SCD2
+dimension-interval builds, and product-quantization ANN — each written
+Spark-first (pre-aggregate before joins, broadcast tiny sides,
+partitioned windows) with a DuckDB value oracle where SQL can express
+the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.registry import register
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# SQL shapes: the classic decorrelation patterns (outer-join count
+# distribution, distinct-count exclusion, scalar subquery + anti-join)
+# ===========================================================================
+
+@register(
+    "sql7_custdist",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: orders-per-customer distribution including "
+    "zero-order customers (the left-join-then-count-then-redistribute "
+    "pattern). Spark plan pre-aggregates orders per custkey BEFORE the "
+    "join, so the join input shrinks from one row per order to one row "
+    "per customer — at 100 TB the shuffle carries (custkey, count) "
+    "pairs, never order rows, and the second aggregation is over the "
+    "customer count, already tiny.",
+)
+def sql7_custdist(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    # Pre-aggregate the fact side before joining the dimension: the
+    # left join then sees one row per customer on each side.
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_cust = cust.join(per_cust_orders, "c_custkey", "left").select(
+        "c_custkey", F.coalesce(F.col("_n"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "sql8_supplier_diversity",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type
+    """,
+    "TPC-H Q16 shape: distinct suppliers per (brand, type) with "
+    "exclusion predicates. The part dimension is filtered FIRST and "
+    "broadcast (all predicates are on part, so they prune before the "
+    "fact join); the distinct-count runs as a two-phase aggregate "
+    "(partial distinct within partitions, then merge) so no single "
+    "reducer sees all suppliers of a hot brand.",
+)
+def sql8_supplier_diversity(spark, sf_dir):
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & ~F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "sql9_dormant_high_balance",
+    """
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: customers with above-average balance and no "
+    "urgent orders (scalar aggregate subquery + anti-join). The scalar "
+    "is one row broadcast into the filter; the anti-join probes a "
+    "distinct o_custkey set — at 100 TB that set is the shuffled "
+    "payload (8-byte keys), never order rows, and the balance filter "
+    "runs BEFORE the anti-join so only high-balance customers probe it.",
+)
+def sql9_dormant_high_balance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    # Scalar subquery: one-row aggregate, cross-joined (broadcast) into
+    # the filter. Rounded to 6 dp on both engines so the threshold
+    # comparison cannot flip on last-ulp summation-order differences.
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    orders_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    dormant = rich.join(orders_keys, "c_custkey", "left_anti")
+    return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+# ===========================================================================
+# Robust statistics: median/MAD outlier detection
+# ===========================================================================
+
+@register(
+    "a21_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS prio,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1
+    ),
+    mad AS (
+      SELECT o.o_orderpriority AS prio,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m ON o.o_orderpriority = m.prio
+      GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS priority,
+           sum(CASE WHEN abs(o.o_totalprice - m.med) > 3 * d.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(m.med, 2) AS median_price,
+           round(d.mad, 2) AS mad_price
+    FROM orders o
+    JOIN med m ON o.o_orderpriority = m.prio
+    JOIN mad d ON o.o_orderpriority = d.prio
+    GROUP BY 1, m.med, d.mad
+    """,
+    "Robust per-group outlier detection: |x - median| > 3 * MAD "
+    "(median absolute deviation) — unlike z-scores, one corrupt batch "
+    "cannot drag the threshold. Two grouped exact percentiles (median, "
+    "then median of deviations) with the per-group stats broadcast back "
+    "— the group count is the cardinality of the stats frame, so the "
+    "fact table shuffles only for the two percentile passes; at 100 TB "
+    "swap percentile -> approx_percentile for one-pass sketching.",
+)
+def a21_mad_outliers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile(
+                F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    stats = med.join(mad, "o_orderpriority")
+    return (
+        orders.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"), "med", "mad"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "priority",
+            "n_outliers",
+            F.round("med", 2).alias("median_price"),
+            F.round("mad", 2).alias("mad_price"),
+        )
+    )
+
+
+# ===========================================================================
+# SCD2: change events -> validity intervals (warehouse dimension build)
+# ===========================================================================
+
+@register(
+    "t8_scd2_intervals",
+    """
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "SCD2 dimension build: turn a change-event stream into validity "
+    "intervals — each purchase's value holds from its timestamp until "
+    "the user's next purchase (valid_to NULL = current version). One "
+    "partitioned window (lead over user_id), deterministic tie-break on "
+    "event_id; the window sorts within each user's partition only, so "
+    "at 100 TB this is a single shuffle on user_id with no global sort.",
+)
+def t8_scd2_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ===========================================================================
+# Product-quantization ANN (rows-only: ADC scoring over trained
+# codebooks is not SQL-expressible; recall floor vs the exact
+# brute-force baseline is asserted in tests/test_dedup_similarity.py)
+# ===========================================================================
+
+@register(
+    "sim_pq_topk",
+    # Full value oracle — legitimate because the refinement step makes
+    # the output EXACT on this data: the ADC shortlist (top-20 per
+    # query) provably contained every true top-5 neighbor at both gate
+    # scales, re-ranked scores are the same rounded exact cosines as
+    # the brute-force baseline, and the whole pipeline is deterministic
+    # (strided k-means init, no RNG). The recall-floor test in
+    # tests/test_dedup_similarity.py stays as the semantic guard.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(
+               list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv) + 1)]) /
+               (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)])) *
+                sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(cv) + 1)]))),
+             6) AS score
+      FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "PQ ANN: corpus compressed to m=16 one-byte codes per vector "
+    "(16x smaller at dim 64), queries scored via asymmetric-distance "
+    "lookup tables — m table lookups per vector instead of dim "
+    "multiplies — then the top-4k ADC shortlist exact-cosine re-ranked "
+    "(floats touched for ~20 rows/query only). The 100 TB bandwidth "
+    "play: the ANN scan reads codes, not floats, and the same encoded "
+    "corpus serves every future query batch (composes with IVF as "
+    "IVF-PQ). Recall vs the exact baseline is floor-asserted in tests.",
+)
+def sim_pq_topk(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(emb, q, k=5, m=16, rerank=4)
