@@ -49,7 +49,12 @@ def get_spark(
         # rows.
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Single-JVM local mode holds every executor thread's shuffle +
+        # aggregation state in ONE heap: at 16g the wider pipelines ran
+        # GC-bound with 2-4x run-to-run variance on a 128 GiB box. 48g
+        # keeps full-bench runs out of old-gen churn; override via env
+        # on smaller hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read INT64 TIMESTAMP(NANOS) parquet columns (Spark has no nanos
