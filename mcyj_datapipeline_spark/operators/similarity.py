@@ -491,8 +491,13 @@ def l2_normalize(vec: Column) -> Column:
     unchanged). After this, dot product IS cosine — normalize once at
     ingest and every downstream similarity op drops its per-row norm."""
     n = norm(vec)
+    # Bind the O(d) norm once per row (array_repeat operand) instead of
+    # referencing it inside the lambda body, where HOF evaluation would
+    # recompute the full dot-product reduction per element — O(d^2).
     return F.when(n == 0.0, vec).otherwise(
-        F.transform(vec, lambda x: x / n)
+        F.zip_with(
+            vec, F.array_repeat(n, F.size(vec)), lambda x, nn: x / nn
+        )
     )
 
 
@@ -501,16 +506,36 @@ def quantize_int8(vec: Column) -> Column:
     scale = 127 / max|x| (scale 1.0 for the zero vector). 4× smaller
     embedding storage and shuffle payload — at 100 TB of vectors the
     scan is bandwidth-bound, so 4× bytes ≈ 4× faster ANN probes for
-    ~0.3% cosine error. Dequantize is q/scale (:func:`dequantize_int8`)."""
+    ~0.3% cosine error. Dequantize is q/scale (:func:`dequantize_int8`).
+
+    An outer-scope expression referenced inside a higher-order-function
+    lambda is re-evaluated PER ELEMENT (no common-subexpression
+    elimination across lambda invocations), so the O(d) ``scale``
+    expression must never appear in the lambda body — that turns the
+    quantize into O(d^2) per row. ``scale`` is bound once per row via
+    ``array_repeat`` and passed in as the second ``zip_with`` operand."""
     max_abs = F.array_max(F.transform(vec, F.abs))
     scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(127.0 / max_abs)
-    q = F.transform(vec, lambda x: F.round(x * scale).cast("tinyint"))
+    q = F.zip_with(
+        vec,
+        F.array_repeat(scale, F.size(vec)),
+        lambda x, s: F.round(x * s).cast("tinyint"),
+    )
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
 def dequantize_int8(qstruct: Column) -> Column:
-    return F.transform(
-        qstruct["q"], lambda v: v.cast("double") / qstruct["scale"]
+    """Inverse of :func:`quantize_int8` (q / scale).
+
+    Same per-element-re-evaluation hazard as quantize: if ``qstruct``
+    is a composed expression (not a materialized column), referencing
+    ``qstruct['scale']`` inside the lambda would recompute it — and the
+    whole quantize chain behind it — once per element. Bind it once per
+    row with ``array_repeat`` + ``zip_with`` instead."""
+    return F.zip_with(
+        qstruct["q"],
+        F.array_repeat(qstruct["scale"], F.size(qstruct["q"])),
+        lambda v, s: v.cast("double") / s,
     )
 
 
