@@ -72,6 +72,9 @@ HEADLINE = [
     "e8_curation_pipeline",
     "s10_warc_record_parse",
     "e9_acquisition_pipeline",
+    "dedup_bloom_screen",
+    "sql13_big_orders",
+    "text_bigram_logprob",
 ]
 
 
