@@ -340,3 +340,36 @@ def sql19_or_of_ands(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+# ===========================================================================
+# Bounded-state heavy hitters
+# ===========================================================================
+
+@register(
+    "a23_heavy_hitters_tokens",
+    """
+    SELECT tok AS value, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY cnt DESC, value LIMIT 20
+    """,
+    "Corpus-wide top-20 tokens with BOUNDED aggregation state: "
+    "space-saving candidates per partition (<= capacity entries of "
+    "state, Metwally 2005) then an exact recount of candidates only — "
+    "exact whenever the 20th frequency exceeds N/capacity. This is the "
+    "open-domain-key regime (tokens, URLs, n-grams) where a plain "
+    "groupBy's map-side state is O(distinct) and stops fitting; "
+    "capacity converts that to a constant. The recount joins a "
+    "broadcast candidate list, so the second pass shuffles only "
+    "surviving rows' partial counts.",
+)
+def a23_heavy_hitters_tokens(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sketches import heavy_hitters_topk
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return heavy_hitters_topk(toks, "tok", k=20, capacity=4096)
