@@ -1639,3 +1639,4 @@ from mcyj_datapipeline_spark import registry_batch5  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch6  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch7  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch8  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch9  # noqa: E402,F401

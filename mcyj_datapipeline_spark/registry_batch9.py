@@ -1,0 +1,214 @@
+"""Batch 9 registry entries (round 3): PCA embedding reduction (the
+covariance pass as a map-side Gram matrix), Markov event-transition
+analytics, throttle-dedup over event streams, and a
+conditional-cumulative-sum (reset-on-refill) running balance.
+
+Reference provenance: the event analytics generalize the dashboard's
+per-agency activity rollups (website/generate_website_data.py); PCA
+extends the embedding toolkit (quantization/ANN) with the standard
+dim-reduction preprocessing step a training pipeline runs before
+similarity search at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.registry import register
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Markov transitions over per-user event sequences
+# ===========================================================================
+
+@register(
+    "ev_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*)::DOUBLE AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, c::BIGINT AS n,
+           round(c / sum(c) OVER (PARTITION BY event_type), 6) AS p
+    FROM pairs ORDER BY event_type, next_type
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences: P(next_type | type) with counts. One partitioned "
+    "window (lead within user_id — single shuffle on user, no global "
+    "sort), then a grouped count whose output is |event_types|^2 rows "
+    "— the normalizing window runs over that tiny matrix, not the "
+    "events. The standard session-behavior model input (next-action "
+    "prediction, anomaly scoring of improbable transitions).",
+)
+def ev_markov_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wnorm), 6
+        ).alias("p"),
+    ).orderBy("event_type", "next_type")
+
+
+# ===========================================================================
+# Throttle-dedup: drop repeats of (user, type) within a cool-down window
+# ===========================================================================
+
+@register(
+    "ev_throttle_dedup",
+    """
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM flagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+    ORDER BY event_id
+    """,
+    "Throttle-dedup: keep an event only if the SAME (user, type) last "
+    "fired more than 30 minutes earlier — the alert/notification "
+    "rate-limit semantics. NOTE the deliberate lag-vs-previous-KEPT "
+    "distinction: this is lag-vs-previous-EVENT (each event compares "
+    "to its immediate predecessor), the one-window form; "
+    "previous-kept semantics needs the stateful streaming op "
+    "(streaming/stateful.py) because keep decisions chain. One "
+    "partitioned window on a compound key — no skew (user x type), "
+    "single shuffle, and in streaming form this is exactly "
+    "dropDuplicates within watermark.",
+)
+def ev_throttle_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# Conditional cumulative sum with reset (running balance / refill)
+# ===========================================================================
+
+@register(
+    "ev_running_value_resets",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS epoch
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, event_id, epoch::BIGINT AS epoch,
+           round(sum(value) OVER (PARTITION BY user_id, epoch
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2)
+             AS running_value
+    FROM marked ORDER BY user_id, event_id
+    """,
+    "Cumulative sum with reset: purchase values accumulate per user "
+    "and reset at every signup event — the classic "
+    "balance-with-restock shape that naive SQL can't express without "
+    "recursion. Two stacked partitioned windows, both on the user "
+    "shuffle: window 1 numbers reset-epochs (running count of "
+    "markers), window 2 accumulates within (user, epoch). Nothing "
+    "global; epoch boundaries are data-driven.",
+)
+def ev_running_value_resets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "epoch",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w1),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "epoch",
+        F.round(F.sum("value").over(w2), 2).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# ===========================================================================
+# PCA embedding reduction (rows-only: eigendecomposition is not
+# SQL-expressible; orthonormality / reconstruction-error / variance-
+# order properties are asserted in tests/test_pca.py)
+# ===========================================================================
+
+@register(
+    "v3_pca_reduce",
+    None,
+    "PCA dim reduction for the embedding column (64 -> 8): one-pass "
+    "map-side Gram accumulation (ONE ~33 KB partial row per partition "
+    "reaches the driver, independent of corpus size), d x d eigensolve "
+    "driver-side (d = embedding width, never data), Arrow-batched "
+    "matmul projection. The preprocessing step before ANN at scale: "
+    "8-dim reduced vectors make the IVF/LSH bucket assignment 8x "
+    "cheaper while the full vectors stay for re-ranking. Deterministic "
+    "basis (dominant-coordinate sign convention) so the output is "
+    "stable across partitionings — property-tested.",
+)
+def v3_pca_reduce(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.pca import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, "embedding", k=8)
+    out = pca_project(emb, model, "vec_id", "embedding", "reduced")
+    return out.select(
+        "vec_id",
+        F.round(F.col("reduced")[0].cast("double"), 4).alias("pc1"),
+        F.round(F.col("reduced")[1].cast("double"), 4).alias("pc2"),
+        F.size("reduced").alias("k"),
+    ).orderBy("vec_id")
