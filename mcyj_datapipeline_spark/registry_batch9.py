@@ -212,3 +212,65 @@ def v3_pca_reduce(spark, sf_dir):
         F.round(F.col("reduced")[1].cast("double"), 4).alias("pc2"),
         F.size("reduced").alias("k"),
     ).orderBy("vec_id")
+
+
+# ===========================================================================
+# Last-touch attribution (as-of join application)
+# ===========================================================================
+
+@register(
+    "ev_attribution_last_touch",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND c.ts >= p.ts - INTERVAL 7 DAY
+                THEN c.event_id END AS attributed_click_id,
+           (c.ts IS NOT NULL AND c.ts >= p.ts - INTERVAL 7 DAY)
+             AS attributed
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    "Marketing-style last-touch attribution: each purchase credits the "
+    "user's most recent click, but only within a 7-day lookback. "
+    "Composed from the engine's as-of join operator (operators/"
+    "temporal.py — union + one partitioned last-ignorenulls window, "
+    "single shuffle on user_id, no inequality-join cross product) with "
+    "the lookback as a post-join predicate. The oracle is DuckDB's "
+    "native ASOF LEFT JOIN — the two independent implementations "
+    "agreeing on ties (simultaneous click/purchase) is the point of "
+    "the check.",
+)
+def ev_attribution_last_touch(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    att = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_id", "ts"],
+    )
+    in_window = F.col("asof_ts").isNotNull() & (
+        F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    )
+    return att.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("asof_click_id")).alias(
+            "attributed_click_id"
+        ),
+        in_window.alias("attributed"),
+    ).orderBy("event_id")
