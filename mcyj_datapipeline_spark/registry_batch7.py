@@ -449,26 +449,42 @@ def text_bigram_logprob(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
+    # Bigrams via one char-split + aligned-slice zip: every step is
+    # O(len). The tempting per-position form —
+    # transform(sequence(1, len-1), i -> substring(t, i, 2)) — is
+    # O(len^2) per document because UTF8String substring re-walks the
+    # string from the start for EVERY position (measured ~2.5s -> ~1s on
+    # the sf0.1 bench for this query).
+    chars = F.split(F.col("t"), "")
     grams = docs.filter(F.length("t") >= 2).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t") - 1),
-                lambda i: F.substring(F.col("t"), i, F.lit(2)),
+            F.zip_with(
+                F.slice(chars, 1, F.size(chars) - 1),
+                F.slice(chars, 2, F.size(chars) - 1),
+                lambda a, b: F.concat(a, b),
             )
         ).alias("g"),
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    total = counts.agg(F.sum("c").alias("n"))
+    # Per-doc bigram counts feed BOTH the model build and the scoring
+    # join; scoring weights each distinct bigram by its count
+    # (avg over instances == sum(c*lp)/sum(c)).
+    gc = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    counts = gc.groupBy("g").agg(F.sum("c").alias("cg"))
+    total = counts.agg(F.sum("cg").alias("n"))
     model = counts.crossJoin(F.broadcast(total)).select(
-        "g", F.log2(F.col("c") / F.col("n")).alias("lp")
+        "g", F.log2(F.col("cg") / F.col("n")).alias("lp")
     )
     return (
-        grams.join(F.broadcast(model), "g")
+        gc.join(F.broadcast(model), "g")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("lp"), 6).alias("avg_log2p"),
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 6
+            ).alias("avg_log2p"),
+            F.sum("c").cast("long").alias("n_bigrams"),
         )
         .orderBy("doc_id")
     )
