@@ -70,7 +70,8 @@ def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int = _BLOOM_M_BITS,
 
 def bloom_screen_new(batch: DataFrame, corpus_keys: DataFrame,
                      key_col: str, m_bits: int = _BLOOM_M_BITS,
-                     k: int = _BLOOM_K) -> DataFrame:
+                     k: int = _BLOOM_K,
+                     bitmap: DataFrame | None = None) -> DataFrame:
     """Incremental dedup with a bloom pre-screen: return the batch rows
     whose ``key_col`` is NOT present in ``corpus_keys``.
 
@@ -88,8 +89,18 @@ def bloom_screen_new(batch: DataFrame, corpus_keys: DataFrame,
     definite_new UNION confirmed_new == the exact anti-join result,
     which is what the DuckDB oracle checks. At 100 TB the anti-join
     probe side shrinks from |batch| to |dups| + fp x |batch|.
+
+    Pass a persisted ``bitmap`` (built by :func:`bloom_bitmap` /
+    merged by ``operators.sketches.bloom_merge`` over the SAME
+    geometry) to skip rebuilding it from ``corpus_keys`` — the
+    incremental path, where the bitmap is state maintained across
+    runs. The bitmap may be STALE-SUPERSET-free but never miss a
+    corpus key; a merged-in key that was later removed from the
+    corpus only costs a false positive (resolved by the confirm
+    join), so bitmap maintenance never needs deletions.
     """
-    bitmap = bloom_bitmap(corpus_keys, key_col, m_bits, k)
+    if bitmap is None:
+        bitmap = bloom_bitmap(corpus_keys, key_col, m_bits, k)
     probes = batch.select(
         F.struct("*").alias("_row"),
         F.explode(

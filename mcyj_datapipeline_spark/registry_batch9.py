@@ -274,3 +274,184 @@ def ev_attribution_last_touch(spark, sf_dir):
         ),
         in_window.alias("attributed"),
     ).orderBy("event_id")
+
+
+# ===========================================================================
+# TPC-H Q7 / Q8 analogs (multi-dimension join trees)
+# ===========================================================================
+
+@register(
+    "sql20_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             extract(year FROM l.l_shipdate)::BIGINT AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: bilateral trade volume by year between two "
+    "nations. The join tree hangs every dimension off the fact with "
+    "broadcasts (supplier, nation twice under different roles, "
+    "customer); the nation-pair disjunction evaluates after both "
+    "nation joins but the optimizer pushes each arm's IN-set "
+    "(n_name IN (N1,N2)) into BOTH broadcast builds, so non-party "
+    "nations never enter the hash tables. One real shuffle: "
+    "lineitem-orders on the orderkey.",
+)
+def sql20_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume"
+        ),
+    )
+    party = ("NATION_1", "NATION_2")
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*party)
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nations.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nations.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(
+            orders.join(F.broadcast(cust), "o_custkey").select(
+                F.col("o_orderkey").alias("l_orderkey"), "cust_nation"
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "sql21_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    ) all_sales
+    GROUP BY o_year ORDER BY o_year
+    """,
+    "TPC-H Q8 shape: one nation's market share inside a region, by "
+    "year — the conditional-share aggregate over a 6-dimension join "
+    "tree. Region restriction prunes through nation into the customer "
+    "broadcast build (region -> nation -> customer chain of broadcast "
+    "semi-filters); the supplier-nation dimension rides a separate "
+    "broadcast; numerator and denominator fold into ONE aggregate "
+    "pass via the conditional sum.",
+)
+def sql21_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume"
+        ),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "nation")
+    )
+    asia_nations = nation.join(
+        F.broadcast(
+            _t(spark, sf_dir, "region")
+            .filter(F.col("r_name") == "ASIA")
+            .select(F.col("r_regionkey").alias("n_regionkey"))
+        ),
+        "n_regionkey",
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nations), "c_nationkey", "left_semi")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), "o_custkey", "left_semi")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+    )
+    return (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(orders, "l_orderkey")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("nation") == "NATION_3", F.col("volume")
+                    ).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -356,3 +356,86 @@ def stream_dedup_against_corpus(
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup_bloom_screened(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    key: str = "sha256",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> None:
+    """Streaming ingest with the bloom-screened incremental dedup:
+    per micro-batch, probe the PERSISTED bloom bitmap map-side, exact-
+    confirm only the positives against the corpus key table, admit the
+    rest, then fold the admitted keys into both pieces of state.
+
+    State layout under ``state_dir``:
+
+    - ``keys/`` — append-only parquet of admitted keys (the exact
+      membership table the confirm join probes; at 100 TB this is the
+      digest table the batch dedup already maintains).
+    - ``bitmap/v{batch_id}/`` — versioned bitmap snapshots; the latest
+      version is read next batch. bit_or merging is idempotent, so a
+      replayed micro-batch (foreachBatch's at-least-once contract)
+      re-merges the same keys harmlessly; the keys/ append may
+      duplicate rows on replay, which the confirm join's ``distinct``
+      absorbs. Exactly-once SINK delivery composes with the state-table
+      upsert (:func:`stream_upsert_into_state`) instead of the plain
+      append used here.
+
+    The scale contract is the batch screen's (registry_batch7): the
+    bitmap stays <= m/64 rows forever, so every micro-batch's screen is
+    a broadcast probe regardless of how large the accumulated corpus
+    grows — the anti-join shuffle carries only bloom positives.
+    """
+    from mcyj_datapipeline_spark.operators.sketches import bloom_merge
+    from mcyj_datapipeline_spark.registry_batch7 import (
+        bloom_bitmap,
+        bloom_screen_new,
+    )
+
+    keys_dir = f"{state_dir}/keys"
+    bm_root = f"{state_dir}/bitmap"
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        batch = batch.dropDuplicates([key])
+        try:
+            corpus = s.read.parquet(keys_dir)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            import os
+
+            versions = sorted(
+                (d for d in os.listdir(bm_root) if d.startswith("v")),
+                key=lambda d: int(d[1:]),
+            )
+            bm = s.read.parquet(f"{bm_root}/{versions[-1]}")
+            fresh = bloom_screen_new(
+                batch, corpus, key, m_bits, k, bitmap=bm
+            ).persist()
+        else:
+            bm = None
+            fresh = batch.persist()
+        fresh.write.mode("append").parquet(sink_dir)
+        fresh.select(key).write.mode("append").parquet(keys_dir)
+        delta = bloom_bitmap(fresh.select(key), key, m_bits, k)
+        new_bm = bloom_merge(bm, delta) if bm is not None else delta
+        new_bm.write.mode("overwrite").parquet(f"{bm_root}/v{batch_id}")
+        fresh.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -190,3 +190,56 @@ def test_bigram_logprob_orders_junk_below_fluent(spark, sf_dir):
     assert len(rows) > 0
     # All log-probs are negative and finite.
     assert all(r["avg_log2p"] < 0 for r in rows)
+
+
+def test_stream_dedup_bloom_screened(spark, tmp_path):
+    """foreachBatch bloom-screened ingest: per-batch the persisted
+    bitmap screens, the key table confirms, and BOTH pieces of state
+    absorb the admitted keys — a later run drops everything admitted
+    earlier, the bitmap stays bounded, and intra-batch dups collapse."""
+    from pyspark.sql import types as T
+
+    from mcyj_datapipeline_spark.streaming.events import (
+        stream_dedup_bloom_screened,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("sha256", T.StringType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+    src, sink, state, ckpt = (
+        str(tmp_path / d) for d in ("src", "sink", "state", "ck")
+    )
+    m_bits = 4096
+
+    spark.createDataFrame(
+        [("A", "first"), ("B", "second"), ("A", "intra-dup")], schema
+    ).write.mode("append").parquet(src)
+    stream_dedup_bloom_screened(
+        spark, src, sink, state, ckpt, schema, m_bits=m_bits
+    )
+    got1 = {r["sha256"] for r in spark.read.parquet(sink).collect()}
+    assert got1 == {"A", "B"}
+
+    # Second run: A is cross-run dup, C is new.
+    spark.createDataFrame(
+        [("A", "dup-later"), ("C", "third")], schema
+    ).write.mode("append").parquet(src)
+    stream_dedup_bloom_screened(
+        spark, src, sink, state, ckpt, schema, m_bits=m_bits
+    )
+    rows = spark.read.parquet(sink).collect()
+    assert {r["sha256"] for r in rows} == {"A", "B", "C"}
+    assert len(rows) == 3  # A admitted exactly once across runs
+
+    # Bitmap state bounded and versioned.
+    import os
+
+    versions = sorted(os.listdir(f"{state}/bitmap"))
+    assert len(versions) == 2
+    latest = spark.read.parquet(
+        f"{state}/bitmap/{versions[-1]}"
+    )
+    assert latest.count() <= m_bits // 64
