@@ -527,3 +527,35 @@ def parse_sitemaps(
     src = spread_for_compute(df.select(id_col, content_col), id_col)
     return src.mapInPandas(kernel, schema=schema)
 
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """K3 at scale, join edition: hash-BUCKETED table layout
+    (``bucketBy`` + ``saveAsTable`` with an explicit external path).
+    Two tables bucketed on their join key with the same bucket count
+    join with ZERO Exchange — the co-location is baked into the file
+    layout, so the repeated fact-to-fact join (orders-lineitem on
+    orderkey, state-table merges on the state key) pays its shuffle
+    ONCE at write time instead of on every query. With ``sort_col``
+    the buckets are also sorted, upgrading the join to a sort-merge
+    over pre-sorted runs (no per-query sort either).
+
+    This is the DataFrame-API expression of the reference's implicit
+    access pattern: every incremental stage re-joins the same tables
+    on the same keys (run_full_pipeline.py:44-61) — a layout decision,
+    not a query decision, at 100 TB."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -110,3 +110,45 @@ def test_q19_single_side_conjuncts_factored_to_scan(spark, sf_dir):
     plan = _plan(e.queries()["sql19_or_of_ands"](spark, sf_dir))
     pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
     assert "l_quantity" in pushed
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange (co-location baked into the layout),
+    and a groupBy on the bucket key must aggregate without an Exchange
+    — the write-once-shuffle-never contract of write_bucketed."""
+    from mcyj_datapipeline_spark.io import read_table, write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(
+        orders, "t_bkt_orders", str(tmp_path / "o"), "o_orderkey", 4,
+        "o_orderkey",
+    )
+    write_bucketed(
+        li, "t_bkt_lineitem", str(tmp_path / "l"), "o_orderkey", 4,
+        "o_orderkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bkt_orders").join(
+            spark.table("t_bkt_lineitem"), "o_orderkey"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == li.count()
+
+        agg = (
+            spark.table("t_bkt_lineitem")
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert "Exchange" not in _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
