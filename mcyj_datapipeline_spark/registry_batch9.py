@@ -455,3 +455,48 @@ def sql21_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+# ===========================================================================
+# Semi-structured props via Spark 4 VARIANT
+# ===========================================================================
+
+@register(
+    "ev_props_variant_rollup",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k,
+           sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_missing_field
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "Semi-structured rollup through Spark 4's VARIANT type: "
+    "parse_json(props) ONCE into the binary variant encoding, then "
+    "typed path extraction (v:k::bigint) feeds a plain grouped "
+    "aggregate. Versus per-field get_json_object calls, the parse "
+    "happens once per row regardless of how many fields are read, and "
+    "absent paths yield NULL (counted here) instead of errors — the "
+    "open-schema event-props pattern without a pre-declared struct. "
+    "At 100 TB the variant parse is the scan-side cost; storing the "
+    "column AS variant (shredded parquet) moves even that to ingest.",
+)
+def ev_props_variant_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("v:k::bigint")
+    missing = F.expr("v:missing")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias(
+                "n_missing_field"
+            ),
+        )
+        .orderBy("event_type")
+    )
