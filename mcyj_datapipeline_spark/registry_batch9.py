@@ -500,3 +500,53 @@ def ev_props_variant_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Null-safe join semantics
+# ===========================================================================
+
+@register(
+    "j18_null_safe_join",
+    """
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS grp
+      FROM documents WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS grp,
+             count(*) AS n_b
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY 1
+    )
+    SELECT a.doc_id, a.grp, b.n_b
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    ORDER BY a.doc_id
+    """,
+    "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL group keys "
+    "MATCH each other instead of silently dropping — the semantics "
+    "users actually want when a nullable enrichment key means "
+    "'unknown' bucket, and a classic silent-data-loss bug with plain "
+    "equality. Spark plans <=> as a HASHED join key exactly like =, so "
+    "the null bucket shuffles to one partition — noted skew hazard: a "
+    "mostly-null key wants the null rows split out and handled as a "
+    "broadcast union instead (same decomposition as the salted join).",
+)
+def j18_null_safe_join(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("source")
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", grp.alias("grp")
+    )
+    b = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(grp.alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a["grp"].eqNullSafe(b["grp"]))
+        .select("doc_id", a["grp"].alias("grp"), "n_b")
+        .orderBy("doc_id")
+    )
