@@ -1,0 +1,106 @@
+"""Sequential per-key operators whose outputs CHAIN (each row's result
+depends on previous rows' *results*, not just previous rows): throttle
+with previous-KEPT semantics and exponential moving averages.
+
+These are the honest ``applyInPandas`` cases: a window function can see
+previous INPUT rows (lag/lead/cumsum), but not previous OUTPUT
+decisions — keep/drop chains and recursively-defined smoothers are
+sequential recurrences. Spark's contribution is the grouping: state
+never crosses a key, so the recurrence runs embarrassingly parallel
+across keys with one shuffle, and per-group memory is the group's row
+count.
+
+100 TB notes: group cardinality (user x type) grows with users, not
+with time-per-user, so groups stay small and numerous — ideal for the
+grouped-map path. A single pathological key with millions of rows
+would pin one task: cap it upstream (the same valve as the dedup
+bucket caps) or window the recurrence by time-slicing with carried
+state (streaming/stateful.py runs THIS logic incrementally with
+timeouts; these batch forms are its replay/backfill twins).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def throttle_keep_chain(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    ts_col: str,
+    cooldown_seconds: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Rate-limit with previous-KEPT semantics: within each key group
+    (ordered by ``ts_col`` then ``tiebreak_col``), keep a row iff it is
+    more than ``cooldown_seconds`` after the last KEPT row — the
+    decision chain an alerting pipeline actually wants.
+
+    Distinct from the window form (``ev_throttle_dedup``), whose lag
+    compares to the previous EVENT: with a 30m cooldown and events at
+    t, t+20m, t+40m, this keeps {t, t+40m} (t+20m suppressed; t+40m is
+    40m past the last KEPT row t) while the lag form keeps only {t}
+    (t+40m is just 20m past its suppressed predecessor). Output schema
+    == input schema (kept rows only).
+    """
+    key_cols = list(key_cols)
+    schema = df.schema
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        ts = pd.to_datetime(pdf[ts_col])
+        kept_idx = []
+        last_kept = None
+        for i, t in zip(pdf.index, ts):
+            if (
+                last_kept is None
+                or (t - last_kept).total_seconds() > cooldown_seconds
+            ):
+                kept_idx.append(i)
+                last_kept = t
+        return pdf.loc[kept_idx]
+
+    return df.groupBy(*key_cols).applyInPandas(keep, schema=schema)
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, ordered by
+    (``ts_col``, ``tiebreak_col``): ewma_0 = v_0, ewma_i = alpha*v_i +
+    (1-alpha)*ewma_{i-1} — the standard recursive smoother (pandas
+    ``ewm(alpha, adjust=False)`` semantics; NULL values carry the
+    previous ewma forward unchanged).
+
+    Not window-expressible without numerically-explosive a^{-j} prefix
+    tricks; as a grouped recurrence it is one shuffle + an O(rows)
+    in-memory pass per group.
+    """
+    from pyspark.sql import types as T
+
+    key_cols = list(key_cols)
+    # fresh StructType: StructType.add mutates the receiver, and
+    # df.schema must stay untouched
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False, ignore_na=True)
+            .mean()
+        )
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)

@@ -550,3 +550,55 @@ def j18_null_safe_join(spark, sf_dir):
         .select("doc_id", a["grp"].alias("grp"), "n_b")
         .orderBy("doc_id")
     )
+
+
+# ===========================================================================
+# Chained sequential ops (rows-only: keep/drop chains and recursive
+# smoothers depend on previous OUTPUTS — not SQL-window-expressible;
+# both are verified against plain-Python references in
+# tests/test_sequential.py, incl. the chain-vs-lag semantic case)
+# ===========================================================================
+
+@register(
+    "ev_throttle_chained",
+    None,
+    "Throttle with previous-KEPT semantics (the alerting rate-limit "
+    "that actually chains): within (user, type), keep an event iff "
+    ">30min after the last KEPT one. Grouped applyInPandas recurrence "
+    "— one shuffle on the compound key, O(group) sequential pass, "
+    "state never crosses keys. The batch/backfill twin of the "
+    "stateful-streaming updater; the window-lag form "
+    "(ev_throttle_dedup) is its one-pass approximation.",
+)
+def ev_throttle_chained(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sequential import (
+        throttle_keep_chain,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return throttle_keep_chain(
+        ev, ["user_id", "event_type"], "ts", 1800, "event_id"
+    ).orderBy("event_id")
+
+
+@register(
+    "ev_ewma_value",
+    None,
+    "Per-user EWMA of purchase values (alpha=0.3, adjust=False "
+    "recurrence): the recursive smoother that window functions cannot "
+    "express without numerically-explosive a^(-j) prefix tricks. "
+    "Grouped applyInPandas; NULL values carry the smoother forward. "
+    "Verified against the closed-form Python recurrence in tests.",
+)
+def ev_ewma_value(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sequential import ewma_per_key
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts", "value")
+    out = ewma_per_key(ev, ["user_id"], "ts", "value", 0.3, "event_id")
+    return out.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    ).orderBy("event_id")

@@ -1,0 +1,122 @@
+"""Sequential (chained) per-key operators: previous-KEPT throttle and
+EWMA — verified against plain-Python references on seeded random data,
+plus the semantic distinction from the window (previous-EVENT) form."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.operators.sequential import (
+    ewma_per_key,
+    throttle_keep_chain,
+)
+
+BASE = dt.datetime(2025, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=m), i, float(v)) for i, (k, m, v) in enumerate(rows)],
+        "k string, ts timestamp, eid long, value double",
+    )
+
+
+def test_throttle_chain_vs_lag_semantics(spark):
+    """t, t+20m, t+40m @30m cooldown: chain keeps {t, t+40m}; the lag
+    form would keep only {t}. This is the case the batch window query
+    explicitly defers to this operator."""
+    df = _events(spark, [("a", 0, 1), ("a", 20, 2), ("a", 40, 3)])
+    kept = sorted(
+        r["eid"]
+        for r in throttle_keep_chain(df, ["k"], "ts", 1800, "eid").collect()
+    )
+    assert kept == [0, 2]
+
+
+def test_throttle_chain_matches_python_reference(spark):
+    rng = random.Random(11)
+    rows = []
+    for k in "abcdef":
+        t = 0
+        for _ in range(60):
+            t += rng.randint(1, 50)
+            rows.append((k, t, rng.random()))
+    df = _events(spark, rows)
+    got = sorted(
+        r["eid"]
+        for r in throttle_keep_chain(df, ["k"], "ts", 1800, "eid").collect()
+    )
+    # reference: per key in ts order, keep iff > 30min after last kept
+    want = []
+    by_key: dict = {}
+    for i, (k, m, _) in enumerate(rows):
+        by_key.setdefault(k, []).append((m, i))
+    for k, seq in by_key.items():
+        last = None
+        for m, i in sorted(seq):
+            if last is None or (m - last) * 60 > 1800:
+                want.append(i)
+                last = m
+    assert got == sorted(want)
+
+
+def test_ewma_matches_python_reference(spark):
+    rng = random.Random(5)
+    rows = [("x", i * 3, rng.random() * 10) for i in range(50)] + [
+        ("y", i * 7, rng.random()) for i in range(30)
+    ]
+    df = _events(spark, rows)
+    alpha = 0.3
+    out = {
+        (r["k"], r["eid"]): r["ewma"]
+        for r in ewma_per_key(df, ["k"], "ts", "value", alpha, "eid").collect()
+    }
+    # reference recurrence per key
+    ref: dict = {}
+    state: dict = {}
+    for i, (k, _, v) in enumerate(rows):
+        if k not in state:
+            state[k] = v
+        else:
+            state[k] = alpha * v + (1 - alpha) * state[k]
+        ref[(k, i)] = state[k]
+    assert len(out) == len(rows)
+    for key, want in ref.items():
+        assert out[key] == pytest.approx(want, rel=1e-12), key
+
+
+def test_ewma_null_values_carry_forward(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", BASE, 0, 4.0),
+            ("a", BASE + dt.timedelta(minutes=1), 1, None),
+            ("a", BASE + dt.timedelta(minutes=2), 2, 8.0),
+        ],
+        "k string, ts timestamp, eid long, value double",
+    )
+    out = {
+        r["eid"]: r["ewma"]
+        for r in ewma_per_key(df, ["k"], "ts", "value", 0.5, "eid").collect()
+    }
+    assert out[0] == 4.0
+    assert out[1] == 4.0  # NULL carries the smoother unchanged
+    assert out[2] == pytest.approx(0.5 * 8.0 + 0.5 * 4.0)
+
+
+def test_throttle_chain_keys_independent(spark):
+    """State never crosses keys: identical timelines in two keys make
+    identical independent decisions."""
+    rows = [("p", m, 0) for m in (0, 20, 40)] + [
+        ("q", m, 0) for m in (0, 20, 40)
+    ]
+    df = _events(spark, rows)
+    kept = throttle_keep_chain(df, ["k"], "ts", 1800, "eid")
+    per_key = {
+        r["k"]: r["n"]
+        for r in kept.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key == {"p": 2, "q": 2}
