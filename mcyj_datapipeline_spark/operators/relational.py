@@ -104,8 +104,30 @@ def coalesce_merge(
     batch-parquet equivalent of a Delta ``MERGE`` — the function is the
     seam where Delta slots in at cluster scale."""
 
-    def val(df_col: Column) -> Column:
-        return F.nullif(df_col, F.lit("")) if empty_is_null else df_col
+    from pyspark.sql.types import StringType
+
+    # empty-string-is-null only applies to STRING columns: the "" vs
+    # null ambiguity is a CSV artifact (reference semantics). Applying
+    # nullif(col, '') to a numeric column would ANSI-cast '' and throw
+    # at runtime, so the treatment is type-gated per side.
+    side_str_cols = {
+        "e": {
+            f.name
+            for f in existing.schema.fields
+            if isinstance(f.dataType, StringType)
+        },
+        "u": {
+            f.name
+            for f in updates.schema.fields
+            if isinstance(f.dataType, StringType)
+        },
+    }
+
+    def val(side: str, c: str) -> Column:
+        df_col = F.col(f"{side}.{c}")
+        if empty_is_null and c in side_str_cols[side]:
+            return F.nullif(df_col, F.lit(""))
+        return df_col
 
     e = existing.alias("e")
     u = updates.alias("u")
@@ -114,7 +136,7 @@ def coalesce_merge(
     out_cols = [
         F.coalesce(F.col(f"e.{key}"), F.col(f"u.{key}")).alias(key)
     ] + [
-        F.coalesce(val(F.col(f"{first}.{c}")), val(F.col(f"{second}.{c}"))).alias(c)
+        F.coalesce(val(first, c), val(second, c)).alias(c)
         for c in columns
         if c != key
     ]

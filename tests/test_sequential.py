@@ -120,3 +120,40 @@ def test_throttle_chain_keys_independent(spark):
         for r in kept.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert per_key == {"p": 2, "q": 2}
+
+
+def test_state_version_diff(spark, tmp_path):
+    """Added/removed/changed keys between two commits; unchanged keys
+    absent from the diff."""
+    from mcyj_datapipeline_spark.streaming.incremental import (
+        ParquetStateTable,
+        state_version_diff,
+    )
+
+    t = ParquetStateTable(spark, str(tmp_path / "st"), key="k")
+    t.write_initial(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+        )
+    )
+    t.update(
+        spark.createDataFrame(
+            [("b", 20), ("d", 4)], "k string, v int"
+        ),
+        ["v"],
+    )
+    # v0: a,b,c ; v1: a, b(changed), c, d — removal via tombstone-less
+    # upsert never drops, so emulate a removal with a direct commit
+    diff = {
+        r["k"]: r["change"]
+        for r in state_version_diff(t, 0, 1).collect()
+    }
+    assert diff == {"b": "changed", "d": "added"}
+
+    # removal shows up when a later version lacks a key
+    cur = t.read()
+    t._commit(cur.filter(F.col("k") != "a"), 2)
+    diff2 = {
+        r["k"]: r["change"] for r in state_version_diff(t, 1, 2).collect()
+    }
+    assert diff2 == {"a": "removed"}
