@@ -602,3 +602,26 @@ def ev_ewma_value(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("ewma", 6).alias("ewma")
     ).orderBy("event_id")
+
+
+@register(
+    "text_compression_ratio",
+    None,
+    "Compressibility quality signal (Gopher-style): zlib-deflate bytes "
+    "/ raw UTF-8 bytes per document — repetitive spam compresses far "
+    "below fluent text, random bytes sit near 1.0. Arrow-batched "
+    "mapInPandas kernel (zlib is not SQL-expressible): per row one "
+    "C-speed deflate, output is (id, 2 numbers), text never leaves "
+    "the stage. Deterministic at fixed level; partitioning-invariance "
+    "and junk-vs-fluent ordering tested.",
+)
+def text_compression_ratio(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = compression_ratio(docs)
+    return out.select(
+        "doc_id", "n_bytes", F.round("ratio", 6).alias("ratio")
+    ).orderBy("doc_id")

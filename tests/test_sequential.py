@@ -157,3 +157,40 @@ def test_state_version_diff(spark, tmp_path):
         r["k"]: r["change"] for r in state_version_diff(t, 1, 2).collect()
     }
     assert diff2 == {"a": "removed"}
+
+
+def test_compression_ratio_orders_and_invariance(spark):
+    """Repetitive text compresses below fluent text below random-ish
+    text; results identical across partitionings; empty text -> NULL
+    ratio (no div-by-zero)."""
+    import random
+
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+
+    rng = random.Random(3)
+    fluent = " ".join(
+        rng.choice("the quick brown fox jumps over lazy dogs".split())
+        for _ in range(300)
+    )
+    rows = [
+        (0, "spam " * 400),
+        (1, fluent),
+        (2, "".join(chr(rng.randint(33, 126)) for _ in range(2000))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in compression_ratio(df).collect()
+    }
+    assert out[0]["ratio"] < out[1]["ratio"] < out[2]["ratio"]
+    assert out[2]["ratio"] > 0.7  # random barely compresses
+    assert out[3]["ratio"] is None
+    # partitioning invariance
+    out13 = {
+        r["doc_id"]: r["ratio"]
+        for r in compression_ratio(df.repartition(13)).collect()
+    }
+    assert out13 == {k: v["ratio"] for k, v in out.items()}
