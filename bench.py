@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_bloom_screen",
     "sql13_big_orders",
     "text_bigram_logprob",
+    "e10_event_analytics_pipeline",
 ]
 
 

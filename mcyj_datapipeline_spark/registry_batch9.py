@@ -625,3 +625,94 @@ def text_compression_ratio(spark, sf_dir):
     return out.select(
         "doc_id", "n_bytes", F.round("ratio", 6).alias("ratio")
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# E10 flagship: event-analytics pipeline (sessionize -> session stats
+# -> per-user conversion rollup) as ONE declarative plan
+# ===========================================================================
+
+@register(
+    "e10_event_analytics_pipeline",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts > prev_ts + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM seq
+    ), sessions AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             count(*) AS n_events,
+             coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0) AS revenue,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           sum(n_events)::BIGINT AS n_events,
+           round(sum(revenue), 2) AS total_revenue,
+           sum(converted)::BIGINT AS converting_sessions,
+           round(sum(converted)::DOUBLE / count(*), 4) AS conversion_rate
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    "E10 flagship: the full event-analytics funnel as one declarative "
+    "plan — gap-sessionization (lag + cumulative break-sum, the "
+    "oracle-checkable batch twin of session_window), per-session "
+    "revenue/conversion aggregates, per-user conversion rollup. "
+    "Everything rides ONE shuffle on user_id: both windows and both "
+    "aggregations are user-partitioned, so Catalyst plans a single "
+    "Exchange and the final rollup is map-side-combinable. At 100 TB "
+    "this is the shape that replaces a DAG of five ETL jobs with one "
+    "scan.",
+)
+def e10_event_analytics_pipeline(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE"))
+    ).cast("int")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(by_user))
+        .withColumn("brk", brk)
+        .withColumn(
+            "session_seq",
+            F.sum("brk").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(is_purchase, F.col("value"))), F.lit(0.0)
+        ).alias("revenue"),
+        F.max(F.when(is_purchase, 1).otherwise(0)).alias("converted"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.sum("converted").alias("converting_sessions"),
+            F.round(
+                F.sum("converted") / F.count(F.lit(1)), 4
+            ).alias("conversion_rate"),
+        )
+        .orderBy("user_id")
+    )

@@ -194,3 +194,18 @@ def test_compression_ratio_orders_and_invariance(spark):
         for r in compression_ratio(df.repartition(13)).collect()
     }
     assert out13 == {k: v["ratio"] for k, v in out.items()}
+
+
+def test_e10_single_user_shuffle(spark, sf_dir):
+    """E10: sessionization windows + both aggregations all ride ONE
+    hash Exchange on user_id (the only other Exchange is the final
+    orderBy's range partitioning)."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.queries()["e10_event_analytics_pipeline"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
