@@ -1640,3 +1640,4 @@ from mcyj_datapipeline_spark import registry_batch6  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch7  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch8  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch9  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch10  # noqa: E402,F401

@@ -424,3 +424,57 @@ def test_registry_has_no_unpartitioned_windows_on_scale_paths(spark, sf_dir):
     # must exist and actually contain the global window it is excused for
     for name in registry.TEST_SCALE_ONLY:
         assert has_global_window(registry.queries()[name](spark, sf_dir))
+
+
+# --- batch 10: the five remaining TPC-H optimizer shapes -------------------
+
+
+def test_sql22_correlated_min_plan(spark, sf_dir):
+    """Q2 shape: top-100 plans TakeOrderedAndProject (no global sort);
+    every dimension decoration broadcasts; the per-part min is an
+    aggregate of the cost relation, not a window over raw lineitem."""
+    plan = plan_of(spark, sf_dir, "sql22_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Window" not in plan
+
+
+def test_sql23_part_filter_broadcasts_into_fact(spark, sf_dir):
+    """Q9 shape: the p_name LIKE filter must prune part BEFORE the
+    broadcast build (fact rows drop at the join, not after), and
+    supplier/nation must never arrive via SortMergeJoin."""
+    plan = plan_of(spark, sf_dir, "sql23_profit_by_nation_year")
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the LIKE predicate is pushed into part's scan, not evaluated
+    # post-join on the fact
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "part" in l]
+    assert any("p_name" in l for l in scan_lines)
+
+
+def test_sql24_single_fact_scan_with_broadcast_scalar(spark, sf_dir):
+    """Q11 shape: the global threshold is a broadcast nested-loop of a
+    1-row aggregate — the lineitem fact is scanned once (the grouped
+    relation is persisted across its two consumers)."""
+    plan = plan_of(spark, sf_dir, "sql24_important_value_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("InMemoryTableScan") >= 2 or plan.count("FileScan parquet") <= 3
+
+
+def test_sql25_semi_join_after_aggregate(spark, sf_dir):
+    """Q20 shape: the IN-subquery plans as a LeftSemi broadcast join
+    against the aggregated supplier-key set."""
+    plan = plan_of(spark, sf_dir, "sql25_excess_shipped_parts")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql26_exists_collapsed_to_one_aggregate(spark, sf_dir):
+    """Q21 shape: the double correlated EXISTS/NOT EXISTS must NOT plan
+    as two extra fact joins — one per-order aggregate plus one join
+    back. Exactly: lineitem-orders join, per-order agg, agg-late join,
+    broadcast supplier, final group. No anti join survives."""
+    plan = plan_of(spark, sf_dir, "sql26_waiting_suppliers")
+    assert "LeftAnti" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # fact scanned at most twice (base + late reuse one scan pattern each)
+    assert plan.count("FileScan parquet") <= 5
