@@ -730,3 +730,82 @@ def chunk_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_chunk_hits"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    window: int = 3,
+    prefix_len: int = 12,
+    min_len_ratio: float = 0.8,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) candidate pairs: normalize the
+    text into a sort key, order records within a block, and compare each
+    record only to its ``window`` predecessors — the classic
+    record-linkage blocking that turns an O(n^2) compare into O(n·w).
+
+    A pair is emitted when the two sort keys share a ``prefix_len``-char
+    prefix and their lengths agree within ``min_len_ratio`` — a cheap,
+    fully JVM-side pre-filter; feed survivors to an exact verifier
+    (n-gram Jaccard / edit distance) as usual for SNM.
+
+    Output: ``(id_a, id_b, block, len_ratio)`` with ``id_a`` the earlier
+    row in sort order.
+
+    Scale shape: the window is partitioned by ``(block_col, first sort-
+    key char)`` — never a global sort — so each partition sorts locally
+    after one shuffle, and the ``window`` lags are per-partition
+    pointer reads. Like all single-pass SNM, pairs straddling a block
+    boundary are missed by design; multi-pass with rotated keys is the
+    standard recall fix and is just another call with a different
+    ``block_col``/key. At 100 TB the block key bounds both skew and
+    memory: blocks are (lang x leading char) — thousands of groups —
+    and no group ever materializes more than its own rows.
+    """
+    from pyspark.sql.window import Window
+
+    sk = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    cols = [F.col(id_col).alias("_id"), sk.alias("_sk")]
+    part_cols = [F.substring("_sk", 1, 1)]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("_block"))
+        part_cols.insert(0, F.col("_block"))
+    base = df.select(*cols)
+    w = Window.partitionBy(*part_cols).orderBy("_sk", "_id")
+    lagged = base
+    for i in range(1, window + 1):
+        lagged = lagged.withColumn(
+            f"_p{i}",
+            F.struct(
+                F.lag("_id", i).over(w).alias("id"),
+                F.lag("_sk", i).over(w).alias("sk"),
+            ),
+        )
+    prev = F.explode(
+        F.array(*[F.col(f"_p{i}") for i in range(1, window + 1)])
+    )
+    cand = lagged.withColumn("_prev", prev).filter(
+        F.col("_prev.id").isNotNull()
+    )
+    la, lb = F.length("_prev.sk"), F.length("_sk")
+    ratio = F.least(la, lb).cast("double") / F.greatest(la, lb)
+    out_block = (
+        [F.col("_block").alias("block")] if block_col is not None else []
+    )
+    return cand.filter(
+        (
+            F.substring("_prev.sk", 1, prefix_len)
+            == F.substring("_sk", 1, prefix_len)
+        )
+        & (F.greatest(la, lb) > 0)
+        & (ratio >= min_len_ratio)
+    ).select(
+        F.col("_prev.id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+        *out_block,
+        F.round(ratio, 4).alias("len_ratio"),
+    )

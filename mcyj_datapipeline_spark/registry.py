@@ -1641,3 +1641,4 @@ from mcyj_datapipeline_spark import registry_batch7  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch8  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch9  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch10  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch11  # noqa: E402,F401
