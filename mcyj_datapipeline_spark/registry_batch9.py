@@ -553,10 +553,13 @@ def j18_null_safe_join(spark, sf_dir):
 
 
 # ===========================================================================
-# Chained sequential ops (rows-only: keep/drop chains and recursive
-# smoothers depend on previous OUTPUTS — not SQL-window-expressible;
-# both are verified against plain-Python references in
-# tests/test_sequential.py, incl. the chain-vs-lag semantic case)
+# Chained sequential ops: keep/drop chains and recursive smoothers
+# depend on previous OUTPUTS — not WINDOW-expressible. Verified against
+# plain-Python references in tests/test_sequential.py (incl. the
+# chain-vs-lag semantic case); registered rows-only HERE, then batch 11
+# attaches recursive-CTE DuckDB oracles to both (a per-key ordered walk
+# carrying the previous output IS expressible as a recursive CTE, and
+# group sizes keep the recursion depth trivial at oracle scale).
 # ===========================================================================
 
 @register(

@@ -50,11 +50,20 @@ def get_spark(
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # Single-JVM local mode holds every executor thread's shuffle +
-        # aggregation state in ONE heap: at 16g the wider pipelines ran
-        # GC-bound with 2-4x run-to-run variance on a 128 GiB box. 48g
-        # keeps full-bench runs out of old-gen churn; override via env
-        # on smaller hosts.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # aggregation state in ONE heap. Sized 12g and PRE-TOUCHED: on
+        # the microVM hosts this runs on, a large lazily-faulted heap
+        # (48g) showed sporadic multi-second stalls with near-idle CPU —
+        # first-touch page faults against the hypervisor's backing
+        # store landing mid-query. A heap the working set actually
+        # cycles through, faulted in once at startup (+AlwaysPreTouch),
+        # removed the stalls and beat 48g on every heavy bench query
+        # (e.g. minhash steady-state 1.9-2.6s -> 1.15s). Override via
+        # env for bigger working sets.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+AlwaysPreTouch"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read INT64 TIMESTAMP(NANOS) parquet columns (Spark has no nanos
