@@ -28,6 +28,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import (
@@ -109,9 +110,50 @@ class RestPagesReader(DataSourceReader):
         yield from _parse_page(page, payload)
 
 
+class RestPagesStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same paginated feed: the offset IS
+    the next page number, so Structured Streaming's checkpoint gives
+    exactly-once page consumption for free (a restarted query resumes
+    from the checkpointed page, not page 0). Each batch advances by at
+    most ``pages_per_batch``; within a batch every page is its own
+    ``InputPartition``, fetched executor-side exactly like the batch
+    reader — ingestion keeps up by widening the batch, not the driver.
+    The feed is bounded at ``pages`` total (a live endpoint would
+    instead probe for new pages in ``latestOffset``)."""
+
+    def __init__(self, options: dict) -> None:
+        self.inner = RestPagesReader(options)
+        self.pages_per_batch = int(options.get("pages_per_batch", "2"))
+        self._committed = 0
+        self._planned = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        # advance monotonically from whatever is furthest along —
+        # planned (this process) or committed (checkpoint feedback) —
+        # so repeated polls without commits don't re-plan the same span
+        self._planned = min(
+            max(self._planned, self._committed) + self.pages_per_batch,
+            self.inner.n_pages,
+        )
+        return {"page": self._planned}
+
+    def partitions(self, start: dict, end: dict):
+        return [InputPartition(p) for p in range(start["page"], end["page"])]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        self._committed = max(self._committed, end["page"])
+
+
 class RestPagesSource(DataSource):
     """``spark.read.format("rest_pages")`` — executor-parallel
-    paginated REST JSON source."""
+    paginated REST JSON source; ``spark.readStream`` gives the
+    micro-batch variant with page-number offsets."""
 
     @classmethod
     def name(cls) -> str:
@@ -122,6 +164,9 @@ class RestPagesSource(DataSource):
 
     def reader(self, schema: StructType) -> RestPagesReader:
         return RestPagesReader(self.options)
+
+    def streamReader(self, schema: StructType) -> RestPagesStreamReader:
+        return RestPagesStreamReader(self.options)
 
 
 def register_rest_source(spark) -> None:
