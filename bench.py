@@ -37,6 +37,22 @@ def materialized_count(df) -> int:
     ).collect()[0]
     return row["n"]
 
+def _release_pinned_blocks(spark) -> None:
+    """Free localCheckpoint blocks left behind by iterative queries
+    (PageRank, connected components). ``clearCache`` only drops
+    CacheManager entries — checkpointed RDD blocks release when the
+    driver-side references are GC'd and the ContextCleaner runs, so
+    without a nudge they accumulate across the 42-query loop and the
+    storage pressure turns into GC churn for later queries."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 HEADLINE = [
     "a01_pricing_summary",
     "e3_flagship_revenue_rollup",
@@ -76,6 +92,10 @@ HEADLINE = [
     "sql13_big_orders",
     "text_bigram_logprob",
     "e10_event_analytics_pipeline",
+    "g1_pagerank_purchase_graph",
+    "dedup_sorted_neighborhood",
+    "s6_rest_datasource_scan",
+    "e11_entity_resolution_pipeline",
 ]
 
 
@@ -137,6 +157,7 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
         spark.catalog.clearCache()
+    _release_pinned_blocks(spark)
 
     # Pass 1 per query is cold: first execution at the TARGET scale
     # (plan + execute; codegen/JIT was amortized by the sf0.001
@@ -166,6 +187,7 @@ def main() -> None:
             reps.append(time.monotonic() - start)
         warm[name] = round(min(reps), 3)
         warm_spread[name] = round(max(reps) - min(reps), 3)
+        _release_pinned_blocks(spark)
         print(
             f"# {name}: cold {timings[name]:.3f}s / warm min {warm[name]:.3f}s"
             f" spread {warm_spread[name]:.3f}s ({n} rows)",

@@ -766,9 +766,7 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql.window import Window
 
-    sk = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
-    )
+    sk = snm_sort_key(F.col(text_col))
     cols = [F.col(id_col).alias("_id"), sk.alias("_sk")]
     part_cols = [F.substring("_sk", 1, 1)]
     if block_col is not None:
@@ -809,3 +807,11 @@ def sorted_neighborhood_pairs(
         *out_block,
         F.round(ratio, 4).alias("len_ratio"),
     )
+
+
+def snm_sort_key(col: Column) -> Column:
+    """The SNM normalization: lowercase, collapse every non-alnum run
+    to one space, trim. Shared by :func:`sorted_neighborhood_pairs`
+    and the entity-resolution pipeline's scoring stage so candidates
+    and scores always see the SAME canonical string."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))

@@ -27,6 +27,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     ``(node, rank)`` for every node that appears as a source or
@@ -50,7 +51,13 @@ def pagerank(
     with the iteration count (swap for ``checkpoint`` + a checkpoint
     dir on a fault-tolerant cluster).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list FIRST: nodes (2 union branches),
+    # out-degrees, and the weighted join would otherwise each re-execute
+    # whatever join/distinct produced the edges — 4-5 runs of the most
+    # expensive subtree for one graph
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -72,7 +79,7 @@ def pagerank(
     base = 1.0 / n
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(base))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             weighted.join(ranks, weighted["src"] == ranks["node"])
             .groupBy("dst")
@@ -80,17 +87,23 @@ def pagerank(
         )
         # left join back onto the full node set so in-edge-less nodes
         # keep their teleport share instead of silently dropping out
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+            ).alias("rank"),
         )
+        # Each rank relation feeds exactly ONE consumer (the next
+        # iteration's join), so the un-checkpointed chain still
+        # executes every stage once — checkpointing per round would
+        # only pay extra materialization jobs. Truncate lineage every
+        # `checkpoint_every` rounds purely to bound plan size on long
+        # runs.
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -1642,3 +1642,4 @@ from mcyj_datapipeline_spark import registry_batch8  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch9  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch10  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch11  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch12  # noqa: E402,F401

@@ -65,6 +65,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+AlwaysPreTouch"),
         )
         .config("spark.ui.enabled", "false")
+        # The whole-stage-codegen class cache defaults to 100 entries;
+        # a 42-query bench pass generates several hundred distinct
+        # codegen stages, so at 100 the cache thrashes and queries that
+        # were compiled in the warmup RE-compile inside their timed
+        # run — on this host compilation costs multi-seconds, which
+        # showed up as random 10-30s outliers hopping between queries
+        # across bench runs. 5000 entries holds every stage of the
+        # whole registry.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Read INT64 TIMESTAMP(NANOS) parquet columns (Spark has no nanos
         # type) as long; io.read_table converts them to microsecond

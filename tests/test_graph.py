@@ -132,3 +132,49 @@ def test_snm_null_and_empty_text_never_pair(spark):
     assert (
         sorted_neighborhood_pairs(docs, block_col="lang").count() == 0
     )
+
+
+def test_triangle_orientation_defuses_hub_wedges(spark):
+    """Star K1,200: the hub has degree 200 but every edge orients
+    leaf->hub (leaves have degree 1), so the oriented out-degree of
+    every node is <= 1 and the wedge join produces ZERO rows — the
+    property that keeps a skewed hub from exploding the self-join."""
+    pairs = [("hub", f"leaf{i:03d}") for i in range(200)]
+    row = triangle_stats(_und(spark, pairs)).collect()[0]
+    assert row["n_edges"] == 200
+    assert row["n_wedges"] == 0
+    assert row["n_triangles"] == 0
+
+
+def test_entity_resolution_pipeline_on_crafted_dups(spark, tmp_path):
+    """E11 end-to-end on a corpus with two planted duplicate groups:
+    clusters form, the longest member becomes canonical, singletons
+    stay out."""
+    from mcyj_datapipeline_spark import registry
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", len(base)),
+        (2, base + " ok", "en", len(base) + 3),
+        (3, base + " ok yes", "en", len(base) + 7),
+        (4, "completely unrelated text about spark physical plans", "en", 52),
+        (5, "short doc one two three four five six seven eight", "fr", 49),
+        (6, "short doc one two three four five six seven eight!!", "fr", 51),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    d = tmp_path / "er"
+    (d).mkdir()
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["cluster_id"]: r
+        for r in registry.queries()["e11_entity_resolution_pipeline"](
+            spark, str(d)
+        ).collect()
+    }
+    assert set(out) == {1, 5}
+    assert out[1]["members"] == "1,2,3"
+    assert out[1]["canonical_doc"] == 3  # longest member wins
+    assert out[5]["members"] == "5,6"
+    assert out[5]["canonical_doc"] == 6
