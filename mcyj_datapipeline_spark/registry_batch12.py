@@ -206,3 +206,55 @@ def sql29_channel_union_rollup(spark, sf_dir):
         )
         .orderBy("channel", "period")
     )
+
+
+# ===========================================================================
+# O12: two-dimensional data-skipping layout (Z-order write + read-back)
+# ===========================================================================
+
+@register(
+    "o12_zorder_write_roundtrip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "K3 scale layout, 2-D: write orders range-clustered along the "
+    "Z-order (Morton) curve of (o_custkey, o_totalprice), read back "
+    "with predicates on BOTH dimensions. Every file then carries a "
+    "tight min/max bounding box on both columns, so footer stats "
+    "prune files for predicates on either — the contract of Delta's "
+    "OPTIMIZE ZORDER BY, built from repartitionByRange + "
+    "sortWithinPartitions on the interleaved-bit key (flat codegen, "
+    "one stats scan + one range exchange). Box tightness vs an "
+    "unclustered write is asserted in test_zorder_files_have_tight_boxes.",
+)
+def o12_zorder_write_roundtrip(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.io import write_zordered
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    from mcyj_datapipeline_spark.session import session_scratch
+
+    out = os.path.join(session_scratch("zorder"), "data")
+    write_zordered(orders, out, "o_custkey", "o_totalprice", n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("o_custkey").between(100, 400)
+            & F.col("o_totalprice").between(50000.0, 150000.0)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -395,3 +395,45 @@ def test_compaction_reduces_files_preserves_data(spark, sf_dir, tmp_path):
     a = sorted(r["o_orderkey"] for r in spark.read.parquet(src).collect())
     b = sorted(r["o_orderkey"] for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_zorder_files_have_tight_boxes(spark, sf_dir):
+    """write_zordered must give every file a bounding box that is
+    small in BOTH dimensions — the property single-column range
+    clustering cannot provide. Quantified: the mean per-file box area
+    (fraction of the global 2-D range, width x height) must shrink by
+    >= 4x vs an unclustered write of the same data."""
+    import glob as globmod
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    orders = MIO.read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def mean_box_area(path):
+        lo1, hi1, lo2, hi2 = orders.agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+        ).first()
+        areas = []
+        for f in globmod.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            m1, x1, m2, x2 = [], [], [], []
+            for rg in range(md.num_row_groups):
+                c0 = md.row_group(rg).column(0).statistics
+                c1 = md.row_group(rg).column(1).statistics
+                m1.append(c0.min); x1.append(c0.max)
+                m2.append(c1.min); x2.append(c1.max)
+            w = (max(x1) - min(m1)) / max(hi1 - lo1, 1)
+            h = (max(x2) - min(m2)) / max(hi2 - lo2, 1e-9)
+            areas.append(w * h)
+        return sum(areas) / len(areas)
+
+    zdir = tempfile.mkdtemp(prefix="zorder_test_")
+    MIO.write_zordered(orders, zdir, "o_custkey", "o_totalprice", n_files=8)
+    plaindir = tempfile.mkdtemp(prefix="plain_test_")
+    orders.repartition(8).write.mode("overwrite").parquet(plaindir)
+    tight, loose = mean_box_area(zdir), mean_box_area(plaindir)
+    assert tight < loose / 4, (tight, loose)
