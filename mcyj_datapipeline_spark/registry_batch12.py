@@ -258,3 +258,53 @@ def o12_zorder_write_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ===========================================================================
+# F28: sentence expansion as a Python UDTF consumed via LATERAL
+# ===========================================================================
+
+@register(
+    "f28_sentence_split_udtf",
+    r"""
+    WITH prep AS (
+      SELECT doc_id, replace(text, ' spark ', '. ') AS t FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '[.!?]+\s+'), x -> x <> '')
+               AS ps
+      FROM prep
+    )
+    SELECT doc_id, generate_subscripts(ps, 1) - 1 AS idx,
+           unnest(ps) AS sentence
+    FROM parts ORDER BY doc_id, idx
+    """,
+    "One-row-in/N-rows-out expansion as a Spark 4 Python UDTF joined "
+    "with correlated LATERAL syntax — the relation-shaped seam for "
+    "expansions that need real Python (model tokenizers, NLP "
+    "sentencizers) while the query stays SQL. Arrow-optimized batches "
+    "cross the boundary columnar; the sentence rule here is "
+    "regex-simple so DuckDB reproduces it exactly (punctuation is "
+    "synthesized deterministically — the corpus is punctuation-free). "
+    "For split rules expressible in Spark SQL, explode(split()) stays "
+    "fully JVM-side and is the preferred form (a05, f22).",
+)
+def f28_sentence_split_udtf(spark, sf_dir):
+    import re as _re
+
+    from mcyj_datapipeline_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" spark "), F.lit(". ")).alias("t"),
+    )
+    view = "docs_udtf_" + _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM {view} d, LATERAL split_sentences(d.t) s
+        ORDER BY d.doc_id, s.idx
+        """
+    )
