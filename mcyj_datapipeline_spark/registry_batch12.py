@@ -308,3 +308,55 @@ def f28_sentence_split_udtf(spark, sf_dir):
         ORDER BY d.doc_id, s.idx
         """
     )
+
+
+# ===========================================================================
+# K7: two-phase-commit JSONL sink (Data Source API writer) round trip
+# ===========================================================================
+
+@register(
+    "k7_jsonl_atomic_roundtrip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "K7 sink: the jsonl_atomic Python Data Source writer — tasks stage "
+    "uuid-named part files and return them as commit messages; the "
+    "driver publishes them in ONE manifest swap (commit) or deletes "
+    "them (abort), so readers resolving the manifest can never observe "
+    "a half-written job — the Hadoop-committer/Delta-log contract. "
+    "Round trip: write a filtered slice, read back manifest-resolved, "
+    "aggregate; the oracle aggregates the source directly. Failure "
+    "atomicity is separately proven by "
+    "test_jsonl_atomic_failed_job_publishes_nothing.",
+)
+def k7_jsonl_atomic_roundtrip(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.session import session_scratch
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    out = os.path.join(session_scratch("jsonl_atomic"), "data")
+    slice_df = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    slice_df.write.format("jsonl_atomic").mode("overwrite").save(out)
+    back = read_jsonl_atomic(spark, out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -29,7 +29,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -173,3 +175,109 @@ def register_rest_source(spark) -> None:
     """Idempotent registration of the ``rest_pages`` format on a
     session (re-registering simply replaces the prior entry)."""
     spark.dataSource.register(RestPagesSource)
+
+
+# ---------------------------------------------------------------------------
+# jsonl_atomic — a Data Source API WRITER with a real two-phase commit:
+# tasks stage uuid-named files and return them as commit messages; the
+# driver's commit() publishes them in ONE manifest swap, abort() deletes
+# them. Readers resolve the manifest, so half-written jobs are invisible
+# — the Hadoop-committer/Delta-log contract, stated in ~60 lines of
+# Python. On an object store the same mechanics apply (stage under a
+# job prefix, manifest swap via put-if-absent).
+# ---------------------------------------------------------------------------
+
+
+class StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class JsonlAtomicWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("jsonl_atomic: a target path is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> StagedFile:
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return StagedFile(part, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        files, total = [], 0
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None:
+                    os.remove(m.path)
+                continue
+            final = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, final)  # atomic on one filesystem
+            files.append(os.path.basename(final))
+            total += m.rows
+        manifest = {"files": sorted(files), "rows": total}
+        if not self.overwrite and os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as fh:
+                prev = json.load(fh)
+            manifest = {
+                "files": sorted(prev["files"] + manifest["files"]),
+                "rows": prev["rows"] + total,
+            }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._manifest_path())  # the publish point
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def _manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_committed.json")
+
+
+class JsonlAtomicSource(DataSource):
+    """``df.write.format("jsonl_atomic").mode(...).save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_atomic"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlAtomicWriter:
+        return JsonlAtomicWriter(self.options, overwrite)
+
+
+def read_jsonl_atomic(spark, path: str):
+    """Read back ONLY the committed files (manifest-resolved): staged
+    or orphaned part files are invisible, exactly like a table-format
+    log reader."""
+    import os
+
+    with open(os.path.join(path, "_committed.json")) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], "dummy string").limit(0)
+    return spark.read.json(files)
+
+
+def register_jsonl_atomic(spark) -> None:
+    spark.dataSource.register(JsonlAtomicSource)

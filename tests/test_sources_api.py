@@ -165,3 +165,61 @@ def test_stream_restart_resumes_from_checkpointed_page(spark, tmp_path):
     assert "AG00000" in flat1 and "AG00000" not in flat2
     # and the union must cover the whole bounded feed
     assert len(flat1 | flat2) == 20
+
+
+def test_jsonl_atomic_write_commit_and_readback(spark, tmp_path):
+    """Happy path: staged files are published by the manifest swap and
+    read_jsonl_atomic returns exactly the written rows; append mode
+    extends the manifest."""
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink")
+    df = spark.range(0, 100, 1, 4).selectExpr(
+        "id", "concat('row', id) AS name"
+    )
+    df.write.format("jsonl_atomic").mode("overwrite").save(target)
+    back = read_jsonl_atomic(spark, target)
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    # append extends
+    spark.range(100, 120, 1, 2).selectExpr(
+        "id", "concat('row', id) AS name"
+    ).write.format("jsonl_atomic").mode("append").save(target)
+    assert read_jsonl_atomic(spark, target).count() == 120
+    # no staging leftovers
+    import os
+
+    assert os.listdir(os.path.join(target, "_staging")) == []
+
+
+def test_jsonl_atomic_failed_job_publishes_nothing(spark, tmp_path):
+    """Two-phase commit: a task failure mid-job must leave the
+    manifest absent and no committed part files — half-written jobs
+    are invisible to readers."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from mcyj_datapipeline_spark.sources import register_jsonl_atomic
+
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink2")
+
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        if x == 7:
+            raise RuntimeError("planted task failure")
+        return x
+
+    df = spark.range(0, 16, 1, 4).select(boom("id").alias("id"))
+    with _pytest.raises(Exception, match="planted task failure"):
+        df.write.format("jsonl_atomic").mode("overwrite").save(target)
+    assert not os.path.exists(os.path.join(target, "_committed.json"))
+    assert glob.glob(os.path.join(target, "*.jsonl")) == []
