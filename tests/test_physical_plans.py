@@ -478,3 +478,22 @@ def test_sql26_exists_collapsed_to_one_aggregate(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # fact scanned at most twice (base + late reuse one scan pattern each)
     assert plan.count("FileScan parquet") <= 5
+
+
+def test_yoy_and_share_shapes_broadcast_dims(spark, sf_dir):
+    """Batch-12 report shapes: every dimension decoration and the YoY
+    self-join side are broadcast — the only shuffle over facts is the
+    single aggregation."""
+    for name in ("sql27_yoy_revenue_growth", "sql28_revenue_share_of_region"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_channel_union_is_metadata_only(spark, sf_dir):
+    """The conformed-channel union must plan as Union over the two
+    scans feeding ONE partial-aggregated groupBy — no join, no extra
+    exchange per source."""
+    plan = plan_of(spark, sf_dir, "sql29_channel_union_rollup")
+    assert "Union" in plan
+    assert "Join" not in plan
