@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -264,6 +265,11 @@ class JsonlAtomicSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> JsonlAtomicWriter:
         return JsonlAtomicWriter(self.options, overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "JsonlAtomicStreamWriter":
+        return JsonlAtomicStreamWriter(self.options)
+
 
 def read_jsonl_atomic(spark, path: str):
     """Read back ONLY the committed files (manifest-resolved): staged
@@ -281,3 +287,57 @@ def read_jsonl_atomic(spark, path: str):
 
 def register_jsonl_atomic(spark) -> None:
     spark.dataSource.register(JsonlAtomicSource)
+
+
+class JsonlAtomicStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the sink: same staging + manifest mechanics,
+    one commit per micro-batch. The manifest keys committed files by
+    epoch, so a batch that is REPLAYED after a failure (foreachBatch-
+    style at-least-once delivery) overwrites its own epoch entry
+    instead of double-appending — idempotent re-commit, which is what
+    upgrades the stream's delivery to effectively exactly-once."""
+
+    def __init__(self, options: dict) -> None:
+        self.inner = JsonlAtomicWriter(options, overwrite=False)
+        self.path = self.inner.path
+
+    def write(self, iterator) -> "StagedFile":
+        return self.inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        files, total = [], 0
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None:
+                    os.remove(m.path)
+                continue
+            final = os.path.join(self.path, os.path.basename(m.path))
+            os.replace(m.path, final)
+            files.append(os.path.basename(final))
+            total += m.rows
+        mp = os.path.join(self.path, "_committed.json")
+        manifest = {"epochs": {}}
+        if os.path.exists(mp):
+            with open(mp) as fh:
+                manifest = json.load(fh)
+            if "epochs" not in manifest:  # batch-writer manifest reuse
+                manifest = {"epochs": {"batch": manifest["files"]}}
+        # replayed epoch REPLACES its entry — never double-appends
+        # (files AND row counts are keyed per epoch, then re-derived)
+        manifest["epochs"][str(batchId)] = sorted(files)
+        epoch_rows = manifest.get("epoch_rows", {})
+        epoch_rows[str(batchId)] = total
+        manifest["epoch_rows"] = epoch_rows
+        manifest["files"] = sorted(
+            f for fs in manifest["epochs"].values() for f in fs
+        )
+        manifest["rows"] = sum(epoch_rows.values())
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mp)
+
+    def abort(self, messages, batchId: int) -> None:
+        self.inner.abort(messages)
