@@ -301,3 +301,24 @@ def test_stream_writer_epoch_recommit_is_idempotent(tmp_path):
     assert m["rows"] == 12  # 5 + 7, NOT 5 + 7 + 7
     assert m["epochs"]["1"] == ["part-c.jsonl"]
     assert "part-b.jsonl" not in m["files"]
+
+
+def test_jsonl_atomic_empty_write_commits_empty_manifest(spark, tmp_path):
+    """Zero-row job: staged empties are discarded, the manifest still
+    publishes (files=[]) and the reader returns an empty relation."""
+    import json
+    import os
+
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink")
+    spark.range(0, 0, 1, 4).write.format("jsonl_atomic").mode(
+        "overwrite"
+    ).save(target)
+    m = json.load(open(os.path.join(target, "_committed.json")))
+    assert m == {"files": [], "rows": 0}
+    assert read_jsonl_atomic(spark, target).count() == 0
