@@ -87,13 +87,17 @@ def g1_pagerank_purchase_graph(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Compute on packed LONG node ids (customer 2k, supplier 2k+1):
+    # every shuffle/join in the iteration moves 8-byte keys instead of
+    # strings; the display form ('c123'/'s45') is reconstructed only
+    # in the final projection, where the oracle's string sort applies.
     base = (
         orders.join(
             li, orders["o_orderkey"] == li["l_orderkey"]
         )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
         )
         .distinct()
     )
@@ -101,8 +105,13 @@ def g1_pagerank_purchase_graph(spark, sf_dir):
         F.col("cn").alias("src"), F.col("sn").alias("dst")
     ).union(base.select(F.col("sn"), F.col("cn")))
     ranks = pagerank(edges, iterations=3, damping=0.85)
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+    )
     return ranks.select(
-        "node", F.round("rank", 6).alias("rank")
+        node_str.alias("node"), F.round("rank", 6).alias("rank")
     ).orderBy("node")
 
 
