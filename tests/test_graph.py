@@ -178,3 +178,35 @@ def test_entity_resolution_pipeline_on_crafted_dups(spark, tmp_path):
     assert out[1]["canonical_doc"] == 3  # longest member wins
     assert out[5]["members"] == "5,6"
     assert out[5]["canonical_doc"] == 6
+
+
+def test_pagerank_random_mirrored_graphs_conserve_mass(spark):
+    """Seeded random mirrored graphs: ranks are a probability
+    distribution (sum 1, all positive) and are invariant to edge-list
+    order — the groupBy-sum makes the iteration order-insensitive."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(3, 12)
+        und = set()
+        for _ in range(rng.randint(n - 1, 2 * n)):
+            a, b = rng.sample(range(n), 2)
+            und.add((f"v{min(a,b)}", f"v{max(a,b)}"))
+        pairs = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        ranks = {
+            r["node"]: r["rank"]
+            for r in pagerank(_edges(spark, pairs), iterations=4).collect()
+        }
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9), trial
+        assert all(v > 0 for v in ranks.values()), trial
+        shuffled = pairs[:]
+        rng.shuffle(shuffled)
+        ranks2 = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                _edges(spark, shuffled), iterations=4
+            ).collect()
+        }
+        for k in ranks:
+            assert ranks2[k] == pytest.approx(ranks[k], abs=1e-12), trial

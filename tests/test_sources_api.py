@@ -322,3 +322,36 @@ def test_jsonl_atomic_empty_write_commits_empty_manifest(spark, tmp_path):
     m = json.load(open(os.path.join(target, "_committed.json")))
     assert m == {"files": [], "rows": 0}
     assert read_jsonl_atomic(spark, target).count() == 0
+
+
+def test_jsonl_atomic_roundtrip_random_rows(spark, tmp_path):
+    """Seeded random rows (ints, unicode strings, nulls) survive the
+    stage->commit->manifest->read cycle exactly."""
+    import random
+
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ äöü 日本語 \"quotes\" \\slash\t"
+    rows = [
+        (
+            i,
+            rng.randint(-(2**40), 2**40),
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            if rng.random() > 0.2
+            else None,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, s string")
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink")
+    df.repartition(8).write.format("jsonl_atomic").mode("overwrite").save(
+        target
+    )
+    back = read_jsonl_atomic(spark, target).select("id", "v", "s")
+    got = {(r["id"], r["v"], r["s"]) for r in back.collect()}
+    assert got == set(rows)
