@@ -1,0 +1,129 @@
+"""Batch 13 registry entries (round 3, continued): time-series
+regularization — dense calendar resampling with LOCF and linear-
+interpolation gap fill over the per-user purchase-value series.
+
+Reference provenance: the reference's time handling is cutoff filters
+and max-date scans (P8/A8); these add the regularization layer any
+per-entity metric consumer (windowed models, charts, anomaly scoring)
+needs on the same event data, as declarative spine-join-window plans
+with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.operators.timeseries import (
+    daily_observations,
+    interpolate_linear,
+    resample_locf,
+)
+from mcyj_datapipeline_spark.registry import register
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+_OBS_SQL = """
+  SELECT user_id, date_trunc('day', ts)::DATE AS d,
+         round(avg(value), 6) AS v
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND user_id < 200
+  GROUP BY user_id, date_trunc('day', ts)::DATE
+"""
+
+_SPINE_SQL = f"""
+obs AS ({_OBS_SQL}),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM obs),
+spine AS (
+  SELECT o.user_id, gs.g::DATE AS d
+  FROM (SELECT DISTINCT user_id FROM obs) o,
+       bounds b,
+       LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 DAY)) AS g) gs
+),
+joined AS (
+  SELECT s.user_id, s.d, o.v
+  FROM spine s LEFT JOIN obs o
+    ON o.user_id = s.user_id AND o.d = s.d
+)
+"""
+
+
+def _obs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 200)
+    )
+    return daily_observations(ev, "user_id", "ts", "value")
+
+
+@register(
+    "ts1_locf_resample",
+    f"""
+    WITH {_SPINE_SQL}
+    SELECT user_id, d,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf
+    FROM joined ORDER BY user_id, d
+    """,
+    "Time-series regularization, LOCF: sparse per-user daily "
+    "observations land on a dense calendar spine (distinct keys x a "
+    "1-row broadcast bounds relation -> sequence+explode, no driver "
+    "collect) and gaps carry the last observed value forward via an "
+    "ignore-nulls window. One groupBy, one spine join, one "
+    "key-partitioned window; spine cardinality keys x days is the "
+    "only growing term, and rows before a key's first observation "
+    "stay NULL (no fabricated history).",
+)
+def ts1_locf_resample(spark, sf_dir):
+    out = resample_locf(_obs(spark, sf_dir))
+    return out.select(
+        F.col("k").alias("user_id"), "d", "locf"
+    ).orderBy("user_id", "d")
+
+
+@register(
+    "ts2_linear_interpolation",
+    f"""
+    WITH {_SPINE_SQL},
+    ctx AS (
+      SELECT user_id, d, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wf AS nd
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, d,
+           floor((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (datediff('day', pd, d)::DOUBLE
+                                      / datediff('day', pd, nd))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
+    FROM ctx ORDER BY user_id, d
+    """,
+    "Time-series regularization, linear interpolation: gaps fill on "
+    "the straight line between the neighboring observations (edges "
+    "extend flat). The prev/next observation AND its date come from "
+    "four ignore-nulls window expressions over the same two "
+    "key-partitioned frames — no self-join, no per-gap subquery; the "
+    "interpolation itself is pure arithmetic on datediffs, written "
+    "identically in both engines so the float paths agree bit-for-bit "
+    "before the final round.",
+)
+def ts2_linear_interpolation(spark, sf_dir):
+    out = interpolate_linear(_obs(spark, sf_dir))
+    return out.select(
+        F.col("k").alias("user_id"), "d", "v_interp"
+    ).orderBy("user_id", "d")
