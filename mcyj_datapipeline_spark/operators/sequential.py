@@ -104,3 +104,63 @@ def ewma_per_key(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)
+
+
+def holt_linear_per_key(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key,
+    ordered by (``ts_col``, ``tiebreak_col``): a LEVEL and a TREND
+    recurrence chained through each other —
+
+        level_0 = y_0,  trend_0 = 0
+        fitted_t = level_{t-1} + trend_{t-1}          (1-step forecast)
+        level_t  = alpha*y_t + (1-alpha)*fitted_t
+        trend_t  = beta*(level_t - level_{t-1}) + (1-beta)*trend_{t-1}
+
+    Appends ``level``, ``trend``, ``fitted`` (NULL on each key's first
+    row — nothing to forecast from). Like the EWMA/throttle ops this
+    depends on previous OUTPUTS, so it is a grouped ``applyInPandas``
+    recurrence (one shuffle on the key, O(rows) per group) with a
+    recursive-CTE DuckDB twin; the arithmetic is written in exactly
+    this operation order so the float paths agree across engines."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    key_cols = list(key_cols)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("fitted", T.DoubleType()),
+        ]
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        level = np.empty(n)
+        trend = np.empty(n)
+        fitted = np.full(n, np.nan)
+        if n:
+            level[0], trend[0] = y[0], 0.0
+            for i in range(1, n):
+                f = level[i - 1] + trend[i - 1]
+                fitted[i] = f
+                level[i] = alpha * y[i] + (1.0 - alpha) * f
+                trend[i] = (
+                    beta * (level[i] - level[i - 1])
+                    + (1.0 - beta) * trend[i - 1]
+                )
+        pdf["level"], pdf["trend"], pdf["fitted"] = level, trend, fitted
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)

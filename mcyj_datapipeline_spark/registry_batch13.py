@@ -127,3 +127,65 @@ def ts2_linear_interpolation(spark, sf_dir):
     return out.select(
         F.col("k").alias("user_id"), "d", "v_interp"
     ).orderBy("user_id", "d")
+
+
+@register(
+    "ts3_holt_linear_smoothing",
+    f"""
+    WITH RECURSIVE obs AS ({_OBS_SQL}),
+    seq AS (
+      SELECT user_id, d, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM obs
+    ), walk AS (
+      SELECT user_id, d, v, rn,
+             v AS level, 0.0::DOUBLE AS trend, NULL::DOUBLE AS fitted
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.d, s.v, s.rn,
+             0.5*s.v + (1.0-0.5)*(w.level + w.trend),
+             0.25*((0.5*s.v + (1.0-0.5)*(w.level + w.trend)) - w.level)
+               + (1.0-0.25)*w.trend,
+             w.level + w.trend
+      FROM walk w
+      JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, d,
+           floor(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+           floor(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           floor(fitted * 1000000.0 + 0.5) / 1000000.0 AS fitted
+    FROM walk ORDER BY user_id, d
+    """,
+    "Holt's linear-trend double exponential smoothing (alpha=0.5, "
+    "beta=0.25 — exact binary fractions) over each user's daily "
+    "purchase series: TWO recurrences chained through each other "
+    "(level needs the previous level+trend, trend needs the new "
+    "level), the case one window pass cannot express even with "
+    "prefix tricks. Grouped applyInPandas, one shuffle on the key; "
+    "the DuckDB twin walks the same chain as a recursive CTE with "
+    "the arithmetic in the same operation order, and output rounding "
+    "is the cross-engine-stable floor(x*1e6+0.5)/1e6 formula.",
+)
+def ts3_holt_linear_smoothing(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.sequential import (
+        holt_linear_per_key,
+    )
+
+    obs = _obs(spark, sf_dir).select(
+        F.col("k").alias("user_id"), "d", "v"
+    )
+    out = holt_linear_per_key(
+        obs, ["user_id"], "d", "v", alpha=0.5, beta=0.25, tiebreak_col="d"
+    )
+    scale = F.lit(1000000.0)
+
+    def stable(c):
+        return F.floor(F.col(c) * scale + F.lit(0.5)) / scale
+
+    return out.select(
+        "user_id",
+        "d",
+        stable("level").alias("level"),
+        stable("trend").alias("trend"),
+        stable("fitted").alias("fitted"),
+    ).orderBy("user_id", "d")

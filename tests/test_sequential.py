@@ -209,3 +209,41 @@ def test_e10_single_user_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_holt_linear_hand_computed(spark):
+    """y=[10,14,12], alpha=0.5, beta=0.25:
+    t1: fitted=10, level=12, trend=0.5
+    t2: fitted=12.5, level=12.25, trend=0.4375"""
+    from mcyj_datapipeline_spark.operators.sequential import (
+        holt_linear_per_key,
+    )
+
+    df = _events(spark, [("a", 0, 10), ("a", 1, 14), ("a", 2, 12)])
+    out = sorted(
+        holt_linear_per_key(
+            df, ["k"], "ts", "value", 0.5, 0.25, "eid"
+        ).collect(),
+        key=lambda r: r["eid"],
+    )
+    got = [(r["level"], r["trend"], r["fitted"]) for r in out]
+    assert got[0] == (10.0, 0.0, None)
+    assert got[1] == (12.0, 0.5, 10.0)
+    assert got[2] == (12.25, 0.4375, 12.5)
+
+
+def test_holt_linear_state_never_crosses_keys(spark):
+    from mcyj_datapipeline_spark.operators.sequential import (
+        holt_linear_per_key,
+    )
+
+    df = _events(spark, [("a", 0, 10), ("b", 1, 99), ("a", 2, 14)])
+    rows = {
+        (r["k"], r["eid"]): r
+        for r in holt_linear_per_key(
+            df, ["k"], "ts", "value", 0.5, 0.25, "eid"
+        ).collect()
+    }
+    assert rows[("b", 1)]["level"] == 99.0  # b's chain starts fresh
+    assert rows[("b", 1)]["fitted"] is None
+    assert rows[("a", 2)]["fitted"] == 10.0  # a's chain ignores b
