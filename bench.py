@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "s6_rest_datasource_scan",
     "e11_entity_resolution_pipeline",
+    "ts2_linear_interpolation",
 ]
 
 
