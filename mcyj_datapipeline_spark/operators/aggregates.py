@@ -198,3 +198,72 @@ def prefix_search(
         .orderBy(F.desc("count"), F.col("phrase"))
         .limit(k)
     )
+
+
+def exact_median_two_pass(
+    df: DataFrame, col: str, buckets: int = 1024
+) -> DataFrame:
+    """EXACT median without a global sort: the scale path when
+    ``percentile_approx``'s error bound is not acceptable but sorting
+    the column is not either.
+
+    Pass 1 histograms the column into ``buckets`` equal-width bins
+    (one map-side-combined groupBy; the collected histogram is
+    ``buckets`` rows — bounded driver traffic, like the k-means
+    centroid and stratified-count collects). The running bin counts
+    locate which bin(s) hold the middle ranks; pass 2 touches ONLY the
+    rows of those bins — expected n/buckets of the data — and takes
+    the needed order statistics with ``orderBy().limit(k)`` (planned
+    as TakeOrderedAndProject: per-partition top-k + driver merge,
+    never a full exchange-and-sort). Even row counts average the two
+    middle values, matching ``quantile_cont(0.5)`` semantics.
+
+    Returns a 1-row DataFrame ``(n_rows, median)``. Degenerate inputs
+    (empty / all-equal) short-circuit on the pass-1 stats.
+    """
+    stats = df.agg(
+        F.count(col).alias("n"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    spark = df.sparkSession
+    if n == 0 or lo == hi:
+        med = float(lo) if n else None
+        return spark.createDataFrame(
+            [(n, med)], "n_rows long, median double"
+        )
+    width = (float(hi) - float(lo)) / buckets
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col(col) - F.lit(float(lo))) / F.lit(width)).cast("int"),
+    )
+    hist = dict(
+        df.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle ranks
+    # walk the (<= buckets)-entry histogram to find the bins holding
+    # ranks k1/k2 and how many rows precede them
+    running = 0
+    b1 = b2 = None
+    less1 = less2 = 0
+    for b in range(buckets):
+        c = hist.get(b, 0)
+        if b1 is None and running + c >= k1:
+            b1, less1 = b, running
+        if running + c >= k2:
+            b2, less2 = b, running
+            break
+        running += c
+    in_bins = df.filter(bucket.between(b1, b2)).select(F.col(col).alias("v"))
+    # the k2-th global smallest is the (k2 - less1)-th smallest within
+    # [b1..b2]; take that many rows ordered ascending, then the two
+    # largest of the prefix are the k2-th and (k2-1)-th order stats
+    need = k2 - less1
+    prefix = in_bins.orderBy(F.col("v").asc()).limit(need)
+    top2 = prefix.orderBy(F.col("v").desc()).limit(2 if k1 != k2 else 1)
+    med = top2.agg(F.avg("v").alias("median")).collect()[0]["median"]
+    return spark.createDataFrame([(n, float(med))], "n_rows long, median double")

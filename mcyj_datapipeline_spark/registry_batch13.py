@@ -189,3 +189,34 @@ def ts3_holt_linear_smoothing(spark, sf_dir):
         stable("trend").alias("trend"),
         stable("fitted").alias("fitted"),
     ).orderBy("user_id", "d")
+
+
+@register(
+    "a13b_exact_median_two_pass",
+    """
+    SELECT count(*) AS n_rows,
+           round(median(o_totalprice), 4) AS median
+    FROM orders
+    """,
+    "A13 scale twin #2: EXACT median with NO global sort and NO "
+    "sketch error — pass 1 histograms into 1024 equal-width bins "
+    "(map-side-combined groupBy; the collected histogram is 1024 "
+    "rows, bounded like the k-means/stratified collects), the running "
+    "counts locate the bin(s) holding the middle ranks, pass 2 "
+    "touches only those bins' rows (~n/1024) and takes the order "
+    "statistics via orderBy().limit(k) — TakeOrderedAndProject, "
+    "per-partition top-k + merge. Completes the quantile ladder: "
+    "exact percentile (test scale) / approx_percentile (one-pass "
+    "sketch) / two-pass exact (no-sort exact at scale).",
+)
+def a13b_exact_median_two_pass(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.aggregates import (
+        exact_median_two_pass,
+    )
+
+    out = exact_median_two_pass(
+        _t(spark, sf_dir, "orders"), "o_totalprice", buckets=1024
+    )
+    return out.select(
+        "n_rows", F.round("median", 4).alias("median")
+    )

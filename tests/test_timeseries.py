@@ -75,3 +75,39 @@ def test_spine_bounds_relation_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_exact_median_two_pass_edge_cases(spark):
+    from mcyj_datapipeline_spark.operators.aggregates import (
+        exact_median_two_pass,
+    )
+
+    def med(vals, buckets=8):
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        r = exact_median_two_pass(df, "x", buckets=buckets).collect()[0]
+        return r["n_rows"], r["median"]
+
+    assert med([5]) == (1, 5.0)
+    assert med([1, 2, 3]) == (3, 2.0)
+    assert med([1, 2, 3, 4]) == (4, 2.5)          # even: interpolate
+    assert med([7, 7, 7, 7]) == (4, 7.0)          # all equal shortcut
+    assert med([1, 1, 1, 100]) == (4, 1.0)        # duplicates at rank
+    assert med(range(1, 1001), buckets=4) == (1000, 500.5)
+    # empty input
+    df = spark.createDataFrame([], "x double")
+    r = exact_median_two_pass(df, "x").collect()[0]
+    assert (r["n_rows"], r["median"]) == (0, None)
+
+
+def test_exact_median_matches_percentile_on_random_data(spark):
+    import random
+
+    from mcyj_datapipeline_spark.operators.aggregates import (
+        exact_median_two_pass,
+    )
+
+    rng = random.Random(3)
+    vals = [round(rng.uniform(-1000, 1000), 2) for _ in range(2001)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_median_two_pass(df, "x", buckets=64).collect()[0]["median"]
+    assert got == sorted(vals)[1000]
