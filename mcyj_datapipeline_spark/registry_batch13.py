@@ -220,3 +220,54 @@ def a13b_exact_median_two_pass(spark, sf_dir):
     return out.select(
         "n_rows", F.round("median", 4).alias("median")
     )
+
+
+# ===========================================================================
+# Incremental connected components: fold a NEW batch into an existing
+# cluster map without re-pairing the corpus
+# ===========================================================================
+
+from mcyj_datapipeline_spark.registry_batch3 import (  # noqa: E402
+    _cluster_oracle_sql,
+)
+
+
+@register(
+    "dedup_incremental_cc",
+    _cluster_oracle_sql(),
+    "Incremental clustering: the EXISTING corpus (doc_id < 400) "
+    "contributes only its saved (node, cluster) map — re-encoded as "
+    "edges, a diameter-1 star per cluster — while the NEW batch "
+    "(doc_id >= 400) contributes its intra-batch pairs plus "
+    "batch-vs-corpus screening pairs (the incremental band join, "
+    "never existing x existing). CC over that union provably equals "
+    "CC over the full pair set (each piece preserves connectivity), "
+    "so the oracle is the same recursive-CTE clustering as the "
+    "from-scratch query — but the per-ingest cost is batch-sized, "
+    "and the flattened star edges converge in O(new-chain) rounds.",
+)
+def dedup_incremental_cc(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    old_map = connected_components(
+        minhash_lsh_pairs(old, jaccard_threshold=0.8), "id_a", "id_b"
+    ).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    cross = minhash_lsh_pairs_incremental(
+        new, old, jaccard_threshold=0.8
+    ).select(
+        F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+    )
+    intra_new = minhash_lsh_pairs(new, jaccard_threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    merged = old_map.unionByName(cross).unionByName(intra_new)
+    return connected_components(merged, "id_a", "id_b")
