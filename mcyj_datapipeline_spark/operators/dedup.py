@@ -740,6 +740,7 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     prefix_len: int = 12,
     min_len_ratio: float = 0.8,
+    reverse_key: bool = False,
 ) -> DataFrame:
     """Sorted-Neighborhood Method (SNM) candidate pairs: normalize the
     text into a sort key, order records within a block, and compare each
@@ -767,6 +768,11 @@ def sorted_neighborhood_pairs(
     from pyspark.sql.window import Window
 
     sk = snm_sort_key(F.col(text_col))
+    if reverse_key:
+        # multi-pass SNM: a second pass sorted on the REVERSED key
+        # catches near-dups whose edits hit the prefix (single-pass
+        # SNM's blind spot); union the passes for recall
+        sk = F.reverse(sk)
     cols = [F.col(id_col).alias("_id"), sk.alias("_sk")]
     part_cols = [F.substring("_sk", 1, 1)]
     if block_col is not None:

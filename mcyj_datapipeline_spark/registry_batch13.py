@@ -271,3 +271,66 @@ def dedup_incremental_cc(spark, sf_dir):
     )
     merged = old_map.unionByName(cross).unionByName(intra_new)
     return connected_components(merged, "id_a", "id_b")
+
+
+@register(
+    "dedup_snm_multipass",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS sk0
+      FROM documents
+    ), passes AS (
+      SELECT doc_id, lang, sk0 AS sk, 0 AS pass FROM norm
+      UNION ALL
+      SELECT doc_id, lang, reverse(sk0), 1 FROM norm
+    ), lagd AS (
+      SELECT pass, doc_id, lang, sk,
+             lag(doc_id, 1) OVER w AS d1, lag(sk, 1) OVER w AS s1,
+             lag(doc_id, 2) OVER w AS d2, lag(sk, 2) OVER w AS s2,
+             lag(doc_id, 3) OVER w AS d3, lag(sk, 3) OVER w AS s3
+      FROM passes
+      WINDOW w AS (PARTITION BY pass, lang, substr(sk, 1, 1)
+                   ORDER BY sk, doc_id)
+    ), cand AS (
+      SELECT d1 AS id_a, doc_id AS id_b, s1 AS sk_a, sk AS sk_b
+      FROM lagd WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT d2, doc_id, s2, sk FROM lagd WHERE d2 IS NOT NULL
+      UNION ALL
+      SELECT d3, doc_id, s3, sk FROM lagd WHERE d3 IS NOT NULL
+    )
+    SELECT DISTINCT id_a, id_b FROM cand
+    WHERE substr(sk_a, 1, 12) = substr(sk_b, 1, 12)
+      AND greatest(length(sk_a), length(sk_b)) > 0
+      AND least(length(sk_a), length(sk_b))::DOUBLE
+          / greatest(length(sk_a), length(sk_b)) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    "Multi-pass SNM (the standard recall fix): pass 1 sorts on the "
+    "normalized key, pass 2 on its REVERSAL — an edit near the string "
+    "head breaks pass-1 adjacency but not pass-2's, so the union "
+    "recovers the single-pass blind spot. Both passes are the same "
+    "block-partitioned O(n*w) window plan; DISTINCT dedups pairs both "
+    "passes find. Still never all-pairs.",
+)
+def dedup_snm_multipass(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    common = dict(
+        id_col="doc_id",
+        text_col="text",
+        block_col="lang",
+        window=3,
+        prefix_len=12,
+        min_len_ratio=0.8,
+    )
+    p1 = sorted_neighborhood_pairs(docs, **common).select("id_a", "id_b")
+    p2 = sorted_neighborhood_pairs(
+        docs, reverse_key=True, **common
+    ).select("id_a", "id_b")
+    return p1.unionByName(p2).distinct().orderBy("id_a", "id_b")

@@ -210,3 +210,25 @@ def test_pagerank_random_mirrored_graphs_conserve_mass(spark):
         }
         for k in ranks:
             assert ranks2[k] == pytest.approx(ranks[k], abs=1e-12), trial
+
+
+def test_snm_reversed_pass_catches_head_edits(spark):
+    """An edit at the string HEAD breaks forward-sorted adjacency/prefix
+    but not the reversed pass — the multi-pass recall case."""
+    tail = "shared ending that stays identical for quite a while longer"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + tail, "en"),
+            (2, "zulu " + tail, "en"),
+            (3, "totally different body of text with nothing shared", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    fwd = sorted_neighborhood_pairs(
+        docs, block_col="lang", window=3, prefix_len=12
+    )
+    rev = sorted_neighborhood_pairs(
+        docs, block_col="lang", window=3, prefix_len=12, reverse_key=True
+    )
+    assert fwd.count() == 0  # heads differ -> forward prefix filter rejects
+    assert {(r["id_a"], r["id_b"]) for r in rev.collect()} == {(1, 2)}
