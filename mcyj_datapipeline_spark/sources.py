@@ -323,7 +323,12 @@ class JsonlAtomicStreamWriter(DataSourceStreamWriter):
             with open(mp) as fh:
                 manifest = json.load(fh)
             if "epochs" not in manifest:  # batch-writer manifest reuse
-                manifest = {"epochs": {"batch": manifest["files"]}}
+                manifest = {
+                    "epochs": {"batch": manifest["files"]},
+                    # seed the per-epoch row ledger too, or the batch
+                    # rows vanish from every later stream commit's sum
+                    "epoch_rows": {"batch": manifest.get("rows", 0)},
+                }
         # replayed epoch REPLACES its entry — never double-appends
         # (files AND row counts are keyed per epoch, then re-derived)
         manifest["epochs"][str(batchId)] = sorted(files)

@@ -355,3 +355,31 @@ def test_jsonl_atomic_roundtrip_random_rows(spark, tmp_path):
     back = read_jsonl_atomic(spark, target).select("id", "v", "s")
     got = {(r["id"], r["v"], r["s"]) for r in back.collect()}
     assert got == set(rows)
+
+
+def test_stream_commit_after_batch_write_keeps_batch_rows(spark, tmp_path):
+    """Mixed usage: a stream commit onto a BATCH-written manifest must
+    keep the batch rows in the ledger (epoch_rows seeding), not drop
+    them from the recomputed total."""
+    import json
+    import os
+
+    from mcyj_datapipeline_spark.sources import (
+        JsonlAtomicStreamWriter,
+        StagedFile,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink")
+    spark.range(0, 10, 1, 2).write.format("jsonl_atomic").mode(
+        "overwrite"
+    ).save(target)
+    w = JsonlAtomicStreamWriter({"path": target})
+    staged = os.path.join(target, "_staging", "part-x.jsonl")
+    with open(staged, "w") as fh:
+        fh.write('{"id": 99}\n' * 4)
+    w.commit([StagedFile(staged, 4)], batchId=0)
+    m = json.load(open(os.path.join(target, "_committed.json")))
+    assert m["rows"] == 14  # 10 batch + 4 stream
+    assert set(m["epochs"]) == {"batch", "0"}
