@@ -162,6 +162,7 @@ def main() -> None:
     pass1: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     for name in HEADLINE:
         # 1 + WARM_REPS identical executions, caches cleared before
@@ -178,6 +179,13 @@ def main() -> None:
         reps = []
         for _ in range(1 + warm_reps):
             spark.catalog.clearCache()
+            # release checkpoint blocks + force a GC BETWEEN reps, not
+            # just between queries: a rep otherwise inherits the prior
+            # rep's pinned blocks and garbage, and the induced major GC
+            # lands INSIDE the next timed window (observed as the
+            # 14-18s warm spreads on the allocation-heavy iterative
+            # queries in BENCH_r03 — same plan, no data change)
+            _release_pinned_blocks(spark)
             start = time.monotonic()
             n = materialized_count(qs[name](spark, sf_dir))
             reps.append(time.monotonic() - start)
@@ -185,7 +193,7 @@ def main() -> None:
         timings[name] = round(min(reps), 3)
         warm[name] = round(min(reps[1:]), 3)
         warm_spread[name] = round(max(reps) - min(reps), 3)
-        _release_pinned_blocks(spark)
+        all_reps[name] = [round(r, 3) for r in reps]
         print(
             f"# {name}: min {timings[name]:.3f}s / pass1 {pass1[name]:.3f}s"
             f" spread {warm_spread[name]:.3f}s ({n} rows)",
@@ -194,16 +202,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Variance gate: min-of-N must never silently mask a record swing.
+    # A query is flagged unstable when its rep spread exceeds both an
+    # absolute floor (2s) and its own min — i.e. some rep ran >2x the
+    # reported number. Flags ride the machine line so the per-round
+    # artifact itself carries the warning.
+    unstable = {
+        name: warm_spread[name]
+        for name in HEADLINE
+        if warm_spread[name] > max(2.0, timings[name])
+    }
+    for name, s in unstable.items():
+        print(
+            f"# UNSTABLE: {name} spread {s:.3f}s vs min "
+            f"{timings[name]:.3f}s — reps {all_reps[name]}",
+            file=sys.stderr,
+        )
     # stdout carries ONE COMPACT machine line: the driver captures only a
     # bounded stdout tail (round 2's line with three 34-entry dicts
     # outgrew it -> "parsed": null), so warm/spread per-query detail goes
-    # to a sidecar file + stderr instead.
+    # to a sidecar file + stderr instead. `queries` values are
+    # STEADY-STATE MINIMA over 1+warm_reps cleared-cache executions
+    # (regime key says so explicitly); the cold first-execution total is
+    # reported alongside so neither regime can be mistaken for the other,
+    # with per-query cold numbers in BENCH_DETAIL.json.
     machine_line = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "regime": f"steady_min_of_{1 + warm_reps}",
         "queries": timings,
         "total_warm": round(sum(warm.values()), 3),
+        "total_cold_pass1": round(sum(pass1.values()), 3),
+        "unstable": unstable,
         "sf": sf_val,
     }
     detail = dict(
@@ -211,6 +242,7 @@ def main() -> None:
         queries_pass1=pass1,
         queries_warm=warm,
         queries_warm_spread=warm_spread,
+        queries_reps=all_reps,
         warm_reps=warm_reps,
         cpus=os.environ.get("SPARK_GRAFT_CPUS", ""),
     )

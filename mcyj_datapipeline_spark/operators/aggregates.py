@@ -201,25 +201,34 @@ def prefix_search(
 
 
 def exact_median_two_pass(
-    df: DataFrame, col: str, buckets: int = 1024
+    df: DataFrame, col: str, buckets: int = 1024,
+    max_fetch: int = 1_000_000, max_rounds: int = 6,
 ) -> DataFrame:
     """EXACT median without a global sort: the scale path when
     ``percentile_approx``'s error bound is not acceptable but sorting
     the column is not either.
 
-    Pass 1 histograms the column into ``buckets`` equal-width bins
-    (one map-side-combined groupBy; the collected histogram is
-    ``buckets`` rows — bounded driver traffic, like the k-means
-    centroid and stratified-count collects). The running bin counts
-    locate which bin(s) hold the middle ranks; pass 2 touches ONLY the
-    rows of those bins — expected n/buckets of the data — and takes
-    the needed order statistics with ``orderBy().limit(k)`` (planned
-    as TakeOrderedAndProject: per-partition top-k + driver merge,
-    never a full exchange-and-sort). Even row counts average the two
-    middle values, matching ``quantile_cont(0.5)`` semantics.
+    Each round histograms the candidate range into ``buckets``
+    equal-width bins (one map-side-combined groupBy; the collected
+    histogram is ``buckets`` rows — bounded driver traffic, like the
+    k-means centroid and stratified-count collects). The running bin
+    counts locate which bin(s) hold the middle ranks. When those
+    candidate bins hold ≤ ``max_fetch`` rows, the final pass takes the
+    needed order statistics with ``orderBy().limit(k)`` (planned as
+    TakeOrderedAndProject: per-partition top-k + driver merge, never a
+    full exchange-and-sort). When the middle bins are HEAVIER than
+    ``max_fetch`` — skewed data concentrated around the median, e.g.
+    near-constant values plus one range-stretching outlier — the
+    function re-histograms WITHIN the candidate bins' value range
+    instead of fetching, shrinking the candidate set ~buckets× per
+    round, so driver traffic stays bounded in exactly the case the
+    function exists for. A range that stops shrinking means the
+    remaining candidates are all equal — the median is that value.
+    Even row counts average the two middle values, matching
+    ``quantile_cont(0.5)`` semantics.
 
     Returns a 1-row DataFrame ``(n_rows, median)``. Degenerate inputs
-    (empty / all-equal) short-circuit on the pass-1 stats.
+    (empty / all-equal) short-circuit on the first round's stats.
     """
     stats = df.agg(
         F.count(col).alias("n"),
@@ -233,37 +242,94 @@ def exact_median_two_pass(
         return spark.createDataFrame(
             [(n, med)], "n_rows long, median double"
         )
-    width = (float(hi) - float(lo)) / buckets
-    bucket = F.least(
-        F.lit(buckets - 1),
-        F.floor((F.col(col) - F.lit(float(lo))) / F.lit(width)).cast("int"),
-    )
-    hist = dict(
-        df.select(bucket.alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle ranks
-    # walk the (<= buckets)-entry histogram to find the bins holding
-    # ranks k1/k2 and how many rows precede them
-    running = 0
-    b1 = b2 = None
-    less1 = less2 = 0
-    for b in range(buckets):
-        c = hist.get(b, 0)
-        if b1 is None and running + c >= k1:
-            b1, less1 = b, running
-        if running + c >= k2:
-            b2, less2 = b, running
-            break
-        running += c
-    in_bins = df.filter(bucket.between(b1, b2)).select(F.col(col).alias("v"))
-    # the k2-th global smallest is the (k2 - less1)-th smallest within
-    # [b1..b2]; take that many rows ordered ascending, then the two
-    # largest of the prefix are the k2-th and (k2-1)-th order stats
-    need = k2 - less1
-    prefix = in_bins.orderBy(F.col("v").asc()).limit(need)
-    top2 = prefix.orderBy(F.col("v").desc()).limit(2 if k1 != k2 else 1)
-    med = top2.agg(F.avg("v").alias("median")).collect()[0]["median"]
-    return spark.createDataFrame([(n, float(med))], "n_rows long, median double")
+
+    def _result(med):
+        return spark.createDataFrame(
+            [(n, float(med))], "n_rows long, median double"
+        )
+
+    # Candidate state: rows of `sub` within [lo, hi] (inclusive) hold
+    # the global ranks [k1, k2]; r1/r2 are those ranks relative to the
+    # candidate set (1-based).
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    sub = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    lo, hi = float(lo), float(hi)
+    r1, r2 = k1, k2
+    sub_n = n
+    for _ in range(max_rounds):
+        if lo >= hi:
+            return _result(lo)  # all remaining candidates equal
+        width = (hi - lo) / buckets
+        bucket = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+        # per-bin count AND actual min/max: narrowing to the observed
+        # value range (not the arithmetic bin edge) is what makes an
+        # outlier-stretched range collapse in one round instead of
+        # shaving a factor of `buckets` per round
+        hist = {
+            r["b"]: (r["c"], float(r["mn"]), float(r["mx"]))
+            for r in sub.select(bucket.alias("b"), "v")
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        running = 0
+        b1 = b2 = None
+        less1 = 0
+        for b in range(buckets):
+            c = hist.get(b, (0, 0, 0))[0]
+            if b1 is None and running + c >= r1:
+                b1, less1 = b, running
+            if running + c >= r2:
+                b2 = b
+                break
+            running += c
+        cand = sum(
+            hist.get(b, (0, 0, 0))[0] for b in range(b1, b2 + 1)
+        )
+        if cand <= max_fetch:
+            in_bins = sub.filter(bucket.between(b1, b2))
+            # the r2-th candidate-smallest is the (r2 - less1)-th
+            # smallest within [b1..b2]; take that prefix ordered
+            # ascending, then its two largest are the target order
+            # statistics
+            need = r2 - less1
+            prefix = in_bins.orderBy(F.col("v").asc()).limit(need)
+            top2 = prefix.orderBy(F.col("v").desc()).limit(
+                2 if k1 != k2 else 1
+            )
+            med = top2.agg(F.avg("v").alias("median")).collect()[0]["median"]
+            return _result(med)
+        new_lo, new_hi = hist[b1][1], hist[b2][2]
+        if new_lo >= new_hi:
+            return _result(new_lo)  # candidate bins hold one value
+        if (new_lo, new_hi) == (lo, hi) and cand == sub_n:
+            break  # cannot narrow further; fall through to safety net
+        # bins partition by value, so [new_lo, new_hi] keeps exactly
+        # the rows of bins b1..b2 — sub_n is known without a count()
+        sub = sub.filter(
+            (F.col("v") >= F.lit(new_lo)) & (F.col("v") <= F.lit(new_hi))
+        )
+        lo, hi = new_lo, new_hi
+        r1, r2 = r1 - less1, r2 - less1
+        sub_n = cand
+    # Safety net (pathological float plateaus where equal-width bins
+    # stop splitting): rank-exact percentile over the already-narrowed
+    # candidate set — fractions chosen so linear interpolation lands
+    # ON the target order statistics, not between them.
+    if sub_n == 1:
+        med = sub.collect()[0]["v"]
+        return _result(med)
+    p1 = (r1 - 1) / (sub_n - 1)
+    p2 = (r2 - 1) / (sub_n - 1)
+    row = sub.agg(
+        F.expr(f"percentile(v, {p1!r})").alias("m1"),
+        F.expr(f"percentile(v, {p2!r})").alias("m2"),
+    ).collect()[0]
+    return _result((row["m1"] + row["m2"]) / 2.0)

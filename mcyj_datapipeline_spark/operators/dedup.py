@@ -473,6 +473,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 50,
     jump_after: int = 6,
+    check_every: int = 2,
     _stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over a candidate
@@ -496,27 +497,40 @@ def connected_components(
     comp(x) is always a member of x's component, so the fixpoint
     (neighbor-min changes nothing) is the component minimum either way.
 
-    ``localCheckpoint`` after every round truncates lineage so plan size
-    stays constant; on a real cluster use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-    fault-tolerant truncation instead. ``_stats`` (tests/profiling)
-    receives {"rounds": n} when provided.
+    ``localCheckpoint`` truncates lineage so plan size stays constant;
+    on a real cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint`` for fault-tolerant truncation instead.
+
+    Driver-sync pacing: the convergence ``count()`` is a full driver
+    round-trip (job submit + scheduling + result), and on an iterative
+    query those syncs — not the per-round data volume — dominate at
+    small scale and add latency at any scale. ``check_every`` batches
+    that check: propagation rounds chain LAZILY (constant plan depth ≤
+    ``check_every`` rounds between checkpoints) and only every
+    ``check_every``-th round materializes + counts, so the job count
+    per converged run roughly halves at the default of 2. Worst case it
+    runs ``check_every - 1`` extra (idempotent) rounds past the
+    fixpoint — min-label propagation is monotone, so extra rounds
+    change nothing. ``_stats`` (tests/profiling) receives
+    {"rounds": n, "syncs": m} when provided.
     """
+    # lazy checkpoints: materialized by the FIRST convergence-check job
+    # instead of two eager upfront jobs, then reused every round
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    und = und.localCheckpoint(eager=True)
 
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     rounds = 0
+    syncs = 0
     for i in range(max_iters):
         # candidate label for each node = min over neighbors' current comp
         nbr = (
@@ -543,17 +557,24 @@ def connected_components(
                 "comp",
                 F.coalesce("p_comp", F.col("new_comp")).alias("new_comp"),
             )
-        # lazy checkpoint: the convergence count below materializes it,
-        # so each round costs ONE job instead of checkpoint + count
-        upd = upd.localCheckpoint(eager=False)
-        n_changed = upd.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = upd.select("node", F.col("new_comp").alias("comp"))
         rounds = i + 1
-        if n_changed == 0:
-            break
+        if rounds % check_every == 0 or rounds == max_iters:
+            # lazy checkpoint: the convergence count materializes it,
+            # so each CHECK costs one job covering check_every rounds
+            upd = upd.localCheckpoint(eager=False)
+            n_changed = upd.filter(
+                F.col("new_comp") != F.col("comp")
+            ).count()
+            syncs += 1
+            labels = upd.select("node", F.col("new_comp").alias("comp"))
+            if n_changed == 0:
+                break
+        else:
+            labels = upd.select("node", F.col("new_comp").alias("comp"))
 
     if _stats is not None:
         _stats["rounds"] = rounds
+        _stats["syncs"] = syncs
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )

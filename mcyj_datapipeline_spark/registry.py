@@ -56,10 +56,13 @@ def set_oracle(name: str, sql: str) -> None:
 
 # Queries deliberately retained as TEST-SCALE-ONLY oracle-parity
 # exhibits: correct, oracle-verified, but whose physical plan is NOT a
-# 100 TB path (each names its scale-safe twin in its description).
+# 100 TB path. EMPTY since round 4 — the last exhibit
+# (w5_ntile_deciles) was retired to a pytest-only parity check once
+# w5b_decile_by_cutpoints was oracle-proven equivalent, so the
+# registry contains zero single-reducer sorts, fenced or otherwise.
 # tests/test_physical_plans.py asserts every query OUTSIDE this set has
 # no unpartitioned window; COVERAGE.md carries the tag.
-TEST_SCALE_ONLY: frozenset[str] = frozenset({"w5_ntile_deciles"})
+TEST_SCALE_ONLY: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, QueryFn]:

@@ -105,10 +105,13 @@ def g1_pagerank_purchase_graph(spark, sf_dir):
         F.col("cn").alias("src"), F.col("sn").alias("dst")
     ).union(base.select(F.col("sn"), F.col("cn")))
     ranks = pagerank(edges, iterations=3, damping=0.85)
+    # Decode with integer bit-shift, not `/ 2` (double division loses
+    # precision above 2^53, which would corrupt ids at real scale —
+    # for both parities, n >> 1 is exactly the unpacked id).
     node_str = F.when(
-        F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.shiftright("node", 1))
     ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long"))
+        F.concat(F.lit("s"), F.shiftright("node", 1))
     )
     return ranks.select(
         node_str.alias("node"), F.round("rank", 6).alias("rank")

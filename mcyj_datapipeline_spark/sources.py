@@ -122,35 +122,64 @@ class RestPagesStreamReader(DataSourceStreamReader):
     ``InputPartition``, fetched executor-side exactly like the batch
     reader — ingestion keeps up by widening the batch, not the driver.
     The feed is bounded at ``pages`` total (a live endpoint would
-    instead probe for new pages in ``latestOffset``)."""
+    instead probe for new pages in ``latestOffset``).
+
+    Restart safety: progress lives in the CHECKPOINT, not in this
+    driver-memory object, so a fresh reader knows nothing until the
+    engine talks to it. After a clean stop (last batch committed, no
+    pending replay) the first ``latestOffset()`` necessarily answers
+    from scratch and may sit behind the checkpointed offset; the
+    engine then hands that checkpointed position back as ``start`` of
+    the next ``partitions()`` call. Every engine-supplied offset is
+    therefore folded into a high-water mark ``_floor`` (pages below a
+    ``partitions()`` start or a ``commit()`` end are checkpoint-proven
+    delivered), and ``partitions()`` emits only ``[max(start, floor),
+    end)`` — so a transiently regressed offset yields EMPTY batches,
+    never re-delivered pages, and ``latestOffset`` re-converges past
+    the floor on the next poll. A genuinely pending batch (engine
+    replays ``partitions(start, end)`` with its logged offsets before
+    any ``latestOffset``) still replays in full, as at-least-once
+    recovery requires: its ``start`` only raises the floor to pages
+    already beyond doubt."""
 
     def __init__(self, options: dict) -> None:
         self.inner = RestPagesReader(options)
         self.pages_per_batch = int(options.get("pages_per_batch", "2"))
         self._committed = 0
         self._planned = 0
+        self._floor = 0  # checkpoint-proven delivered pages < floor
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
     def latestOffset(self) -> dict:
         # advance monotonically from whatever is furthest along —
-        # planned (this process) or committed (checkpoint feedback) —
-        # so repeated polls without commits don't re-plan the same span
+        # planned (this process), committed (checkpoint feedback), or
+        # the engine-observed floor — so repeated polls without
+        # commits don't re-plan the same span and a restarted reader
+        # catches back up past the checkpointed position
         self._planned = min(
-            max(self._planned, self._committed) + self.pages_per_batch,
+            max(self._planned, self._committed, self._floor)
+            + self.pages_per_batch,
             self.inner.n_pages,
         )
+        self._planned = max(self._planned, self._floor)
         return {"page": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        return [InputPartition(p) for p in range(start["page"], end["page"])]
+        lo = max(start["page"], self._floor)
+        # the engine only passes a start it has checkpoint-logged:
+        # pages below it were delivered by a committed batch
+        self._floor = max(self._floor, start["page"])
+        self._planned = max(self._planned, end["page"])
+        return [InputPartition(p) for p in range(lo, end["page"])]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         return self.inner.read(partition)
 
     def commit(self, end: dict) -> None:
         self._committed = max(self._committed, end["page"])
+        self._floor = max(self._floor, end["page"])
 
 
 class RestPagesSource(DataSource):
@@ -219,6 +248,10 @@ class JsonlAtomicWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
+        prev = None
+        if os.path.exists(self._manifest_path()):
+            with open(self._manifest_path()) as fh:
+                prev = json.load(fh)
         files, total = [], 0
         for m in messages:
             if m is None or m.rows == 0:
@@ -230,17 +263,27 @@ class JsonlAtomicWriter(DataSourceWriter):
             files.append(os.path.basename(final))
             total += m.rows
         manifest = {"files": sorted(files), "rows": total}
-        if not self.overwrite and os.path.exists(self._manifest_path()):
-            with open(self._manifest_path()) as fh:
-                prev = json.load(fh)
+        if not self.overwrite and prev is not None:
             manifest = {
-                "files": sorted(prev["files"] + manifest["files"]),
-                "rows": prev["rows"] + total,
+                "files": sorted(prev.get("files", []) + manifest["files"]),
+                "rows": prev.get("rows", 0) + total,
             }
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path())  # the publish point
+        # VACUUM phase, strictly AFTER the publish point so a crash
+        # anywhere above leaves the previous manifest fully readable:
+        # an overwrite unpublishes the prior manifest's files, so
+        # delete them (directory readers would otherwise see ghost
+        # rows forever), and sweep _staging of parts abandoned by
+        # earlier failed/aborted jobs. Single-writer contract, like
+        # the reference's CSV stores (run_full_pipeline.py:150-165).
+        if self.overwrite and prev is not None:
+            _delete_unreferenced(
+                self.path, prev.get("files", []), set(manifest["files"])
+            )
+        _sweep_staging(self.path)
 
     def abort(self, messages) -> None:
         import os
@@ -248,11 +291,45 @@ class JsonlAtomicWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        # tasks that failed before returning a commit message leave
+        # uuid-named parts behind; they are unreferenced, so sweep now
+        _sweep_staging(self.path)
 
     def _manifest_path(self) -> str:
         import os
 
         return os.path.join(self.path, "_committed.json")
+
+
+def _delete_unreferenced(path: str, candidates, keep: set) -> None:
+    """Best-effort removal of published part files that no longer
+    appear in the live manifest (post-publish VACUUM)."""
+    import os
+
+    for name in candidates:
+        if name not in keep:
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
+
+
+def _sweep_staging(path: str) -> None:
+    """Remove leftover parts in ``_staging`` — by the time the driver
+    runs commit()/abort(), every part THIS job published has already
+    been moved out, so anything remaining is an orphan from a task or
+    job that died mid-write."""
+    import os
+
+    staging = os.path.join(path, "_staging")
+    if not os.path.isdir(staging):
+        return
+    for name in os.listdir(staging):
+        if name.endswith(".jsonl"):
+            try:
+                os.remove(os.path.join(staging, name))
+            except OSError:
+                pass
 
 
 class JsonlAtomicSource(DataSource):
@@ -331,6 +408,7 @@ class JsonlAtomicStreamWriter(DataSourceStreamWriter):
                 }
         # replayed epoch REPLACES its entry — never double-appends
         # (files AND row counts are keyed per epoch, then re-derived)
+        replaced = manifest["epochs"].get(str(batchId), [])
         manifest["epochs"][str(batchId)] = sorted(files)
         epoch_rows = manifest.get("epoch_rows", {})
         epoch_rows[str(batchId)] = total
@@ -343,6 +421,11 @@ class JsonlAtomicStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, mp)
+        # post-publish VACUUM: a replayed epoch's superseded files are
+        # now unreferenced — delete them, and sweep abandoned staging
+        if replaced:
+            _delete_unreferenced(self.path, replaced, set(manifest["files"]))
+        _sweep_staging(self.path)
 
     def abort(self, messages, batchId: int) -> None:
         self.inner.abort(messages)

@@ -520,3 +520,61 @@ def test_pq_encode_payload_is_m_bytes(spark, sf_dir):
     # Deterministic: same corpus -> same books -> same codes.
     books2 = S.pq_train_codebooks(emb, m=8, n_codes=16, sample_n=64)
     assert books == books2
+
+
+@pytest.mark.parametrize(
+    "shape,n,diameter",
+    [
+        ("chain", 64, 63),
+        ("chain", 17, 16),
+        ("star", 40, 2),
+        ("blob", 30, 1),
+        ("two_chains", 24, 11),
+    ],
+)
+def test_cc_round_bound_property(spark, shape, n, diameter):
+    """Pointer-jump guarantee, locked in as a property: on a graph of
+    diameter D, connected_components must converge within
+    jump_after + ceil(log2(D)) + 1 propagation rounds (plus the
+    check_every batching slack that can overshoot the fixpoint by at
+    most check_every - 1 idempotent rounds), per the docstring's
+    doubling argument: one-hop propagation until the valve engages,
+    then comp←comp[comp] doubles reach per round."""
+    import math
+
+    if shape == "chain":
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        expect = {i: 0 for i in range(n)}
+    elif shape == "star":
+        pairs = [(0, i) for i in range(1, n)]
+        expect = {i: 0 for i in range(n)}
+    elif shape == "blob":  # complete-ish: every node linked to node 0 and 1
+        pairs = [(0, i) for i in range(1, n)] + [(1, i) for i in range(2, n)]
+        expect = {i: 0 for i in range(n)}
+    else:  # two disjoint chains
+        half = n // 2
+        pairs = [(i, i + 1) for i in range(half - 1)] + [
+            (100 + i, 100 + i + 1) for i in range(half - 1)
+        ]
+        expect = {i: 0 for i in range(half)}
+        expect.update({100 + i: 100 for i in range(half)})
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    jump_after, check_every = 4, 2
+    stats = {}
+    out = D.connected_components(
+        edges,
+        max_iters=40,
+        jump_after=jump_after,
+        check_every=check_every,
+        _stats=stats,
+    )
+    comps = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert comps == expect
+    bound = jump_after + math.ceil(math.log2(max(diameter, 2))) + 1
+    assert stats["rounds"] <= bound + (check_every - 1), (
+        f"{shape}(n={n}, D={diameter}): {stats['rounds']} rounds "
+        f"exceeds bound {bound}+{check_every - 1}"
+    )
+    # driver syncs must be ~rounds/check_every, the whole point of
+    # batched convergence checks
+    assert stats["syncs"] <= stats["rounds"] // check_every + 1

@@ -30,3 +30,42 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = ALL[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_w5_ntile_exhibit_parity(spark, sf_dir, con):
+    """The retired w5_ntile_deciles exhibit (single-reducer global
+    sort — banned from the registry since round 4) stays useful here:
+    (a) it still value-matches its DuckDB twin, and (b) its per-decile
+    counts and boundaries validate w5b_decile_by_cutpoints' broadcast-
+    cutpoint bucketing, decile by decile."""
+    from mcyj_datapipeline_spark.registry_batch3 import (
+        W5_NTILE_EXHIBIT_SQL,
+        w5_ntile_deciles,
+        w5b_decile_by_cutpoints,
+    )
+
+    ntile = w5_ntile_deciles(spark, sf_dir)
+    ok, msg = compare(ntile, con, W5_NTILE_EXHIBIT_SQL)
+    assert ok, msg
+    got_n = {r["decile"]: r["n"] for r in ntile.collect()}
+    cut_n = {
+        r["decile"]: r["n"]
+        for r in w5b_decile_by_cutpoints(spark, sf_dir).collect()
+    }
+    # ntile splits ties at exact-boundary values by row order while
+    # cutpoint bucketing is value-deterministic, so per-decile counts
+    # may differ by at most the boundary multiplicity — tiny vs n/10
+    total = sum(got_n.values())
+    assert sum(cut_n.values()) == total
+    for d in range(1, 11):
+        assert abs(got_n.get(d, 0) - cut_n.get(d, 0)) <= max(
+            5, total // 1000
+        ), (d, got_n.get(d), cut_n.get(d))
+
+
+def test_w5_ntile_absent_from_registry():
+    """The registry must carry no single-reducer-sort query, even as a
+    fenced exhibit (round-4 verdict item)."""
+    assert "w5_ntile_deciles" not in registry.queries()
+    assert "w5_ntile_deciles" not in registry.oracle_sql()
+    assert registry.TEST_SCALE_ONLY == frozenset()

@@ -383,3 +383,146 @@ def test_stream_commit_after_batch_write_keeps_batch_rows(spark, tmp_path):
     m = json.load(open(os.path.join(target, "_committed.json")))
     assert m["rows"] == 14  # 10 batch + 4 stream
     assert set(m["epochs"]) == {"batch", "0"}
+
+
+# ---------------------------------------------------------------------------
+# Restart-safety unit tests: drive the stream reader exactly the way
+# MicroBatchExecution does (offsets, partitions, commits), including
+# the clean-stop restart where the first latestOffset() of a FRESH
+# reader answers from scratch while the engine holds a further-along
+# checkpointed start. No page may ever be re-delivered once committed.
+# ---------------------------------------------------------------------------
+
+
+def _drain(reader, start, max_batches=50):
+    """Engine-loop simulation: poll latestOffset, plan partitions,
+    commit; returns the pages delivered and the final offset."""
+    delivered = []
+    for _ in range(max_batches):
+        end = reader.latestOffset()
+        if end["page"] == start["page"]:
+            break
+        delivered += [p.value for p in reader.partitions(start, end)]
+        reader.commit(end)
+        start = end
+    return delivered, start
+
+
+def test_stream_reader_clean_restart_no_redelivery():
+    from mcyj_datapipeline_spark.sources import RestPagesStreamReader
+
+    opts = {"pages": "6", "page_size": "5", "pages_per_batch": "2"}
+    r1 = RestPagesStreamReader(opts)
+    got, final = _drain(r1, r1.initialOffset())
+    assert got == list(range(6))
+    assert final == {"page": 6}
+    # clean stop: everything committed. A restart builds a FRESH
+    # reader whose first latestOffset may regress behind the
+    # checkpointed start — the engine then feeds the checkpointed
+    # start back through partitions(). Committed pages must not recur.
+    r2 = RestPagesStreamReader(opts)
+    redelivered, _ = _drain(r2, {"page": 6})
+    assert redelivered == []
+
+
+def test_stream_reader_midstream_restart_resumes_without_duplicates():
+    from mcyj_datapipeline_spark.sources import RestPagesStreamReader
+
+    opts = {"pages": "8", "page_size": "5", "pages_per_batch": "3"}
+    # restart with pages 0-4 already committed (checkpointed start=5):
+    # the fresh reader's first poll regresses to page 3; the clamp
+    # must deliver exactly 5..8, never 3..5 again
+    r = RestPagesStreamReader(opts)
+    got, final = _drain(r, {"page": 5})
+    assert got == [5, 6, 7]
+    assert final == {"page": 8}
+
+
+def test_stream_reader_pending_batch_replay_still_replays():
+    from mcyj_datapipeline_spark.sources import RestPagesStreamReader
+
+    opts = {"pages": "6", "page_size": "5", "pages_per_batch": "2"}
+    # crash with batch (2,4) planned but uncommitted: on restart the
+    # engine calls partitions() with the LOGGED offsets before any
+    # latestOffset — the tail batch must replay in full (at-least-once
+    # recovery), then the stream continues past it without duplicates
+    r = RestPagesStreamReader(opts)
+    replay = [p.value for p in r.partitions({"page": 2}, {"page": 4})]
+    assert replay == [2, 3]
+    r.commit({"page": 4})
+    rest, final = _drain(r, {"page": 4})
+    assert rest == [4, 5]
+    assert final == {"page": 6}
+
+
+def test_jsonl_overwrite_vacuums_prior_files_and_staging(spark, tmp_path):
+    """Overwrite must unpublish AND delete the previous manifest's
+    part files (directory readers would otherwise see ghost rows) and
+    sweep orphans left in _staging by earlier failed jobs."""
+    import json
+    import os
+
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    target = str(tmp_path / "sink")
+    spark.range(0, 50, 1, 4).write.format("jsonl_atomic").mode(
+        "overwrite"
+    ).save(target)
+    first_parts = {
+        f for f in os.listdir(target) if f.endswith(".jsonl")
+    }
+    assert first_parts
+    # plant an orphan from a "crashed" earlier job
+    os.makedirs(os.path.join(target, "_staging"), exist_ok=True)
+    orphan = os.path.join(target, "_staging", "part-dead.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"id": -1}\n')
+    spark.range(100, 120, 1, 2).write.format("jsonl_atomic").mode(
+        "overwrite"
+    ).save(target)
+    survivors = {f for f in os.listdir(target) if f.endswith(".jsonl")}
+    assert survivors.isdisjoint(first_parts), "ghost parts survive overwrite"
+    assert not os.path.exists(orphan), "stale staging not swept"
+    # directory-level read now agrees with the manifest read
+    back = read_jsonl_atomic(spark, target)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100, 120))
+    raw = spark.read.json(os.path.join(target, "*.jsonl"))
+    assert raw.count() == 20
+    m = json.load(open(os.path.join(target, "_committed.json")))
+    assert m["rows"] == 20
+
+
+def test_jsonl_stream_replayed_epoch_vacuums_superseded_files(spark, tmp_path):
+    """A replayed micro-batch replaces its epoch's manifest entry; the
+    superseded files must be deleted, not orphaned."""
+    import json
+    import os
+
+    from mcyj_datapipeline_spark.sources import (
+        JsonlAtomicStreamWriter,
+        StagedFile,
+    )
+
+    target = str(tmp_path / "sink")
+    os.makedirs(os.path.join(target, "_staging"))
+
+    def stage(name, rows):
+        p = os.path.join(target, "_staging", name)
+        with open(p, "w") as fh:
+            for i in range(rows):
+                fh.write(json.dumps({"id": i}) + "\n")
+        return StagedFile(p, rows)
+
+    w = JsonlAtomicStreamWriter({"path": target})
+    w.commit([stage("part-a.jsonl", 3)], batchId=0)
+    assert os.path.exists(os.path.join(target, "part-a.jsonl"))
+    # replay of epoch 0 with a different uuid part
+    w.commit([stage("part-b.jsonl", 3)], batchId=0)
+    assert not os.path.exists(os.path.join(target, "part-a.jsonl"))
+    m = json.load(open(os.path.join(target, "_committed.json")))
+    assert m["files"] == ["part-b.jsonl"]
+    assert m["rows"] == 3

@@ -111,3 +111,35 @@ def test_exact_median_matches_percentile_on_random_data(spark):
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     got = exact_median_two_pass(df, "x", buckets=64).collect()[0]["median"]
     assert got == sorted(vals)[1000]
+
+
+def test_exact_median_skewed_middle_bin_stays_bounded(spark):
+    """ADVICE item: near-constant values plus one range-stretching
+    outlier put ~all rows in one histogram bin. The narrowing loop
+    must re-histogram within that bin instead of fetching n/2 rows
+    through the driver — asserted by a max_fetch far below n — and
+    still return the exact median."""
+    import random
+
+    from mcyj_datapipeline_spark.operators.aggregates import (
+        exact_median_two_pass,
+    )
+
+    rng = random.Random(7)
+    # 5000 values jittered in [100, 101), one outlier at 1e9: every
+    # non-outlier lands in bin 0 of the first histogram
+    vals = [100.0 + rng.random() for _ in range(5000)] + [1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_median_two_pass(
+        df, "x", buckets=16, max_fetch=200
+    ).collect()[0]
+    assert got["n_rows"] == 5001
+    assert got["median"] == sorted(vals)[2500]
+    # plateau: duplicates so heavy no equal-width bin can split them —
+    # the all-equal-candidates shortcut must fire, not an n/2 fetch
+    vals2 = [42.0] * 4000 + [1.0, 99999.0]
+    df2 = spark.createDataFrame([(v,) for v in vals2], "x double")
+    got2 = exact_median_two_pass(
+        df2, "x", buckets=8, max_fetch=100
+    ).collect()[0]
+    assert (got2["n_rows"], got2["median"]) == (4002, 42.0)
