@@ -137,18 +137,31 @@ def reduce_keywords(
     loop). The mapping is always broadcast; the doc side never shuffles
     beyond the final per-key collect."""
     keys = key_cols or ["sha256"]
+    # CSV-boundary semantics (caught by the real-data golden test): a
+    # discard row is written as `keyword,,freq`, which Spark's CSV
+    # reader surfaces as NULL — not '' — so a matched-but-null
+    # reduction must mean DISCARD, never "unmapped". The reference
+    # loader also strips both map columns and skips empty originals
+    # (keyword_reduction.py:31-40); same here.
     m = F.broadcast(
         mapping.select(
-            F.col("original_keyword").alias("_orig"),
-            F.col("reduced_keyword").alias("_red"),
-        )
+            F.trim(F.col("original_keyword")).alias("_orig"),
+            F.coalesce(F.trim(F.col("reduced_keyword")), F.lit("")).alias(
+                "_red"
+            ),
+        ).filter(F.col("_orig").isNotNull() & (F.col("_orig") != ""))
     )
     exploded = docs.select(
         *keys, F.posexplode_outer(F.col(keywords_col)).alias("_pos", "_kw")
     )
     mapped = (
         exploded.join(m, exploded["_kw"] == m["_orig"], "left")
-        .withColumn("_out", F.coalesce(F.col("_red"), F.col("_kw")))
+        .withColumn(
+            "_out",
+            F.when(F.col("_orig").isNotNull(), F.col("_red")).otherwise(
+                F.col("_kw")
+            ),
+        )
         .filter(F.col("_out").isNotNull() & (F.col("_out") != ""))
     )
     recollected = mapped.groupBy(*keys).agg(

@@ -63,6 +63,16 @@ def build_flat_table(
         "primary_reason",
     )
 
+    # CSV boundary: document_info serializes the F6 boolean as
+    # 'True'/'False' text; normalize exactly like the reference does at
+    # generate_website_data.py:199 (lower in true/1/yes). Inputs that
+    # already carry a real boolean (the parquet path) pass through.
+    if dict(document_info.dtypes).get("is_special_investigation") == "string":
+        document_info = document_info.withColumn(
+            "is_special_investigation",
+            parse_bool_string(F.col("is_special_investigation")),
+        )
+
     flat = (
         document_info.join(
             sir_summaries.select(

@@ -403,19 +403,18 @@ def test_bucketed_state_read_is_partition_pruned(spark, tmp_path):
 
 
 def test_winsorize_approx_twin_within_tolerance(spark, sf_dir):
-    """The approx_percentile scale twin must land within a small
-    relative tolerance of the exact winsorized mean (rank error of the
-    sketch at accuracy 10000 is tiny at these row counts)."""
+    """q1b is now an in-query ε-floor contract (round 4): the sketch's
+    tolerance booleans must all hold, and the exact columns it reports
+    must agree with the exact twin's own output."""
     from mcyj_datapipeline_spark import registry
 
     qs = registry.queries()
     exact = qs["q1_winsorized_stats"](spark, sf_dir).first()
     approx = qs["q1b_winsorized_approx"](spark, sf_dir).first()
-    assert (
-        abs(approx["mean_clipped"] - exact["mean_clipped"])
-        / exact["mean_clipped"]
-        < 0.01
-    )
+    assert approx["p01_within_tol"] is True
+    assert approx["p99_within_tol"] is True
+    assert approx["mean_within_tol"] is True
+    assert approx["mean_clipped_exact"] == exact["mean_clipped"]
 
 
 def test_normalize_text_column_parses_stringified_list(spark):
