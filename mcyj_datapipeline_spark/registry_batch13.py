@@ -334,3 +334,187 @@ def dedup_snm_multipass(spark, sf_dir):
         docs, reverse_key=True, **common
     ).select("id_a", "id_b")
     return p1.unionByName(p2).distinct().orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# E12: the nightly batch fold — the reference's actual nightly shape
+# (run_full_pipeline.py:202-431: new = all - already_done, screen,
+# enrich, fold into persistent state, append) composed from the
+# individually-green incremental pieces into ONE flagship contract.
+# ===========================================================================
+
+from mcyj_datapipeline_spark.registry import _minhash_oracle_sql
+from mcyj_datapipeline_spark.session import session_scratch
+
+
+def _e12_oracle_sql() -> str:
+    # From-scratch equivalent of the fold: ingested = corpus + new docs
+    # that are not byte-dups of the corpus; cluster = recursive-CTE CC
+    # over the MinHash pair set of exactly that ingested relation
+    # (fold-equals-from-scratch is the provable contract: star edges
+    # from the saved map preserve connectivity, cross/intra pairs are
+    # the restriction of the full pair set to the ingested nodes).
+    pairs = _minhash_oracle_sql(
+        "(SELECT doc_id, text FROM ingested)"
+    )
+    return f"""
+    WITH RECURSIVE ingested AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id < 400 THEN 'corpus' ELSE 'new' END AS status
+      FROM documents
+      WHERE doc_id < 400
+         OR sha256(text) NOT IN
+            (SELECT sha256(text) FROM documents WHERE doc_id < 400)
+    ), pairs AS (
+      SELECT id_a, id_b FROM ({pairs})
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, walk.comp FROM walk JOIN und ON und.u = walk.node
+    ), cl AS (
+      SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           d.status
+    FROM ingested d LEFT JOIN cl ON cl.node = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "e12_nightly_dedup_fold",
+    _e12_oracle_sql(),
+    "E12 flagship: the nightly incremental ingest fold. New batch "
+    "(doc_id >= 400) -> exact-digest screen against the persistent "
+    "digest state (32-byte shas, never text; drop only when the owner "
+    "is OUTSIDE the batch, which makes re-runs idempotent) -> "
+    "incremental MinHash screening (new x corpus banded join + "
+    "intra-batch pairs, never corpus x corpus) -> CC fold over "
+    "(saved-cluster star edges + new pairs) -> commit the merged map "
+    "and new digests into bucketed ParquetStateTables (partition-"
+    "pruned merge-on-write). Per-ingest cost is batch-sized; the "
+    "corpus is touched only through its saved digest/cluster state. "
+    "Output: every ingested doc with its cluster id and provenance.",
+)
+def e12_nightly_dedup_fold(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from mcyj_datapipeline_spark.streaming.incremental import (
+        ParquetStateTable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+
+    # state scoped per (process, sf_dir): repeated calls in one driver
+    # fold into ONE state — and must be idempotent on re-fold
+    root = session_scratch(
+        f"e12_state_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    digests = ParquetStateTable(
+        spark, f"{root}/digests", key="content_sha", num_buckets=8
+    )
+    clusters = ParquetStateTable(
+        spark, f"{root}/clusters", key="doc_id", num_buckets=8
+    )
+
+    # ---- bootstrap: corpus state, built once per process ----------------
+    if clusters.read() is None:
+        corpus_cc = connected_components(
+            minhash_lsh_pairs(corpus, jaccard_threshold=0.8),
+            "id_a",
+            "id_b",
+        ).withColumnRenamed("cluster_id", "_cl")
+        corpus_map = (
+            corpus.select("doc_id")
+            .join(corpus_cc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_cl"), F.col("doc_id")).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        clusters.write_initial(corpus_map)
+        digests.write_initial(
+            corpus.select(
+                F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id"
+            )
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").alias("owner_id"))
+        )
+
+    # ---- T1/T6 exact screen: drop batch docs whose content is owned
+    # by a doc OUTSIDE the batch (owner inside the batch = re-delivery
+    # of this same batch -> keep, so a second fold is a no-op) --------
+    batch_sha = batch.withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    foreign_owned = digests.read().filter(F.col("owner_id") < 400)
+    survivors = batch_sha.join(
+        F.broadcast(foreign_owned.select("content_sha")),
+        "content_sha",
+        "left_anti",
+    ).select("doc_id", "text")
+
+    # ---- incremental near-dup screens (batch-sized, never corpus^2) -
+    cross = minhash_lsh_pairs_incremental(
+        survivors, corpus, jaccard_threshold=0.8
+    ).select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
+    intra = minhash_lsh_pairs(survivors, jaccard_threshold=0.8).select(
+        "id_a", "id_b"
+    )
+
+    # ---- fold: saved map as star edges (self-loops dropped) + pairs -
+    saved = clusters.read()
+    stars = saved.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    folded = connected_components(
+        stars.unionByName(cross).unionByName(intra), "id_a", "id_b"
+    ).withColumnRenamed("cluster_id", "_cl")
+
+    ingested = saved.select("doc_id").unionByName(
+        survivors.select("doc_id")
+    ).distinct()
+    new_map = (
+        ingested.join(
+            folded.withColumnRenamed("doc_id", "_n"),
+            ingested["doc_id"] == F.col("_n"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+    # ---- commit: merge map; append only genuinely-new digests -------
+    committed = clusters.update(new_map, ["cluster_id"])
+    new_digests = (
+        batch_sha.groupBy("content_sha")
+        .agg(F.min("doc_id").alias("owner_id"))
+        .join(
+            digests.read().select("content_sha"), "content_sha", "left_anti"
+        )
+    )
+    if new_digests.take(1):
+        digests.update(new_digests, ["owner_id"])
+
+    return committed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") < 400, "corpus")
+        .otherwise("new")
+        .alias("status"),
+    ).orderBy("doc_id")

@@ -450,3 +450,51 @@ def test_expectations_report_quoted_rule_name(spark, sf_dir):
     ).collect()
     assert rep[0]["rule"] == "price isn't negative"
     assert rep[0]["n_violations"] == 0
+
+
+def test_e12_nightly_fold_is_idempotent_and_screens_exact_dups(
+    spark, sf_dir
+):
+    """E12 contract: (a) re-running the fold in the same process (same
+    state) returns the identical cluster map — the nightly job may be
+    retried without corrupting state; (b) batch docs that are byte-dups
+    of corpus docs never appear in the output; (c) every corpus doc
+    survives every fold."""
+    from mcyj_datapipeline_spark import registry
+    from pyspark.sql import functions as F
+
+    q = registry.queries()["e12_nightly_dedup_fold"]
+    first = q(spark, sf_dir).collect()
+    second = q(spark, sf_dir).collect()
+    assert first == second, "re-folding the same batch changed the state"
+
+    rows = {r["doc_id"]: (r["cluster_id"], r["status"]) for r in first}
+    from mcyj_datapipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus_ids = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") < 400).collect()
+    }
+    assert corpus_ids <= set(rows), "corpus docs lost by the fold"
+    # exact corpus-dups in the batch are screened out
+    dup_new = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= 400)
+        .withColumn("sha", F.sha2("text", 256))
+        .join(
+            docs.filter(F.col("doc_id") < 400)
+            .select(F.sha2("text", 256).alias("sha"))
+            .distinct(),
+            "sha",
+        )
+        .collect()
+    }
+    assert dup_new.isdisjoint(set(rows)), (
+        f"exact corpus-dups ingested: {sorted(dup_new & set(rows))[:5]}"
+    )
+    # cluster labels are canonical minima: label <= member, label is a member
+    clusters = {}
+    for d, (c, _) in rows.items():
+        clusters.setdefault(c, set()).add(d)
+    for c, members in clusters.items():
+        assert c == min(members)

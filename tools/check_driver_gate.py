@@ -1,15 +1,25 @@
 #!/usr/bin/env python3
-"""Simulate the driver's correctness gate: run EVERY registered oracle
-pair at sf0.01 (the driver's scale) and report mismatches. The pytest
-gate runs the same compare at sf0.001; this catches anything
+"""Simulate the driver's correctness gate: run registered oracle pairs
+at sf0.01 (the driver's scale) and report mismatches. The pytest gate
+runs the same compare at sf0.001; this catches anything
 scale-sensitive (rounding at bigger sums, bucket boundaries, skew).
 
-Usage: python tools/check_driver_gate.py [sf_dir]
+Usage:
+    python tools/check_driver_gate.py [sf_dir]
+    python tools/check_driver_gate.py [sf_dir] --sample N --seed R
+
+The full run verifies every oracle (~3-4 min). ``--sample N`` verifies
+a seeded random subset of N oracles in well under a minute — the cheap
+spot-audit for reviewers: any seed re-verifies a reproducible slice of
+the registry, so repeated audits with different seeds cover it all
+without anyone trusting a single committed log.
 """
 
 from __future__ import annotations
 
+import argparse
 import os
+import random
 import sys
 import time
 
@@ -21,21 +31,40 @@ from tests.oracle_compare import compare, duckdb_conn
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sample",
+        type=int,
+        default=None,
+        help="verify only N oracles, chosen by --seed (spot-audit mode)",
+    )
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
     spark = get_spark(app_name="driver-gate-check")
-    con = duckdb_conn(sf_dir)
+    con = duckdb_conn(args.sf_dir)
     qs, oracles = registry.queries(), registry.oracle_sql()
+    names = sorted(oracles)
+    rows_only = sorted(set(qs) - set(oracles))
+    if args.sample is not None:
+        rng = random.Random(args.seed)
+        names = sorted(rng.sample(names, min(args.sample, len(names))))
+        rows_only = []  # spot-audit targets value oracles only
+        print(
+            f"spot-audit: {len(names)} of {len(oracles)} oracles "
+            f"(seed={args.seed}): {', '.join(names)}"
+        )
     failures = []
     t0 = time.monotonic()
-    for name in sorted(oracles):
+    for name in names:
         try:
-            ok, msg = compare(qs[name](spark, sf_dir), con, oracles[name])
+            ok, msg = compare(qs[name](spark, args.sf_dir), con, oracles[name])
         except Exception as ex:
             ok, msg = False, f"{type(ex).__name__}: {str(ex)[:200]}"
         if not ok:
             failures.append((name, msg))
             print(f"FAIL {name}: {msg}")
-    rows_only = sorted(set(qs) - set(oracles))
     for name in rows_only:
         try:
             # materialize values, not count(): a bare count lets the
@@ -43,15 +72,15 @@ def main() -> int:
             # exists to execute
             from bench import materialized_count
 
-            materialized_count(qs[name](spark, sf_dir))
+            materialized_count(qs[name](spark, args.sf_dir))
         except Exception as ex:
             failures.append((name, str(ex)[:200]))
             print(f"FAIL (rows-only) {name}: {str(ex)[:200]}")
     dt = time.monotonic() - t0
     print(
-        f"{len(oracles) - sum(1 for n, _ in failures if n in oracles)}/"
-        f"{len(oracles)} oracles match, {len(rows_only)} rows-only ran, "
-        f"{dt:.0f}s at {sf_dir}"
+        f"{len(names) - sum(1 for n, _ in failures if n in oracles)}/"
+        f"{len(names)} oracles match, {len(rows_only)} rows-only ran, "
+        f"{dt:.0f}s at {args.sf_dir}"
     )
     return 1 if failures else 0
 
