@@ -51,18 +51,23 @@ def pagerank(
     with the iteration count (swap for ``checkpoint`` + a checkpoint
     dir on a fault-tolerant cluster).
     """
-    # materialize the edge list FIRST: nodes (2 union branches),
+    # Checkpoint the edge list FIRST: nodes (2 union branches),
     # out-degrees, and the weighted join would otherwise each re-execute
     # whatever join/distinct produced the edges — 4-5 runs of the most
-    # expensive subtree for one graph
+    # expensive subtree for one graph. All three checkpoints are LAZY:
+    # the node count() below materializes e + nodes in one job, and the
+    # caller's action materializes weighted — two driver round-trips
+    # total instead of five (each job is scheduler latency plus a spin
+    # of the host-stall lottery; same batching rationale as
+    # connected_components' check_every).
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -73,7 +78,7 @@ def pagerank(
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     base = 1.0 / n
