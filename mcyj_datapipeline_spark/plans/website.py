@@ -65,12 +65,18 @@ def build_flat_table(
 
     # CSV boundary: document_info serializes the F6 boolean as
     # 'True'/'False' text; normalize exactly like the reference does at
-    # generate_website_data.py:199 (lower in true/1/yes). Inputs that
-    # already carry a real boolean (the parquet path) pass through.
+    # generate_website_data.py:199 (lower in true/1/yes). An empty CSV
+    # field reads as NULL in Spark but `''.lower() in (...)` yields a
+    # concrete False in the reference — coalesce to False so both sides
+    # carry the same default. Inputs that already hold a real boolean
+    # (the parquet path) pass through.
     if dict(document_info.dtypes).get("is_special_investigation") == "string":
         document_info = document_info.withColumn(
             "is_special_investigation",
-            parse_bool_string(F.col("is_special_investigation")),
+            F.coalesce(
+                parse_bool_string(F.col("is_special_investigation")),
+                F.lit(False),
+            ),
         )
 
     flat = (

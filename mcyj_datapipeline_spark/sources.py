@@ -126,60 +126,106 @@ class RestPagesStreamReader(DataSourceStreamReader):
 
     Restart safety: progress lives in the CHECKPOINT, not in this
     driver-memory object, so a fresh reader knows nothing until the
-    engine talks to it. After a clean stop (last batch committed, no
-    pending replay) the first ``latestOffset()`` necessarily answers
-    from scratch and may sit behind the checkpointed offset; the
-    engine then hands that checkpointed position back as ``start`` of
-    the next ``partitions()`` call. Every engine-supplied offset is
-    therefore folded into a high-water mark ``_floor`` (pages below a
-    ``partitions()`` start or a ``commit()`` end are checkpoint-proven
-    delivered), and ``partitions()`` emits only ``[max(start, floor),
-    end)`` — so a transiently regressed offset yields EMPTY batches,
-    never re-delivered pages, and ``latestOffset`` re-converges past
-    the floor on the next poll. A genuinely pending batch (engine
-    replays ``partitions(start, end)`` with its logged offsets before
-    any ``latestOffset``) still replays in full, as at-least-once
-    recovery requires: its ``start`` only raises the floor to pages
-    already beyond doubt."""
+    engine talks to it. The engine's calls carry the recovery state,
+    and the three ``partitions(start, end)`` span shapes mean
+    different things:
+
+    - ``start == end`` — the engine's restart INITIALIZATION PROBE,
+      passing its latest *logged* offset (which may belong to an
+      uncommitted batch). It proves engine position, NOT delivery:
+      the probe only raises ``_pos`` (position high-water used by
+      ``latestOffset`` so a fresh reader never answers behind the
+      checkpoint) and never the no-redeliver ``_floor``. Treating the
+      probe's start as "delivered" would clamp the subsequent replay
+      of the pending batch to empty and silently LOSE its pages.
+    - ``start < end`` — a real batch (first run, catch-up, or the
+      at-least-once replay of the one uncommitted tail batch). It
+      delivers ``[max(start, floor), end)``: the floor only guards
+      pages *below* start against re-delivery after an offset
+      regression, never the batch's own span.
+    - ``start > end`` — the self-inflicted regressed span (a fresh
+      reader's ``latestOffset`` answered before any engine call and
+      the engine logged it as a batch end below its position). It is
+      empty by construction; ``start`` here is the engine's committed
+      position after a clean stop, so it raises both ``_pos`` and
+      ``_floor`` and the reader converges forward without
+      re-delivering committed pages.
+
+    Delivery guarantee: exactly-once within a run and across clean
+    restarts (the probe/regression handling above recovers the floor
+    before pages flow); across crash-restarts the standard streaming
+    at-least-once contract applies — the one uncommitted tail batch
+    replays in full, and a crash landing between a regressed offset
+    write and its catch-up commit can re-deliver committed pages to
+    a fresh process. Sinks needing exactly-once must therefore be
+    idempotent on (page, agency_id), as the jsonl_atomic manifest
+    sink is."""
 
     def __init__(self, options: dict) -> None:
         self.inner = RestPagesReader(options)
         self.pages_per_batch = int(options.get("pages_per_batch", "2"))
-        self._committed = 0
         self._planned = 0
-        self._floor = 0  # checkpoint-proven delivered pages < floor
+        self._pos = 0  # engine position high-water (logged, maybe uncommitted)
+        self._floor = 0  # no-redeliver line: engine-proven committed pages
+        self._log("init")
+
+    def _log(self, msg: str) -> None:
+        import os
+
+        path = os.environ.get("REST_PAGES_TRACE", "")
+        if path:
+            with open(path, "a") as fh:
+                fh.write(
+                    f"{os.getpid()} {msg} planned={self._planned} "
+                    f"pos={self._pos} floor={self._floor}\n"
+                )
 
     def initialOffset(self) -> dict:
+        self._log("initialOffset")
         return {"page": 0}
 
     def latestOffset(self) -> dict:
         # advance monotonically from whatever is furthest along —
-        # planned (this process), committed (checkpoint feedback), or
-        # the engine-observed floor — so repeated polls without
-        # commits don't re-plan the same span and a restarted reader
-        # catches back up past the checkpointed position
-        self._planned = min(
-            max(self._planned, self._committed, self._floor)
-            + self.pages_per_batch,
-            self.inner.n_pages,
+        # planned (this process) or the engine-observed position — so
+        # repeated polls without commits don't re-plan the same span
+        # and a restarted reader catches back up past the checkpoint
+        # the moment the engine has revealed it (probe/replay/commit)
+        self._planned = max(
+            min(
+                max(self._planned, self._pos) + self.pages_per_batch,
+                self.inner.n_pages,
+            ),
+            self._pos,
         )
-        self._planned = max(self._planned, self._floor)
+        self._log("latestOffset ->")
         return {"page": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        lo = max(start["page"], self._floor)
-        # the engine only passes a start it has checkpoint-logged:
-        # pages below it were delivered by a committed batch
-        self._floor = max(self._floor, start["page"])
-        self._planned = max(self._planned, end["page"])
-        return [InputPartition(p) for p in range(lo, end["page"])]
+        s, e = start["page"], end["page"]
+        self._pos = max(self._pos, s, e)
+        self._planned = max(self._planned, self._pos)
+        if s >= e:
+            # s == e: restart initialization probe — position only, no
+            # delivery claim (s may be an UNCOMMITTED batch end; raising
+            # the floor here would clamp the pending replay to empty and
+            # lose its pages). s > e: regressed span — empty, and s is
+            # the engine's committed position after a clean stop.
+            if s > e:
+                self._floor = max(self._floor, s)
+            self._log(f"partitions start={start} end={end} -> empty")
+            return []
+        lo = max(s, self._floor)
+        self._floor = max(self._floor, s)
+        self._log(f"partitions start={start} end={end} lo={lo}")
+        return [InputPartition(p) for p in range(lo, e)]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         return self.inner.read(partition)
 
     def commit(self, end: dict) -> None:
-        self._committed = max(self._committed, end["page"])
         self._floor = max(self._floor, end["page"])
+        self._pos = max(self._pos, end["page"])
+        self._log(f"commit end={end}")
 
 
 class RestPagesSource(DataSource):

@@ -437,3 +437,19 @@ def test_zorder_files_have_tight_boxes(spark, sf_dir):
     orders.repartition(8).write.mode("overwrite").parquet(plaindir)
     tight, loose = mean_box_area(zdir), mean_box_area(plaindir)
     assert tight < loose / 4, (tight, loose)
+
+
+def test_o3_src_file_basename_attribution(spark, sf_dir):
+    """O3's per-row source-file attribution (kept OUT of the value
+    oracle so the oracle can't fail for storage-layout reasons): every
+    row's src_file basename must name the parquet file it came from —
+    here the single-file-per-table test layout."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "src_file", F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+    )
+    names = [r[0] for r in docs.select("src_file").distinct().collect()]
+    assert names == ["documents.parquet"]

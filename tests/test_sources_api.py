@@ -132,7 +132,7 @@ def test_stream_restart_resumes_from_checkpointed_page(spark, tmp_path):
 
     ckpt = str(tmp_path / "ckpt")
 
-    def run(min_rows, timeout=60):
+    def run(stop_when, timeout=60):
         got = []
         sdf = (
             spark.readStream.format("rest_pages")
@@ -152,13 +152,18 @@ def test_stream_restart_resumes_from_checkpointed_page(spark, tmp_path):
             .start()
         )
         deadline = time.time() + timeout
-        while time.time() < deadline and sum(map(len, got)) < min_rows:
+        while time.time() < deadline and not stop_when(got):
             time.sleep(0.5)
         q.stop()
         return got
 
-    first = run(10)   # at least pages 0-1
-    second = run(1, timeout=60)
+    # stop run 1 mid-feed (after pages 0-1); run 2 must drain the rest
+    # of the bounded feed, so wait for its LAST row (stopping at the
+    # first nonempty batch would race the engine to the later pages)
+    first = run(lambda got: sum(map(len, got)) >= 10)
+    second = run(
+        lambda got: any("AG00019" in b for b in got), timeout=60
+    )
     flat1 = {i for b in first for i in b}
     flat2 = {i for b in second for i in b}
     # page 0 was committed once page 1 was planned — it must not recur
