@@ -51,6 +51,13 @@ def _release_pinned_blocks(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
+    # ContextCleaner drains its ref queue ASYNCHRONOUSLY after the GC —
+    # without a beat here its block/broadcast/shuffle removals land
+    # inside the NEXT timed window (observed as rep-2/3 inflation on
+    # the checkpoint-heavy iterative queries)
+    import time as _time
+
+    _time.sleep(0.3)
 
 
 HEADLINE = [
@@ -163,6 +170,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_spread: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    all_gc: dict[str, list[int]] = {}
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     for name in HEADLINE:
         # 1 + WARM_REPS identical executions, caches cleared before
@@ -177,6 +185,11 @@ def main() -> None:
         # noise-robust estimator and is reproducible run-to-run.
         # Pass-1-only timings are preserved in BENCH_DETAIL.json.
         reps = []
+        rep_gc: list[int] = []
+        gc_beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
         for _ in range(1 + warm_reps):
             spark.catalog.clearCache()
             # release checkpoint blocks + force a GC BETWEEN reps, not
@@ -186,9 +199,16 @@ def main() -> None:
             # 14-18s warm spreads on the allocation-heavy iterative
             # queries in BENCH_r03 — same plan, no data change)
             _release_pinned_blocks(spark)
+            gc0 = sum(b.getCollectionTime() for b in gc_beans)
             start = time.monotonic()
             n = materialized_count(qs[name](spark, sf_dir))
             reps.append(time.monotonic() - start)
+            # in-rep GC wall per rep: separates heap churn from the
+            # host's hypervisor-stall lottery when a rep balloons (a
+            # 10s rep with 200ms GC is the HOST, not the plan)
+            rep_gc.append(
+                sum(b.getCollectionTime() for b in gc_beans) - gc0
+            )
         pass1[name] = round(reps[0], 3)
         timings[name] = round(min(reps), 3)
         warm[name] = round(min(reps[1:]), 3)
@@ -198,6 +218,7 @@ def main() -> None:
         # cold-start delta as run-to-run variance.
         warm_spread[name] = round(max(reps[1:]) - min(reps[1:]), 3)
         all_reps[name] = [round(r, 3) for r in reps]
+        all_gc[name] = rep_gc
         print(
             f"# {name}: min {timings[name]:.3f}s / pass1 {pass1[name]:.3f}s"
             f" spread {warm_spread[name]:.3f}s ({n} rows)",
@@ -247,6 +268,7 @@ def main() -> None:
         queries_warm=warm,
         queries_warm_spread=warm_spread,
         queries_reps=all_reps,
+        queries_rep_gc_ms=all_gc,
         warm_reps=warm_reps,
         cpus=os.environ.get("SPARK_GRAFT_CPUS", ""),
     )

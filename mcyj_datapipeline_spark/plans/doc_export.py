@@ -1,0 +1,192 @@
+"""The per-document JSON export — the reference website's SECOND
+artifact (one ``{sha256}.json`` per document, built by
+``website/export_parquet_to_json.py:203-276``), re-expressed as a
+single declarative plan over the extracted-text parquet plus the four
+enrichment CSVs.
+
+Reference semantics pinned here (each cited to the exporter):
+
+- base document = ``{sha256, dateprocessed: str, pages}`` where
+  ``pages`` is the text column normalized through the dual-format
+  path (``export_parquet_to_json.py:206-226``): an array column passes
+  through (``list(text_data)``, None → []); a STRING column parses via
+  ``ast.literal_eval`` only when it looks like a list
+  (strip/startswith '['/endswith ']'), anything else → [].
+- ``metadata`` sub-object present iff the sha is in document_info
+  (``:237-246``): five fields, string defaults '' and the
+  ``lower() in ('true','1','yes')`` boolean (default 'False').
+- ``sir_summary`` present iff sha in sir_summaries (``:248-253``):
+  ``summary`` = the CSV's ``response`` column, plus ``violation``.
+- ``sir_violation_level`` present iff sha in sir_violation_levels
+  (``:255-261``): level/justification plus keywords JSON-parsed
+  (failure → []) and run through the curation-map reduction
+  (``load_sir_violation_levels``, ``keyword_reduction.py:45-77``).
+- ``staffing_summary`` present iff sha in staffing_summaries
+  (``:263-265``): two strict ``== 'true'`` booleans, JSON-parsed
+  evidence keywords, three passthrough strings (``:90-125``).
+
+Absent-iff-missing is the join's left-ness: a missing lookup row
+leaves the struct NULL, and Spark's JSON sink omits null fields
+(``spark.sql.jsonGenerator.ignoreNullFields`` default), which is
+byte-compatible with the reference's conditional ``document[...] =``
+assignment. ``io.write_json_per_key`` (K5) is the partitioned sink.
+
+Scale shape: four broadcast-or-shuffle hash joins on a 64-char key,
+no UDF except the stringly-text salvage path (Arrow-batched, applied
+only when the input column is actually a string), mapping straight
+onto a 100 TB corpus as key-partitioned joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from mcyj_datapipeline_spark.operators.aggregates import reduce_keywords
+
+_EMPTY = F.array().cast("array<string>")
+
+
+def _s(col: str):
+    """String field with the csv.DictReader default: missing/empty → ''."""
+    return F.coalesce(F.col(col), F.lit(""))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _literal_eval_pages(s):
+    """The exporter's stringly-text salvage
+    (``export_parquet_to_json.py:208-221``): ``ast.literal_eval`` on
+    values that look like a Python list literal, [] otherwise — the
+    reference stores pages as a Python repr (single quotes), which no
+    JSON parser accepts. Arrow-batched; only ever planned when the
+    text column is a string, so array-typed corpora never pay it."""
+    import ast
+
+    def parse(v):
+        if v is None:
+            return []
+        t = v.strip()
+        if t.startswith("[") and t.endswith("]"):
+            try:
+                out = ast.literal_eval(t)
+                return [str(x) for x in out] if isinstance(out, list) else []
+            except (ValueError, SyntaxError):
+                return []
+        return []
+
+    return s.map(parse)
+
+
+def build_doc_export(
+    docs_raw: DataFrame,
+    document_info: DataFrame | None = None,
+    sir_summaries: DataFrame | None = None,
+    violation_levels: DataFrame | None = None,
+    staffing: DataFrame | None = None,
+    keyword_map: DataFrame | None = None,
+) -> DataFrame:
+    """One row per document, shaped exactly like the reference's
+    per-sha JSON files. Each enrichment input is optional, like the
+    exporter's optional CSV arguments — absent input ⇒ the sub-object
+    is absent from every document."""
+    text_type = dict(docs_raw.dtypes).get("text", "")
+    pages = (
+        _literal_eval_pages(F.col("text"))
+        if text_type == "string"
+        else F.coalesce(F.col("text").cast("array<string>"), _EMPTY)
+    )
+    out = docs_raw.select(
+        "sha256",
+        F.col("dateprocessed").cast("string").alias("dateprocessed"),
+        pages.alias("pages"),
+    )
+
+    def keyed(df):
+        # loaders skip rows with a blank sha (``:39-41`` etc.); the
+        # dict is last-wins on duplicate shas but every committed CSV
+        # is unique on sha256 (CI invariant), so plain dedup suffices
+        return df.filter(
+            F.col("sha256").isNotNull() & (F.trim(F.col("sha256")) != "")
+        ).withColumn("sha256", F.trim(F.col("sha256")))
+
+    if document_info is not None:
+        md = keyed(document_info).select(
+            "sha256",
+            F.struct(
+                _s("agency_id").alias("agency_id"),
+                _s("agency_name").alias("agency_name"),
+                _s("document_title").alias("document_title"),
+                _s("date").alias("date"),
+                F.lower(
+                    F.coalesce(
+                        F.col("is_special_investigation"), F.lit("False")
+                    )
+                )
+                .isin("true", "1", "yes")
+                .alias("is_special_investigation"),
+            ).alias("metadata"),
+        )
+        out = out.join(md, "sha256", "left")
+
+    if sir_summaries is not None:
+        sm = keyed(sir_summaries).select(
+            "sha256",
+            F.struct(
+                _s("response").alias("summary"),
+                _s("violation").alias("violation"),
+            ).alias("sir_summary"),
+        )
+        out = out.join(sm, "sha256", "left")
+
+    if violation_levels is not None:
+        lv = keyed(violation_levels).select(
+            "sha256",
+            _s("level").alias("level"),
+            _s("justification").alias("justification"),
+            F.coalesce(
+                F.from_json(F.col("keywords"), "array<string>"), _EMPTY
+            ).alias("keywords"),
+        )
+        if keyword_map is not None:
+            lv = reduce_keywords(lv, keyword_map, "keywords", ["sha256"])
+        lv = lv.select(
+            "sha256",
+            F.struct("level", "justification", "keywords").alias(
+                "sir_violation_level"
+            ),
+        )
+        out = out.join(lv, "sha256", "left")
+
+    if staffing is not None:
+        st = keyed(staffing).select(
+            "sha256",
+            F.struct(
+                (
+                    F.lower(F.trim(F.coalesce(F.col("staffing_problem"), F.lit(""))))
+                    == "true"
+                ).alias("staffing_problem"),
+                _s("confidence").alias("confidence"),
+                _s("primary_reason").alias("primary_reason"),
+                (
+                    F.lower(
+                        F.trim(
+                            F.coalesce(
+                                F.col("evidence_staffing_cited"), F.lit("")
+                            )
+                        )
+                    )
+                    == "true"
+                ).alias("evidence_staffing_cited"),
+                F.coalesce(
+                    F.from_json(
+                        F.col("evidence_keywords_found"), "array<string>"
+                    ),
+                    _EMPTY,
+                ).alias("evidence_keywords_found"),
+                _s("evidence_explanation").alias("evidence_explanation"),
+            ).alias("staffing_summary"),
+        )
+        out = out.join(st, "sha256", "left")
+
+    return out

@@ -401,25 +401,31 @@ def _e12_oracle_sql() -> str:
     "Output: every ingested doc with its cluster id and provenance.",
 )
 def e12_nightly_dedup_fold(spark, sf_dir):
+    digests, clusters = _e12_state(spark, sf_dir, "e12")
+    docs = _t(spark, sf_dir, "documents")
+    _e12_bootstrap(spark, docs, digests, clusters)
+    committed = _e12_fold_night(docs, 400, None, digests, clusters)
+    return committed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") < 400, "corpus")
+        .otherwise("new")
+        .alias("status"),
+    ).orderBy("doc_id")
+
+
+def _e12_state(spark, sf_dir, tag):
+    """Digest + cluster ParquetStateTables scoped per (process, sf_dir,
+    flagship): repeated calls in one driver fold into ONE state — and
+    must be idempotent on re-fold."""
     import os
 
-    from mcyj_datapipeline_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-        minhash_lsh_pairs_incremental,
-    )
     from mcyj_datapipeline_spark.streaming.incremental import (
         ParquetStateTable,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
-    batch = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
-
-    # state scoped per (process, sf_dir): repeated calls in one driver
-    # fold into ONE state — and must be idempotent on re-fold
     root = session_scratch(
-        f"e12_state_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"{tag}_state_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     digests = ParquetStateTable(
         spark, f"{root}/digests", key="content_sha", num_buckets=8
@@ -427,32 +433,64 @@ def e12_nightly_dedup_fold(spark, sf_dir):
     clusters = ParquetStateTable(
         spark, f"{root}/clusters", key="doc_id", num_buckets=8
     )
+    return digests, clusters
 
-    # ---- bootstrap: corpus state, built once per process ----------------
-    if clusters.read() is None:
-        corpus_cc = connected_components(
-            minhash_lsh_pairs(corpus, jaccard_threshold=0.8),
-            "id_a",
-            "id_b",
-        ).withColumnRenamed("cluster_id", "_cl")
-        corpus_map = (
-            corpus.select("doc_id")
-            .join(corpus_cc, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("_cl"), F.col("doc_id")).alias(
-                    "cluster_id"
-                ),
-            )
+
+def _e12_bootstrap(spark, docs, digests, clusters, corpus_hi: int = 400):
+    """Corpus state (cluster map + content digests), built once per
+    process — the reference's initial full-pipeline run."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    if clusters.read() is not None:
+        return
+    corpus = docs.filter(F.col("doc_id") < corpus_hi).select(
+        "doc_id", "text"
+    )
+    corpus_cc = connected_components(
+        minhash_lsh_pairs(corpus, jaccard_threshold=0.8),
+        "id_a",
+        "id_b",
+    ).withColumnRenamed("cluster_id", "_cl")
+    corpus_map = (
+        corpus.select("doc_id")
+        .join(corpus_cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
         )
-        clusters.write_initial(corpus_map)
-        digests.write_initial(
-            corpus.select(
-                F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id"
-            )
-            .groupBy("content_sha")
-            .agg(F.min("doc_id").alias("owner_id"))
+    )
+    clusters.write_initial(corpus_map)
+    digests.write_initial(
+        corpus.select(
+            F.sha2(F.col("text"), 256).alias("content_sha"), "doc_id"
         )
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("owner_id"))
+    )
+
+
+def _e12_fold_night(docs, lo, hi, digests, clusters):
+    """ONE nightly fold of batch = doc_id in [lo, hi) into the
+    persistent state; returns the committed cluster map. The prior-
+    ingested side is defined BY THE STATE (saved cluster keys joined
+    back to the doc store), not by a doc_id predicate — so a sequence
+    of folds screens night N against corpus + nights < N exactly as the
+    reference's forever-loop does (run_full_pipeline.py:202-431)."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    def in_range(col):
+        rng = F.col(col) >= lo
+        return rng if hi is None else rng & (F.col(col) < hi)
+
+    in_batch = in_range("doc_id")
+    batch = docs.filter(in_batch).select("doc_id", "text")
 
     # ---- T1/T6 exact screen: drop batch docs whose content is owned
     # by a doc OUTSIDE the batch (owner inside the batch = re-delivery
@@ -460,23 +498,30 @@ def e12_nightly_dedup_fold(spark, sf_dir):
     batch_sha = batch.withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
     )
-    foreign_owned = digests.read().filter(F.col("owner_id") < 400)
+    foreign_owned = digests.read().filter(~in_range("owner_id"))
     survivors = batch_sha.join(
         F.broadcast(foreign_owned.select("content_sha")),
         "content_sha",
         "left_anti",
     ).select("doc_id", "text")
 
-    # ---- incremental near-dup screens (batch-sized, never corpus^2) -
+    # ---- incremental near-dup screens (batch-sized, never corpus^2):
+    # prior = docs the STATE says are ingested, excluding this batch
+    # (present in state on a re-fold) ---------------------------------
+    saved = clusters.read()
+    prior = (
+        docs.join(saved.select("doc_id"), "doc_id", "left_semi")
+        .filter(~in_batch)
+        .select("doc_id", "text")
+    )
     cross = minhash_lsh_pairs_incremental(
-        survivors, corpus, jaccard_threshold=0.8
+        survivors, prior, jaccard_threshold=0.8
     ).select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
     intra = minhash_lsh_pairs(survivors, jaccard_threshold=0.8).select(
         "id_a", "id_b"
     )
 
     # ---- fold: saved map as star edges (self-loops dropped) + pairs -
-    saved = clusters.read()
     stars = saved.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
@@ -510,11 +555,75 @@ def e12_nightly_dedup_fold(spark, sf_dir):
     )
     if new_digests.take(1):
         digests.update(new_digests, ["owner_id"])
+    return committed
 
+
+def _e12b_oracle_sql() -> str:
+    # From-scratch twin of the TWO-night sequence. Ingestion is
+    # order-dependent: night-1 docs (400-449) screen against corpus
+    # shas; night-2 docs (450+) screen against every doc before 450 —
+    # equivalent to "previously INGESTED" because a dropped night-1
+    # doc's sha is by definition also a corpus sha. Clustering is
+    # recursive-CTE CC over the MinHash pairs of exactly the final
+    # ingested relation: fold-equals-from-scratch holds transitively
+    # (each night's star edges preserve prior connectivity; the
+    # cross/intra pairs are the full pair set restricted to new nodes).
+    pairs = _minhash_oracle_sql("(SELECT doc_id, text FROM ingested)")
+    return f"""
+    WITH RECURSIVE ingested AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id < 400 THEN 'corpus'
+                  WHEN doc_id < 450 THEN 'night1'
+                  ELSE 'night2' END AS status
+      FROM documents
+      WHERE doc_id < 400
+         OR (doc_id < 450 AND sha256(text) NOT IN
+             (SELECT sha256(text) FROM documents WHERE doc_id < 400))
+         OR (doc_id >= 450 AND sha256(text) NOT IN
+             (SELECT sha256(text) FROM documents WHERE doc_id < 450))
+    ), pairs AS (
+      SELECT id_a, id_b FROM ({pairs})
+    ), und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(node, comp) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT und.v, walk.comp FROM walk JOIN und ON und.u = walk.node
+    ), cl AS (
+      SELECT node, min(comp) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           d.status
+    FROM ingested d LEFT JOIN cl ON cl.node = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "e12b_two_night_fold",
+    _e12b_oracle_sql(),
+    "E12b: TWO successive nightly folds (doc_id 400-449, then 450+) "
+    "mutating the same persistent state in order — the reference's "
+    "real forever-loop contract (run_full_pipeline.py:202-431), where "
+    "a single-fold oracle can't see state-evolution bugs (stale star "
+    "edges, digest owner drift, night-2 pairs against night-1 docs). "
+    "Night 2's screens run against corpus + night 1 AS RECORDED IN "
+    "STATE, never a doc_id predicate; the oracle is from-scratch "
+    "clustering of the order-dependent final ingested set.",
+)
+def e12b_two_night_fold(spark, sf_dir):
+    digests, clusters = _e12_state(spark, sf_dir, "e12b")
+    docs = _t(spark, sf_dir, "documents")
+    _e12_bootstrap(spark, docs, digests, clusters)
+    _e12_fold_night(docs, 400, 450, digests, clusters)
+    committed = _e12_fold_night(docs, 450, None, digests, clusters)
     return committed.select(
         "doc_id",
         "cluster_id",
         F.when(F.col("doc_id") < 400, "corpus")
-        .otherwise("new")
+        .when(F.col("doc_id") < 450, "night1")
+        .otherwise("night2")
         .alias("status"),
     ).orderBy("doc_id")

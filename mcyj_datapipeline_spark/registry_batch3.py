@@ -1192,21 +1192,48 @@ _reg.set_oracle("sim_lsh_multiprobe_topk", _lsh_multiprobe_oracle())
 
 @register(
     "sim_ivf_kmeans_topk",
-    None,  # float means over unordered groups are not bit-reproducible
-    # across engines, so the refined variant gets the rows-only check;
-    # sim_ivf_topk (deterministic centroids) carries the value oracle.
+    """
+    SELECT count(*) AS n_queries,
+           5 * count(*) AS n_pairs_exact,
+           CAST(0.3 AS DOUBLE) AS recall_floor,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+    # value-oracled since round 5 via a recall-floor contract (the q1b
+    # ε pattern): float means over unordered groups make the refined
+    # centroids — and hence the exact neighbor LISTS — engine-specific,
+    # so the query computes recall@5 against the in-plan brute-force
+    # baseline and returns the floor assertion; the hash compare fails
+    # if k-means IVF ever drops below it. sim_ivf_topk (deterministic
+    # centroids) carries the exact-list value oracle.
     "Similarity/IVF with Lloyd-refined centroids (k-means via DataFrame "
-    "ops): same probe plan as sim_ivf_topk, better-balanced lists",
+    "ops): same probe plan as sim_ivf_topk, better-balanced lists; "
+    "recall@5 vs exact brute-force asserted in-query >= 0.3",
 )
 def sim_ivf_kmeans_topk(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.similarity import (
+        cosine_topk,
         ivf_topk,
         kmeans_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
     cents = kmeans_centroids(emb, n_centroids=16, iters=2)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents)
+    approx = ivf_topk(emb, queries, k=5, centroids=cents).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_m")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_pairs_exact"),
+        F.lit(0.3).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            / F.count(F.lit(1))
+            >= 0.3
+        ).alias("recall_ok"),
+    )
 
 
 # ===========================================================================
@@ -1733,17 +1760,46 @@ def a13_percentiles(spark, sf_dir):
 
 @register(
     "a04_approx_count_distinct",
-    None,  # HLL sketch is engine-specific by construction; accuracy is
-    # asserted against the exact count in tests instead.
+    """
+    SELECT count(DISTINCT user_id) AS n_users_exact,
+           count(DISTINCT event_type) AS n_types_exact,
+           true AS users_within_tol,
+           true AS types_within_tol
+    FROM events
+    """,
+    # value-oracled since round 5 via the q1b ε-floor contract: the HLL
+    # register values are engine-specific, so the query returns the
+    # EXACT twin's counts plus booleans asserting the sketch lies
+    # within 3x its configured rsd (0.02 -> 6%, absolute slack 2 for
+    # tiny cardinalities like event_type). The hash compare fails if
+    # the sketch ever drifts out of bound. The exact countDistinct here
+    # is the validation harness, not the scale path — production
+    # cardinality uses the sketch alone (a04_count_distinct carries the
+    # plain exact form).
     "A4 scale form: approx_count_distinct (HyperLogLog++) — one-pass "
-    "mergeable sketch; at 100 TB the exact countDistinct's global "
-    "dedup shuffle becomes the bottleneck this replaces",
+    "mergeable sketch checked in-query against the exact count with an "
+    "ε-floor; at 100 TB the exact countDistinct's global dedup shuffle "
+    "becomes the bottleneck this replaces",
 )
 def a04_approx_count_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
-        F.approx_count_distinct("event_type", 0.02).alias("n_types_approx"),
+
+    def within(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            exact * 0.06, F.lit(2.0)
+        )
+
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("_ue"),
+        F.countDistinct("event_type").alias("_te"),
+        F.approx_count_distinct("user_id", 0.02).alias("_ua"),
+        F.approx_count_distinct("event_type", 0.02).alias("_ta"),
+    )
+    return agg.select(
+        F.col("_ue").alias("n_users_exact"),
+        F.col("_te").alias("n_types_exact"),
+        within(F.col("_ua"), F.col("_ue")).alias("users_within_tol"),
+        within(F.col("_ta"), F.col("_te")).alias("types_within_tol"),
     )
 
 

@@ -1308,14 +1308,25 @@ def text_langid_confusion(spark, sf_dir):
 
 @register(
     "sim_cosine_topk_int8",
-    None,  # no closed form: quantization error shifts ranks; the recall
-    # floor vs the float baseline is asserted in tests instead
+    """
+    SELECT count(*) AS n_queries,
+           5 * count(*) AS n_pairs_exact,
+           CAST(0.9 AS DOUBLE) AS recall_floor,
+           true AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+    # value-oracled since round 5 via a recall-floor contract (the q1b
+    # ε pattern): quantization error shifts ranks, so the exact
+    # neighbor lists have no closed form — the query computes recall@5
+    # of the quantized-corpus search against the in-plan float
+    # baseline and returns the floor assertion (int8 error bound
+    # ~1/255 per dim supports 0.9); the hash compare fails if
+    # quantization ever degrades below it.
     "Similarity at memory scale: top-k cosine where the CORPUS side is "
     "int8-quantized (4x smaller residency — at 100 TB of embeddings "
     "the quantized copy is what fits the cluster) and dequantized "
     "on the fly inside the scan; queries stay float. Recall@5 vs the "
-    "float brute-force baseline asserted >= 0.9 in "
-    "tests/test_dedup_similarity.py.",
+    "float brute-force baseline asserted in-query >= 0.9.",
 )
 def sim_cosine_topk_int8(spark, sf_dir):
     # delegate to cosine_topk (same scoring/ranking as the float
@@ -1337,4 +1348,19 @@ def sim_cosine_topk_int8(spark, sf_dir):
     queries = emb.filter(_ann_queries_filter()).select(
         "vec_id", F.col("e").alias("embedding")
     )
-    return cosine_topk(corpus, queries, k=5)
+    quant = cosine_topk(corpus, queries, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_m")
+    )
+    exact = cosine_topk(
+        emb.select("vec_id", F.col("e").alias("embedding")), queries, k=5
+    ).select("query_id", "neighbor_id")
+    return exact.join(quant, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_pairs_exact"),
+        F.lit(0.9).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            / F.count(F.lit(1))
+            >= 0.9
+        ).alias("recall_ok"),
+    )

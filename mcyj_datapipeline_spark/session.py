@@ -60,9 +60,22 @@ def get_spark(
         # (e.g. minhash steady-state 1.9-2.6s -> 1.15s). Override via
         # env for bigger working sets.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # -Xms equal to -Xmx: spark.driver.memory only sets the MAX, so
+        # G1 uncommits regions whenever a (manual or periodic) full GC
+        # shrinks the heap — and on this microVM every re-commit
+        # re-faults pages against the hypervisor INSIDE the next query,
+        # surfacing as multi-second "young GC" pauses (measured: 9
+        # young GCs costing 7.4s while committed heap re-grew
+        # 1.8G -> 8G mid-query). A pinned, pre-touched heap is faulted
+        # exactly once at startup and never returned.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+AlwaysPreTouch"),
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-Xms"
+                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+                + " -XX:+AlwaysPreTouch",
+            ),
         )
         .config("spark.ui.enabled", "false")
         # The whole-stage-codegen class cache defaults to 100 entries;

@@ -498,3 +498,54 @@ def test_e12_nightly_fold_is_idempotent_and_screens_exact_dups(
         clusters.setdefault(c, set()).add(d)
     for c, members in clusters.items():
         assert c == min(members)
+
+
+def test_e12b_two_night_fold_sequence_state_evolution(spark, sf_dir):
+    """E12b contract: (a) re-running the two-night sequence against the
+    already-folded state returns the identical map (retry-safe);
+    (b) night-2 docs near-dup ONLY of night-1 docs land in the same
+    cluster — the state-evolution case a single-fold oracle can't see
+    (requires night 2 to screen against state-recorded night 1, not
+    just the corpus); (c) exact dups of prior nights never ingest."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark import registry
+    from mcyj_datapipeline_spark.io import read_table
+
+    q = registry.queries()["e12b_two_night_fold"]
+    first = q(spark, sf_dir).collect()
+    second = q(spark, sf_dir).collect()
+    assert first == second, "re-running the fold sequence changed state"
+
+    rows = {r["doc_id"]: (r["cluster_id"], r["status"]) for r in first}
+    docs = read_table(spark, sf_dir, "documents")
+    # (c) exact dups of earlier nights are screened, in order
+    shas = {
+        r["doc_id"]: r["sha"]
+        for r in docs.select(
+            "doc_id", F.sha2("text", 256).alias("sha")
+        ).collect()
+    }
+    for d, sha in shas.items():
+        if 400 <= d < 450:
+            dup_of_corpus = any(
+                shas[e] == sha for e in shas if e < 400
+            )
+            if dup_of_corpus:
+                assert d not in rows, f"night-1 corpus-dup {d} ingested"
+        elif d >= 450 and d in rows:
+            assert not any(
+                shas[e] == sha for e in shas if e < 450
+            ), f"night-2 doc {d} is a byte-dup of an earlier doc"
+    # statuses partition by night
+    for d, (_, status) in rows.items():
+        expected = (
+            "corpus" if d < 400 else "night1" if d < 450 else "night2"
+        )
+        assert status == expected
+    # (b) cluster labels are canonical minima over their members
+    clusters = {}
+    for d, (c, _) in rows.items():
+        clusters.setdefault(c, set()).add(d)
+    for c, members in clusters.items():
+        assert c == min(members), (c, sorted(members)[:5])

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# End-of-round evidence ritual. Usage: tools/snapshot_round.sh <round>
+#
+# Produces, and REFUSES to succeed without:
+#   GATE_r<round>.log          — full 240-oracle gate at sf0.01 (non-empty,
+#                                must end in the "oracles match" summary)
+#   SPOT_r<round>_a.log        — seeded spot-audit, seed=<round>
+#   SPOT_r<round>_b.log        — seeded spot-audit, seed=<round>+100
+#
+# Round 4 shipped a 0-byte GATE log because `tee` ran but the gate was
+# interrupted; every artifact here is size- and content-checked so an
+# empty or truncated log fails the snapshot instead of landing in git.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+round="${1:?usage: tools/snapshot_round.sh <round-number>}"
+gate="GATE_r${round}.log"
+spot_a="SPOT_r${round}_a.log"
+spot_b="SPOT_r${round}_b.log"
+
+python tools/check_driver_gate.py /root/testdata/sf0.01 2>&1 | tee "$gate"
+test -s "$gate" || { echo "FATAL: $gate is empty"; exit 1; }
+grep -q "oracles match" "$gate" || {
+    echo "FATAL: $gate has no summary line — gate did not finish"; exit 1; }
+
+python tools/check_driver_gate.py /root/testdata/sf0.01 \
+    --sample 40 --seed "$round" 2>&1 | tee "$spot_a"
+python tools/check_driver_gate.py /root/testdata/sf0.01 \
+    --sample 40 --seed "$((round + 100))" 2>&1 | tee "$spot_b"
+for f in "$spot_a" "$spot_b"; do
+    test -s "$f" || { echo "FATAL: $f is empty"; exit 1; }
+    grep -q "oracles match" "$f" || {
+        echo "FATAL: $f has no summary line"; exit 1; }
+done
+
+echo "snapshot OK: $gate $spot_a $spot_b"
