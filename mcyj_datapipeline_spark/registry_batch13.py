@@ -627,3 +627,120 @@ def e12b_two_night_fold(spark, sf_dir):
         .otherwise("night2")
         .alias("status"),
     ).orderBy("doc_id")
+
+
+# ===========================================================================
+# BM25 ranked retrieval — the lexical-search workhorse of training-data
+# curation (query-based corpus filtering, hard-negative mining, RAG
+# retrieval baselines). Okapi BM25 with k1=1.2, b=0.75.
+# ===========================================================================
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT d.doc_id, count(t.term) AS dl
+      FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+      WHERE term IN ({terms}) GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum( ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * ({_BM25_K1} + 1.0)
+                  / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * dl.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle_sql(),
+    "BM25 ranked retrieval (Okapi k1=1.2 b=0.75) for a fixed 3-term "
+    "query over the corpus: tf and doc-length from one tokenize pass, "
+    "document frequency over the query terms only (a 3-row broadcast), "
+    "corpus stats (N, avgdl) as a broadcast one-row aggregate — the "
+    "whole plan is two shuffles (doc-term tf, per-doc sum) regardless "
+    "of corpus size, and the tf relation is pre-filtered to the query "
+    "terms so the score join moves |q| rows per doc, not the "
+    "vocabulary. Scores rounded to 6dp for the cross-engine compare "
+    "(sum-order float noise ~1e-15); ties broken by doc_id.",
+)
+def text_bm25_topk(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators import text_analysis as TA
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TA.tokens(F.col("text"))).alias("term")
+    )
+    # doc length is size(tokens) — a pure projection over the scan, no
+    # second explode/groupBy pass over the corpus
+    dl = docs.select(
+        "doc_id",
+        F.size(TA.tokens(F.col("text"))).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("part"), 6).alias("score")
+    )
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # top-k + driver merge of 10-row heads) — never a global sort, and
+    # no rank column so no window at all
+    return scored.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(10)

@@ -531,3 +531,55 @@ def test_jsonl_stream_replayed_epoch_vacuums_superseded_files(spark, tmp_path):
     m = json.load(open(os.path.join(target, "_committed.json")))
     assert m["files"] == ["part-b.jsonl"]
     assert m["rows"] == 3
+
+
+def test_stream_reader_protocol_recovery_paths():
+    """Unit-level simulation of the three restart call-sequences the
+    engine actually issues (no Spark needed — the reader is plain
+    Python). Round 5 root-cause regression: the engine's restart
+    initialization PROBE partitions(latest, latest) passes a logged but
+    possibly UNCOMMITTED offset; treating it as delivered clamped the
+    pending-batch replay to empty and silently lost a page."""
+    from mcyj_datapipeline_spark.sources import RestPagesStreamReader
+
+    opts = {"pages": "4", "page_size": "5", "pages_per_batch": "1"}
+
+    def pages(parts):
+        return [p.value for p in parts]
+
+    # -- path 1: crash with a pending batch (the round-5 data-loss bug)
+    r = RestPagesStreamReader(opts)
+    assert pages(r.partitions({"page": 3}, {"page": 3})) == []  # probe
+    # the pending batch REPLAYS IN FULL — the probe must not have
+    # raised the no-redeliver floor past it
+    assert pages(r.partitions({"page": 2}, {"page": 3})) == [2]
+    r.commit({"page": 3})
+    # catch-up resumes past the probe offset, not from scratch
+    assert r.latestOffset() == {"page": 4}
+    assert pages(r.partitions({"page": 3}, {"page": 4})) == [3]
+
+    # -- path 2: clean restart where latestOffset answers FIRST
+    # (self-inflicted regressed offset; engine logs end < position)
+    r = RestPagesStreamReader(opts)
+    assert r.latestOffset() == {"page": 1}  # knows nothing yet
+    # engine: start = committed position 2, end = our regressed 1
+    assert pages(r.partitions({"page": 2}, {"page": 1})) == []
+    r.commit({"page": 1})
+    # converged forward; the next real batch starts at the regressed
+    # end but must NOT re-deliver committed pages below the floor
+    assert r.latestOffset()["page"] >= 2
+    assert pages(r.partitions({"page": 1}, {"page": 3})) == [2]
+    r.commit({"page": 3})
+    assert pages(r.partitions({"page": 3}, {"page": 4})) == [3]
+
+    # -- path 3: plain first run paces by pages_per_batch to the bound
+    r = RestPagesStreamReader(opts)
+    assert r.initialOffset() == {"page": 0}
+    assert r.latestOffset() == {"page": 1}
+    assert pages(r.partitions({"page": 0}, {"page": 1})) == [0]
+    r.commit({"page": 1})
+    assert r.latestOffset() == {"page": 2}
+    assert pages(r.partitions({"page": 1}, {"page": 2})) == [1]
+    r.commit({"page": 2})
+    for _ in range(3):  # polls never pace past the bounded feed
+        assert r.latestOffset()["page"] <= 4
