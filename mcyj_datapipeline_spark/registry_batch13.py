@@ -744,3 +744,92 @@ def text_bm25_topk(spark, sf_dir):
     return scored.select("doc_id", "score").orderBy(
         F.desc("score"), F.asc("doc_id")
     ).limit(10)
+
+
+# ===========================================================================
+# Vocabulary coverage / OOV rate — the tokenizer-fit signal every
+# pretraining-corpus curation loop tracks (a rising OOV rate against a
+# frozen vocabulary means the incoming data drifted away from what the
+# tokenizer was fit on).
+# ===========================================================================
+
+_VOCAB_SIZE = 10
+
+
+@register(
+    "text_vocab_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM toks GROUP BY term
+        ORDER BY c DESC, term LIMIT {_VOCAB_SIZE}
+      )
+    ), per_doc AS (
+      SELECT t.doc_id, t.lang,
+             count(*) AS n_tok,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           sum(n_oov)::BIGINT AS n_oov,
+           round(sum(n_oov)::DOUBLE / sum(n_tok), 6) AS oov_rate,
+           round(avg(n_oov::DOUBLE / n_tok), 6) AS avg_doc_oov_rate
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    f"Vocabulary coverage: fit a tiny top-{_VOCAB_SIZE} frequency vocabulary "
+    "over the corpus (deterministic count-desc/term tiebreak), then "
+    "per-language OOV statistics — corpus OOV rate and mean per-doc "
+    "OOV rate. Plan: one tokenize pass feeds both the vocabulary "
+    "aggregate (TakeOrdered, broadcast back) and the per-doc "
+    "left-anti-style coverage join; the vocab side is always tiny so "
+    "the join never shuffles the token stream twice. The frozen-vocab "
+    "variant at 100 TB broadcasts a persisted vocab table instead of "
+    "refitting.",
+)
+def text_vocab_oov_rate(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators import text_analysis as TA
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TA.tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_oov").alias("n_oov"),
+            F.round(
+                F.sum("n_oov").cast("double") / F.sum("n_tok"), 6
+            ).alias("oov_rate"),
+            F.round(
+                F.avg(F.col("n_oov").cast("double") / F.col("n_tok")), 6
+            ).alias("avg_doc_oov_rate"),
+        )
+        .orderBy("lang")
+    )
