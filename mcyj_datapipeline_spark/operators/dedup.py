@@ -649,6 +649,27 @@ def minhash_lsh_pairs_incremental(
     on the existing side (the accumulating one)."""
     sig_new = minhash_signatures(new_df, text_col, id_col, n).persist()
     sig_old = minhash_signatures(existing_df, text_col, id_col, n).persist()
+    return minhash_lsh_pairs_presketched(
+        sig_new, sig_old, id_col, jaccard_threshold, max_bucket_size
+    )
+
+
+def minhash_lsh_pairs_presketched(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The incremental screen over PRE-SKETCHED sides: both inputs are
+    ``(id, shingles, signature)`` relations as produced by
+    :func:`minhash_signatures`. This is the true 100 TB fold shape —
+    the existing side comes from a persisted signature STATE table
+    (written once per doc at ingest), so a nightly batch never re-reads
+    or re-shingles prior text; only the new batch is sketched fresh.
+    Semantics identical to :func:`minhash_lsh_pairs_incremental`
+    (signatures are deterministic in the text, and verification uses
+    order-insensitive set intersection over the stored shingle sets)."""
     bands_new = lsh_bands(sig_new, id_col).select(
         "band", "band_key", F.col(id_col).alias("new_id")
     )

@@ -401,10 +401,10 @@ def _e12_oracle_sql() -> str:
     "Output: every ingested doc with its cluster id and provenance.",
 )
 def e12_nightly_dedup_fold(spark, sf_dir):
-    digests, clusters = _e12_state(spark, sf_dir, "e12")
+    state = _e12_state(spark, sf_dir, "e12")
     docs = _t(spark, sf_dir, "documents")
-    _e12_bootstrap(spark, docs, digests, clusters)
-    committed = _e12_fold_night(docs, 400, None, digests, clusters)
+    _e12_bootstrap(spark, docs, *state)
+    committed = _e12_fold_night(docs, 400, None, *state)
     return committed.select(
         "doc_id",
         "cluster_id",
@@ -415,9 +415,12 @@ def e12_nightly_dedup_fold(spark, sf_dir):
 
 
 def _e12_state(spark, sf_dir, tag):
-    """Digest + cluster ParquetStateTables scoped per (process, sf_dir,
-    flagship): repeated calls in one driver fold into ONE state — and
-    must be idempotent on re-fold."""
+    """Digest + cluster + SIGNATURE ParquetStateTables scoped per
+    (process, sf_dir, flagship): repeated calls in one driver fold into
+    ONE state — and must be idempotent on re-fold. The signature table
+    is what makes the per-ingest cost genuinely batch-sized: prior
+    nights' TEXT is never re-read or re-shingled, the fold screens
+    against the stored (shingles, signature) relation."""
     import os
 
     from mcyj_datapipeline_spark.streaming.incremental import (
@@ -433,15 +436,21 @@ def _e12_state(spark, sf_dir, tag):
     clusters = ParquetStateTable(
         spark, f"{root}/clusters", key="doc_id", num_buckets=8
     )
-    return digests, clusters
+    sigs = ParquetStateTable(
+        spark, f"{root}/signatures", key="doc_id", num_buckets=8
+    )
+    return digests, clusters, sigs
 
 
-def _e12_bootstrap(spark, docs, digests, clusters, corpus_hi: int = 400):
-    """Corpus state (cluster map + content digests), built once per
-    process — the reference's initial full-pipeline run."""
+def _e12_bootstrap(spark, docs, digests, clusters, sigs, corpus_hi: int = 400):
+    """Corpus state (cluster map + content digests + MinHash
+    signatures), built once per process — the reference's initial
+    full-pipeline run. Signatures are computed here, exactly once per
+    doc; every later fold reads them from state."""
     from mcyj_datapipeline_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
+        minhash_signatures,
     )
 
     if clusters.read() is not None:
@@ -470,19 +479,22 @@ def _e12_bootstrap(spark, docs, digests, clusters, corpus_hi: int = 400):
         .groupBy("content_sha")
         .agg(F.min("doc_id").alias("owner_id"))
     )
+    sigs.write_initial(minhash_signatures(corpus))
 
 
-def _e12_fold_night(docs, lo, hi, digests, clusters):
+def _e12_fold_night(docs, lo, hi, digests, clusters, sigs):
     """ONE nightly fold of batch = doc_id in [lo, hi) into the
     persistent state; returns the committed cluster map. The prior-
-    ingested side is defined BY THE STATE (saved cluster keys joined
-    back to the doc store), not by a doc_id predicate — so a sequence
+    ingested side is defined BY THE STATE — the saved signature table,
+    never a doc_id predicate or a re-read of prior text — so a sequence
     of folds screens night N against corpus + nights < N exactly as the
-    reference's forever-loop does (run_full_pipeline.py:202-431)."""
+    reference's forever-loop does (run_full_pipeline.py:202-431), at
+    batch-sized cost: only this batch is sketched fresh."""
     from mcyj_datapipeline_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
-        minhash_lsh_pairs_incremental,
+        minhash_lsh_pairs_presketched,
+        minhash_signatures,
     )
 
     def in_range(col):
@@ -506,16 +518,13 @@ def _e12_fold_night(docs, lo, hi, digests, clusters):
     ).select("doc_id", "text")
 
     # ---- incremental near-dup screens (batch-sized, never corpus^2):
-    # prior = docs the STATE says are ingested, excluding this batch
-    # (present in state on a re-fold) ---------------------------------
+    # the prior side is the persisted SIGNATURE state (minus this batch,
+    # present in state on a re-fold) — prior text is never re-read ----
     saved = clusters.read()
-    prior = (
-        docs.join(saved.select("doc_id"), "doc_id", "left_semi")
-        .filter(~in_batch)
-        .select("doc_id", "text")
-    )
-    cross = minhash_lsh_pairs_incremental(
-        survivors, prior, jaccard_threshold=0.8
+    sig_new = minhash_signatures(survivors).persist()
+    sig_prior = sigs.read().filter(~in_batch)
+    cross = minhash_lsh_pairs_presketched(
+        sig_new, sig_prior, jaccard_threshold=0.8
     ).select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
     intra = minhash_lsh_pairs(survivors, jaccard_threshold=0.8).select(
         "id_a", "id_b"
@@ -555,6 +564,11 @@ def _e12_fold_night(docs, lo, hi, digests, clusters):
     )
     if new_digests.take(1):
         digests.update(new_digests, ["owner_id"])
+    # signatures for the batch's ingested docs enter state exactly once
+    # (update merges by key, so a re-fold rewrites identical rows)
+    if sig_new.take(1):
+        sigs.update(sig_new, ["shingles", "signature"])
+    sig_new.unpersist()
     return committed
 
 
@@ -614,11 +628,11 @@ def _e12b_oracle_sql() -> str:
     "clustering of the order-dependent final ingested set.",
 )
 def e12b_two_night_fold(spark, sf_dir):
-    digests, clusters = _e12_state(spark, sf_dir, "e12b")
+    state = _e12_state(spark, sf_dir, "e12b")
     docs = _t(spark, sf_dir, "documents")
-    _e12_bootstrap(spark, docs, digests, clusters)
-    _e12_fold_night(docs, 400, 450, digests, clusters)
-    committed = _e12_fold_night(docs, 450, None, digests, clusters)
+    _e12_bootstrap(spark, docs, *state)
+    _e12_fold_night(docs, 400, 450, *state)
+    committed = _e12_fold_night(docs, 450, None, *state)
     return committed.select(
         "doc_id",
         "cluster_id",
