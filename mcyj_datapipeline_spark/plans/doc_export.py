@@ -31,6 +31,19 @@ leaves the struct NULL, and Spark's JSON sink omits null fields
 byte-compatible with the reference's conditional ``document[...] =``
 assignment. ``io.write_json_per_key`` (K5) is the partitioned sink.
 
+Intentional deviations from byte-parity (hardening, not bugs):
+
+- keyword cells parse via ``from_json(..., 'array<string>')`` with
+  NULL → []; the reference's ``json.loads`` stores any valid-JSON
+  value verbatim (a bare string or object would land in the document
+  as-is). Here a non-array or non-string-array cell collapses to [] —
+  malformed cells degrade to the empty case instead of leaking
+  arbitrary JSON shapes into a typed column. Same applies to
+  ``evidence_keywords_found``.
+- pages coerce to array<string> (see ``_literal_eval_pages``).
+- NULL ``dateprocessed`` serializes as the string 'NaT'/'None'
+  matching ``str()`` through pandas, not as an absent field.
+
 Scale shape: four broadcast-or-shuffle hash joins on a 64-char key,
 no UDF except the stringly-text salvage path (Arrow-batched, applied
 only when the input column is actually a string), mapping straight
@@ -39,13 +52,16 @@ onto a 100 TB corpus as key-partitioned joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from mcyj_datapipeline_spark.operators.aggregates import reduce_keywords
 
-_EMPTY = F.array().cast("array<string>")
+def _empty():
+    # built lazily: F.array() touches the active JVM session, and this
+    # module must stay importable before any SparkSession exists
+    return F.array().cast("array<string>")
 
 
 def _s(col: str):
@@ -60,7 +76,14 @@ def _literal_eval_pages(s):
     values that look like a Python list literal, [] otherwise — the
     reference stores pages as a Python repr (single quotes), which no
     JSON parser accepts. Arrow-batched; only ever planned when the
-    text column is a string, so array-typed corpora never pay it."""
+    text column is a string, so array-typed corpora never pay it.
+
+    Intentional deviation: elements are coerced to str because the
+    column is typed array<string>. The reference keeps literal_eval's
+    elements verbatim, so a repr'd list holding a number or None would
+    serialize as a JSON number/null there but as a string here. Pages
+    are page TEXT by construction; a non-string element is already
+    corrupt upstream, and a uniform string type is the honest schema."""
     import ast
 
     def parse(v):
@@ -90,25 +113,47 @@ def build_doc_export(
     per-sha JSON files. Each enrichment input is optional, like the
     exporter's optional CSV arguments — absent input ⇒ the sub-object
     is absent from every document."""
-    text_type = dict(docs_raw.dtypes).get("text", "")
+    dtypes = dict(docs_raw.dtypes)
+    text_type = dtypes.get("text", "")
     pages = (
         _literal_eval_pages(F.col("text"))
         if text_type == "string"
-        else F.coalesce(F.col("text").cast("array<string>"), _EMPTY)
+        else F.coalesce(F.col("text").cast("array<string>"), _empty())
     )
+    # The exporter writes ``str(dateprocessed)`` unconditionally
+    # (``export_parquet_to_json.py:232``) off a pandas row, so a NULL
+    # surfaces as the string 'NaT' (timestamp/date column) or 'None'
+    # (object column) rather than an absent field; mirror that instead
+    # of letting the JSON sink's ignoreNullFields drop the key.
+    dp_type = dtypes.get("dateprocessed", "")
+    null_repr = "NaT" if ("timestamp" in dp_type or dp_type == "date") else "None"
     out = docs_raw.select(
         "sha256",
-        F.col("dateprocessed").cast("string").alias("dateprocessed"),
+        F.coalesce(
+            F.col("dateprocessed").cast("string"), F.lit(null_repr)
+        ).alias("dateprocessed"),
         pages.alias("pages"),
     )
 
     def keyed(df):
-        # loaders skip rows with a blank sha (``:39-41`` etc.); the
-        # dict is last-wins on duplicate shas but every committed CSV
-        # is unique on sha256 (CI invariant), so plain dedup suffices
-        return df.filter(
-            F.col("sha256").isNotNull() & (F.trim(F.col("sha256")) != "")
-        ).withColumn("sha256", F.trim(F.col("sha256")))
+        # loaders skip rows with a blank sha (``:39-41`` etc.) and load
+        # into a dict, so a duplicate sha is LAST-WINS. Enforce that
+        # here rather than resting on an out-of-band CSV-uniqueness
+        # invariant: monotonically_increasing_id preserves file order
+        # for a sequentially-read CSV, and the row_number picker keeps
+        # the latest row per sha (a 64-char-key window shuffle — the
+        # same key partitioning the joins below already need).
+        w = Window.partitionBy("sha256").orderBy(F.col("_ord").desc())
+        return (
+            df.filter(
+                F.col("sha256").isNotNull() & (F.trim(F.col("sha256")) != "")
+            )
+            .withColumn("sha256", F.trim(F.col("sha256")))
+            .withColumn("_ord", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_ord", "_rn")
+        )
 
     if document_info is not None:
         md = keyed(document_info).select(
@@ -145,7 +190,7 @@ def build_doc_export(
             _s("level").alias("level"),
             _s("justification").alias("justification"),
             F.coalesce(
-                F.from_json(F.col("keywords"), "array<string>"), _EMPTY
+                F.from_json(F.col("keywords"), "array<string>"), _empty()
             ).alias("keywords"),
         )
         if keyword_map is not None:
@@ -182,7 +227,7 @@ def build_doc_export(
                     F.from_json(
                         F.col("evidence_keywords_found"), "array<string>"
                     ),
-                    _EMPTY,
+                    _empty(),
                 ).alias("evidence_keywords_found"),
                 _s("evidence_explanation").alias("evidence_explanation"),
             ).alias("staffing_summary"),
