@@ -18,6 +18,21 @@ gate="GATE_r${round}.log"
 spot_a="SPOT_r${round}_a.log"
 spot_b="SPOT_r${round}_b.log"
 
+# COVERAGE.md regenerates from the live registry first, so the
+# committed snapshot can never under-report the query table (round-5
+# drift: 3 late-added queries missing). The row-count check is belt
+# and braces against a partial write.
+python tools/gen_coverage.py
+python - <<'EOF'
+import re, sys
+sys.path.insert(0, ".")
+from mcyj_datapipeline_spark import registry
+table_rows = len(re.findall(r"^\| `", open("COVERAGE.md").read(), re.M))
+want = len(registry._REGISTRY)
+assert table_rows == want, f"COVERAGE.md table {table_rows} != registry {want}"
+print(f"COVERAGE.md table matches registry: {want} rows")
+EOF
+
 python tools/check_driver_gate.py /root/testdata/sf0.01 2>&1 | tee "$gate"
 test -s "$gate" || { echo "FATAL: $gate is empty"; exit 1; }
 grep -q "oracles match" "$gate" || {
