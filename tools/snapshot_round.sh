@@ -27,7 +27,10 @@ python - <<'EOF'
 import re, sys
 sys.path.insert(0, ".")
 from mcyj_datapipeline_spark import registry
-table_rows = len(re.findall(r"^\| `", open("COVERAGE.md").read(), re.M))
+text = open("COVERAGE.md").read()
+section = text.split("## Registered queries (driver-checked)", 1)[1]
+section = section.split("\n## ", 1)[0]
+table_rows = len(re.findall(r"^\| `", section, re.M))
 want = len(registry._REGISTRY)
 assert table_rows == want, f"COVERAGE.md table {table_rows} != registry {want}"
 print(f"COVERAGE.md table matches registry: {want} rows")
