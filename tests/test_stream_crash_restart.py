@@ -1,0 +1,157 @@
+"""End-to-end crash-restart exactly-once proof for the streaming
+quartet: ``rest_pages`` → ``jsonl_atomic``.
+
+The stream reader's contract (``sources.py`` RestPagesStreamReader
+docstring) is at-least-once across CRASH restarts — the one
+uncommitted tail batch replays in full after a kill that lands between
+the engine's offset write and its commit. The jsonl_atomic stream
+sink keys its manifest per epoch, so a replayed batch REPLACES its
+epoch entry instead of double-appending. This test proves the two
+compose into effective exactly-once across a real ``SIGKILL``:
+
+1. run the stream in a subprocess, slowed so every micro-batch's
+   offset-written → committed window is wide;
+2. from the parent, poll the checkpoint and SIGKILL the child the
+   moment ``offsets/N`` exists without ``commits/N`` for some N ≥ 1
+   (batch 0 must commit first, so the restart also proves committed
+   pages are NOT re-delivered) — no aborts, no cleanup, the exact
+   crash window the reader docstring names;
+3. restart an identical query on the same checkpoint in a second
+   subprocess and let it drain the feed;
+4. assert the manifest holds every (page, agency_id) exactly once.
+
+Protocol-level unit tests (clean stops, probe/regression spans,
+epoch re-commit idempotence) live in ``test_sources_api.py``; this is
+the process-kill integration they could not cover.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+CHILD = os.path.join(os.path.dirname(__file__), "crash_restart_child.py")
+
+PAGES = 6
+PAGE_SIZE = 8
+PAGES_PER_BATCH = 2
+SLEEP_MS = 60  # per-row UDF sleep: ≥ 8×60 = 480 ms per task/batch
+EXPECTED = PAGES * PAGE_SIZE
+
+
+def _spawn(ckpt: str, target: str, timeout_s: int) -> subprocess.Popen:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(CHILD)))
+    env = dict(os.environ)
+    env.pop("REST_PAGES_TRACE", None)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [
+            sys.executable,
+            CHILD,
+            ckpt,
+            target,
+            str(PAGES),
+            str(PAGE_SIZE),
+            str(PAGES_PER_BATCH),
+            str(SLEEP_MS),
+            str(EXPECTED),
+            str(timeout_s),
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(CHILD))),
+    )
+
+
+def _batch_ids(d: str) -> set[int]:
+    if not os.path.isdir(d):
+        return set()
+    return {int(f) for f in os.listdir(d) if f.isdigit()}
+
+
+def test_sigkill_mid_batch_then_restart_is_exactly_once(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "sink")
+    offsets_dir = os.path.join(ckpt, "offsets")
+    commits_dir = os.path.join(ckpt, "commits")
+
+    # --- phase 1: run and SIGKILL inside the offset->commit window ----
+    child = _spawn(ckpt, target, timeout_s=300)
+    kill_batch = None
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if child.poll() is not None:
+                out = child.stdout.read().decode(errors="replace")
+                pytest.fail(
+                    f"child exited rc={child.returncode} before the kill "
+                    f"window was found:\n{out[-2000:]}"
+                )
+            pending = _batch_ids(offsets_dir) - _batch_ids(commits_dir)
+            # N >= 1: batch 0 must already be committed, so the restart
+            # also exercises the no-redeliver floor for committed pages
+            eligible = {n for n in pending if n >= 1}
+            if eligible:
+                kill_batch = min(eligible)
+                os.kill(child.pid, signal.SIGKILL)
+                break
+            time.sleep(0.01)
+        else:
+            child.kill()
+            pytest.fail("offset-written/uncommitted window never observed")
+    finally:
+        child.wait(timeout=30)
+
+    # the kill landed in the named window: the batch's offset is logged,
+    # its commit is not, and SIGKILL means no abort/cleanup ever ran
+    assert kill_batch is not None and kill_batch >= 1
+    assert kill_batch in _batch_ids(offsets_dir)
+    assert kill_batch not in _batch_ids(commits_dir), (
+        "commit raced the kill — widen SLEEP_MS"
+    )
+    mp = os.path.join(target, "_committed.json")
+    rows_at_crash = 0
+    if os.path.exists(mp):
+        rows_at_crash = json.load(open(mp)).get("rows", 0)
+    assert rows_at_crash < EXPECTED, "feed finished before the crash"
+
+    # --- phase 2: restart the identical query on the same checkpoint --
+    child2 = _spawn(ckpt, target, timeout_s=240)
+    out2, _ = child2.communicate(timeout=300)
+    assert child2.returncode == 0, (
+        f"restarted child rc={child2.returncode}:\n"
+        f"{out2.decode(errors='replace')[-2000:]}"
+    )
+
+    # --- exactly-once: every page exactly once, no dupes, no losses ---
+    manifest = json.load(open(mp))
+    assert manifest["rows"] == EXPECTED
+    seen = []
+    for name in manifest["files"]:
+        with open(os.path.join(target, name)) as fh:
+            for line in fh:
+                if line.strip():
+                    r = json.loads(line)
+                    seen.append((r["page"], r["agency_id"]))
+    assert len(seen) == EXPECTED
+    assert len(set(seen)) == EXPECTED, "duplicate rows after replay"
+    by_page = {}
+    for page, _ in seen:
+        by_page[page] = by_page.get(page, 0) + 1
+    assert by_page == {p: PAGE_SIZE for p in range(PAGES)}
+
+    # the replayed epoch replaced its manifest entry (never appended):
+    # every epoch's ledger matches its files' actual row counts
+    for epoch, files in manifest["epochs"].items():
+        actual = 0
+        for name in files:
+            with open(os.path.join(target, name)) as fh:
+                actual += sum(1 for ln in fh if ln.strip())
+        assert manifest["epoch_rows"][epoch] == actual
