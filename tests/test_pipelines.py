@@ -549,3 +549,66 @@ def test_e12b_two_night_fold_sequence_state_evolution(spark, sf_dir):
         clusters.setdefault(c, set()).add(d)
     for c, members in clusters.items():
         assert c == min(members), (c, sorted(members)[:5])
+
+
+def test_e12_state_tables_stay_one_row_per_key_across_three_nights(
+    spark, sf_dir
+):
+    """E12 state-growth bound: the pre-sketched fold makes the state
+    tables (digests, cluster map, MinHash signatures) the permanent
+    corpus-sized artifact — a bug that re-appended rows per night would
+    silently multiply nightly cost. Over a 3-night sequence (corpus
+    <350, then [350,400), [400,450), [450,∞)) assert after EVERY fold:
+    each state table holds exactly one row per key, the cluster map and
+    signature table cover exactly the ingested doc set, digests hold
+    exactly one row per distinct content sha seen so far — and a RETRY
+    of the last night leaves every row count unchanged."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.registry_batch13 import (
+        _e12_bootstrap,
+        _e12_fold_night,
+        _e12_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    digests, clusters, sigs = _e12_state(spark, sf_dir, "e12growth")
+    _e12_bootstrap(spark, docs, digests, clusters, sigs, corpus_hi=350)
+
+    def check(seen_hi):
+        cl = clusters.read()
+        sg = sigs.read()
+        dg = digests.read()
+        n_cl, k_cl = cl.count(), cl.select("doc_id").distinct().count()
+        n_sg, k_sg = sg.count(), sg.select("doc_id").distinct().count()
+        n_dg, k_dg = (
+            dg.count(),
+            dg.select("content_sha").distinct().count(),
+        )
+        assert n_cl == k_cl, f"cluster map has dup doc rows ({n_cl}/{k_cl})"
+        assert n_sg == k_sg, f"signatures re-appended ({n_sg}/{k_sg})"
+        assert n_dg == k_dg, f"digest table has dup shas ({n_dg}/{k_dg})"
+        # ingested set == cluster-map keys == signature keys
+        assert n_cl == n_sg, f"cluster map {n_cl} != signatures {n_sg}"
+        # digests: one row per distinct sha over every doc SEEN so far
+        # (screened dups still contribute their sha — it's already there)
+        want_shas = (
+            docs.filter(F.col("doc_id") < seen_hi)
+            .select(F.sha2("text", 256))
+            .distinct()
+            .count()
+        )
+        assert n_dg == want_shas, f"digests {n_dg} != seen shas {want_shas}"
+        return n_cl, n_sg, n_dg
+
+    check(350)
+    _e12_fold_night(docs, 350, 400, digests, clusters, sigs)
+    check(400)
+    _e12_fold_night(docs, 400, 450, digests, clusters, sigs)
+    check(450)
+    _e12_fold_night(docs, 450, None, digests, clusters, sigs)
+    before = check(10**9)
+    # retry of the last night: a no-op on every table
+    _e12_fold_night(docs, 450, None, digests, clusters, sigs)
+    assert check(10**9) == before, "re-fold grew the state tables"
