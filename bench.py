@@ -104,6 +104,8 @@ HEADLINE = [
     "s6_rest_datasource_scan",
     "e11_entity_resolution_pipeline",
     "ts2_linear_interpolation",
+    "text_bm25_topk",
+    "text_vocab_oov_rate",
 ]
 
 
