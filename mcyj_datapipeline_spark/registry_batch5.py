@@ -24,25 +24,44 @@ def _t(spark, sf_dir, name):
     "sk_hll_daily_uniques_rollup",
     """
     WITH daily AS (
-      SELECT ts::DATE AS day, count(DISTINCT user_id) AS daily_uniques
+      SELECT ts::DATE AS day, count(DISTINCT user_id) AS daily_uniques_exact
       FROM events GROUP BY 1
     ),
-    total AS (SELECT count(DISTINCT user_id) AS total_uniques FROM events)
-    SELECT day, daily_uniques, total_uniques
+    total AS (SELECT count(DISTINCT user_id) AS total_uniques_exact
+              FROM events)
+    SELECT day, daily_uniques_exact, true AS daily_within_tol,
+           total_uniques_exact, true AS total_within_tol
     FROM daily CROSS JOIN total
     ORDER BY day
     """,
+    # ε-contract oracle (the a04 pattern) since round 6: the round-5
+    # form compared raw HLL estimates to exact counts, which only
+    # matches while the sketch runs sparse-exact — at sf0.1 (~1.3k
+    # uniques/day) lgK=12 goes dense and estimates drift ~0.7%, a
+    # correct sketch failing a wrong oracle. Now the query returns the
+    # exact twins plus in-plan booleans asserting each estimate lies
+    # within 3x the sketch's rsd (1.04/sqrt(2^12) -> 5%, absolute
+    # slack 2 for tiny days); the hash compare fails iff the sketch or
+    # the union-merge ever degrades beyond its error contract, at ANY
+    # scale. The exact counts are the validation harness, not the
+    # scale path.
     "Mergeable-sketch rollup: per-day HLL sketches of user_id, merged "
     "to a corpus total with hll_union_agg — the 100 TB pattern where "
     "daily sketch rows (KB each) are stored and any date-range "
     "cardinality is a sketch union, never a re-scan of raw events. "
-    "Value oracle vs exact count(DISTINCT): HLL lgK=12 runs in sparse "
-    "mode at gate cardinality, where estimates are exact.",
+    "Estimates asserted in-query within 5% of the exact twins.",
 )
 def sk_hll_daily_uniques_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+
+    def within(approx, exact):
+        return F.abs(approx - exact) <= F.greatest(
+            exact * 0.05, F.lit(2.0)
+        )
+
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("daily_uniques_exact"),
     )
     # persist: the day-grain sketch frame (KB per row) feeds BOTH the
     # per-day estimates and the total union — without it the events scan
@@ -51,15 +70,36 @@ def sk_hll_daily_uniques_rollup(spark, sf_dir):
     # total = union of the DAILY sketches (not a second scan of events):
     # this is the merge the pattern exists for. A one-row aggregate
     # broadcast-joined back — not a global window; the whole day-grain
-    # frame never funnels through one reducer's sort.
+    # frame never funnels through one reducer's sort. The exact total
+    # is the harness side of the ε contract.
     total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("total_uniques")
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_test")
+    ).join(
+        F.broadcast(
+            ev.agg(
+                F.countDistinct("user_id").alias("total_uniques_exact")
+            )
+        )
     )
     return (
         daily.select(
-            "day", F.hll_sketch_estimate("sk").alias("daily_uniques")
+            "day",
+            "daily_uniques_exact",
+            within(
+                F.hll_sketch_estimate("sk"),
+                F.col("daily_uniques_exact"),
+            ).alias("daily_within_tol"),
         )
         .join(F.broadcast(total))
+        .select(
+            "day",
+            "daily_uniques_exact",
+            "daily_within_tol",
+            "total_uniques_exact",
+            within(F.col("_test"), F.col("total_uniques_exact")).alias(
+                "total_within_tol"
+            ),
+        )
         .orderBy("day")
     )
 

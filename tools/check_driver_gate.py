@@ -40,6 +40,13 @@ def main() -> int:
         help="verify only N oracles, chosen by --seed (spot-audit mode)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--match",
+        default=None,
+        help="comma-separated name prefixes — verify only matching "
+        "queries (family mode, e.g. 'dedup_,sim_,sk_' to re-run the "
+        "scale-sensitive ANN/dedup/sketch contracts at a bigger sf)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="driver-gate-check")
@@ -47,6 +54,14 @@ def main() -> int:
     qs, oracles = registry.queries(), registry.oracle_sql()
     names = sorted(oracles)
     rows_only = sorted(set(qs) - set(oracles))
+    if args.match:
+        prefixes = tuple(p for p in args.match.split(",") if p)
+        names = [n for n in names if n.startswith(prefixes)]
+        rows_only = [n for n in rows_only if n.startswith(prefixes)]
+        print(
+            f"family mode: {len(names)} oracles + {len(rows_only)} "
+            f"rows-only match {prefixes}"
+        )
     if args.sample is not None:
         rng = random.Random(args.seed)
         names = sorted(rng.sample(names, min(args.sample, len(names))))
