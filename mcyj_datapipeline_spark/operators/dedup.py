@@ -863,3 +863,80 @@ def snm_sort_key(col: Column) -> Column:
     and the entity-resolution pipeline's scoring stage so candidates
     and scores always see the SAME canonical string."""
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS: for every document, the merged
+    word ranges covered by n-grams that also occur in at least
+    ``min_docs`` distinct documents — the span-level exact-dedup
+    signal ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022) that document-level digests miss: a
+    boilerplate paragraph pasted into a thousand otherwise-unique
+    pages never trips a whole-doc sha but dominates the training
+    distribution. Downstream either cuts the spans or drops docs whose
+    spans cover too much.
+
+    Output: one row per (doc, span) — ``span_start``/``span_end`` are
+    1-based word indices (inclusive) and ``n_dup_grams`` the number of
+    duplicated n-grams merged into the span. Two duplicated grams at
+    positions p < q merge iff q <= p + n (their word ranges overlap or
+    touch).
+
+    Plan shape: positional n-grams via one transform+posexplode (no
+    self-join), gram frequency as ONE groupBy (countDistinct over doc
+    ids), a semi-join back to positions, and a per-doc window to merge
+    runs — two shuffles on the gram string plus one on doc_id. The
+    suffix-array construction the paper uses is a single-machine
+    design; the n-gram restriction (fixed minimum match length L = n
+    words) is what makes the semantics shuffle-expressible, and is the
+    standard distributed relaxation. At 100 TB the gram SHUFFLE pays
+    for the string payload — hash grams to 8 bytes first
+    (xxhash64, collision-checked on the shortlist) and pre-screen
+    singleton grams with a count-min/bloom pass so only repeated grams
+    reach the exact count; both drop in before the groupBy without
+    changing this function's contract."""
+    from pyspark.sql import Window
+
+    from mcyj_datapipeline_spark.operators.text_analysis import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    k = F.size("_w") - (n - 1)
+    gram_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        id_col, F.posexplode(gram_arr).alias("_p0", "gram")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
+
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    dpos = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = dpos.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1),
+    ).withColumn("_sid", F.sum("_brk").over(w))
+    return (
+        runs.groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("_sid")
+    )

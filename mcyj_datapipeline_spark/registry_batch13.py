@@ -847,3 +847,71 @@ def text_vocab_oov_rate(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Exact-substring duplicate spans (Lee et al. 2022 shape, n-gram
+# relaxation) — span-level dedup signal document digests can't see
+# ===========================================================================
+
+_SPAN_N = 5
+
+
+def _repeated_span_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(w[i.i:i.i + {_SPAN_N} - 1], ' ') AS gram
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+                    1, greatest(len(w) - {_SPAN_N} + 1, 0))) AS i) i
+    ), dup AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), dpos AS (
+      SELECT doc_id, pos FROM grams SEMI JOIN dup USING (gram)
+    ), runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_SPAN_N}
+                  THEN 0 ELSE 1 END AS brk
+      FROM dpos
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM runs
+    )
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + {_SPAN_N} - 1 AS span_end,
+           count(*) AS n_dup_grams
+    FROM sp GROUP BY doc_id, sid
+    ORDER BY doc_id, span_start
+    """
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    _repeated_span_oracle_sql(),
+    "Exact-substring duplicate spans: per-document merged word ranges "
+    "covered by 5-grams occurring in >=2 distinct documents — the "
+    "span-level signal whole-doc digests miss (boilerplate pasted "
+    "into otherwise-unique pages). Positional n-grams from one "
+    "transform+posexplode, gram frequency in ONE groupBy, semi-join "
+    "back, per-doc window merges touching ranges: two gram shuffles "
+    "plus one doc shuffle, no self-join. The 100 TB path hashes grams "
+    "to 8 bytes and bloom-screens singletons before the exact count.",
+)
+def dedup_repeated_ngram_spans(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, n=_SPAN_N).orderBy(
+        "doc_id", "span_start"
+    )

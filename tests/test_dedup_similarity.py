@@ -604,3 +604,83 @@ def test_cc_round_bound_property(spark, shape, n, diameter):
     # driver syncs must be ~rounds/check_every, the whole point of
     # batched convergence checks
     assert stats["syncs"] <= stats["rounds"] // check_every + 1
+
+
+def test_repeated_ngram_spans_exact_boundaries_and_merge(spark):
+    """Two docs share an 8-word passage embedded at different offsets:
+    with n=4 the duplicated positional grams must merge into ONE span
+    per doc covering exactly the shared words; a doc sharing nothing
+    yields no rows; and two shared passages separated by more than n
+    unique words stay separate spans."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    shared = "the quick brown fox jumps over lazy dogs"  # 8 words
+    shared2 = "pack my box with five dozen liquor jugs"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            # shared passage at words 3..10, shared2 at words 20..27
+            (
+                1,
+                "u1 u2 "
+                + shared
+                + " f1 f2 f3 f4 f5 f6 f7 f8 f9 "
+                + shared2
+                + " tail1",
+            ),
+            # same passages at other offsets
+            (2, shared + " mid1 mid2 mid3 mid4 mid5 " + shared2),
+            (3, "entirely distinct words without any overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_dup_grams"])
+        for r in repeated_ngram_spans(docs, n=4).collect()
+    }
+    # doc 1: shared at 1-based words 3..10 -> grams at 3..7 -> span
+    # (3, 10); shared2 at words 20..27 -> grams 20..24 -> span (20, 27)
+    assert out[(1, 3)] == (10, 5)
+    assert out[(1, 20)] == (27, 5)
+    # doc 2: shared at 1..8 (grams 1..5), shared2 at 14..21 (grams
+    # 14..18); gap 14-5=9 > n=4 keeps them separate
+    assert out[(2, 1)] == (8, 5)
+    assert out[(2, 14)] == (21, 5)
+    assert not any(d == 3 for d, _ in out)
+    assert len(out) == 4
+
+
+def test_repeated_ngram_spans_adjacent_passages_merge(spark):
+    """Duplicated grams whose word ranges touch (gap <= n) fuse into a
+    single span — the merge rule that turns overlapping gram hits into
+    maximal ranges."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    a = "alpha beta gamma delta"
+    b = "epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + b),  # passages adjacent: dup grams at 1, 5
+            (2, a + " y1 y2 y3 y4 y5 " + b),  # gap 10-1 > n: separate
+            (3, a), (4, b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_ngram_spans(docs, n=4).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_dup_grams"])
+        )
+    # doc 1 words: a(1..4) b(5..8). The grams bridging the boundary
+    # exist only in doc 1, so the dup gram positions are 1 (from doc 3)
+    # and 5 (from doc 4); 5 - 1 = 4 <= n = 4 fuses them into ONE span
+    # covering both passages.
+    assert spans[1] == [(1, 8, 2)]
+    # doc 2 words: a(1..4) fillers(5..9) b(10..13): 10 - 1 = 9 > n
+    assert sorted(spans[2]) == [(1, 4, 1), (10, 13, 1)]
+    assert spans[3] == [(1, 4, 1)]
+    assert spans[4] == [(1, 4, 1)]
