@@ -689,23 +689,11 @@ def _bm25_oracle_sql() -> str:
     """
 
 
-@register(
-    "text_bm25_topk",
-    _bm25_oracle_sql(),
-    "BM25 ranked retrieval (Okapi k1=1.2 b=0.75) for a fixed 3-term "
-    "query over the corpus: tf and doc-length from one tokenize pass, "
-    "document frequency over the query terms only (a 3-row broadcast), "
-    "corpus stats (N, avgdl) as a broadcast one-row aggregate — the "
-    "whole plan is two shuffles (doc-term tf, per-doc sum) regardless "
-    "of corpus size, and the tf relation is pre-filtered to the query "
-    "terms so the score join moves |q| rows per doc, not the "
-    "vocabulary. Scores rounded to 6dp for the cross-engine compare "
-    "(sum-order float noise ~1e-15); ties broken by doc_id.",
-)
-def text_bm25_topk(spark, sf_dir):
+def _bm25_scores(docs):
+    """BM25 per-doc scores for the fixed query terms — shared by the
+    ranked-retrieval query and the RRF hybrid below."""
     from mcyj_datapipeline_spark.operators import text_analysis as TA
 
-    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TA.tokens(F.col("text"))).alias("term")
     )
@@ -749,9 +737,27 @@ def text_bm25_topk(spark, sf_dir):
             ).alias("part"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.round(F.sum("part"), 6).alias("score")
     )
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle_sql(),
+    "BM25 ranked retrieval (Okapi k1=1.2 b=0.75) for a fixed 3-term "
+    "query over the corpus: tf and doc-length from one tokenize pass, "
+    "document frequency over the query terms only (a 3-row broadcast), "
+    "corpus stats (N, avgdl) as a broadcast one-row aggregate — the "
+    "whole plan is two shuffles (doc-term tf, per-doc sum) regardless "
+    "of corpus size, and the tf relation is pre-filtered to the query "
+    "terms so the score join moves |q| rows per doc, not the "
+    "vocabulary. Scores rounded to 6dp for the cross-engine compare "
+    "(sum-order float noise ~1e-15); ties broken by doc_id.",
+)
+def text_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = _bm25_scores(docs)
     # orderBy().limit() plans as TakeOrderedAndProject (per-partition
     # top-k + driver merge of 10-row heads) — never a global sort, and
     # no rank column so no window at all
@@ -915,3 +921,168 @@ def dedup_repeated_ngram_spans(spark, sf_dir):
     return repeated_ngram_spans(docs, n=_SPAN_N).orderBy(
         "doc_id", "span_start"
     )
+
+
+# ===========================================================================
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and TF-IDF-cosine
+# rankings — the standard two-system fusion (lexical + second scorer;
+# in production the second list comes from the ANN index, same shape)
+# ===========================================================================
+
+_RRF_K0 = 60
+_RRF_POOL = 20
+
+
+def _rrf_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), tf_all AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+    ), df_all AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tf_all GROUP BY 1
+    ), dl AS (
+      SELECT d.doc_id, count(t.term)::DOUBLE AS dl
+      FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+    ), tfq AS (
+      SELECT doc_id, term, tf FROM tf_all WHERE term IN ({terms})
+    ), dfq AS (
+      SELECT term, count(*)::DOUBLE AS df FROM tfq GROUP BY 1
+    ), bm25 AS (
+      SELECT tfq.doc_id,
+             round(sum( ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * tfq.tf * ({_BM25_K1} + 1.0)
+                  / (tfq.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * dl.dl / s.avgdl)) ), 6) AS score
+      FROM tfq JOIN dfq USING (term)
+               JOIN dl USING (doc_id)
+               CROSS JOIN stats s
+      GROUP BY tfq.doc_id
+    ), bm25_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS bm25_rank
+      FROM bm25 QUALIFY bm25_rank <= {_RRF_POOL}
+    ), norms AS (
+      SELECT t.doc_id,
+             sqrt(sum(pow(t.tf * ln(1.0 + s.n / d.df), 2))) AS nrm
+      FROM tf_all t JOIN df_all d USING (term) CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), cos AS (
+      SELECT t.doc_id,
+             round(sum(t.tf * ln(1.0 + s.n / d.df) * ln(1.0 + s.n / d.df))
+                   / (any_value(nm.nrm) *
+                      (SELECT sqrt(sum(pow(ln(1.0 + s2.n / d2.df), 2)))
+                       FROM dfq qd JOIN df_all d2 USING (term)
+                            CROSS JOIN stats s2)), 6) AS score
+      FROM tfq t JOIN df_all d USING (term)
+                 JOIN norms nm ON nm.doc_id = t.doc_id
+                 CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ), cos_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+               AS tfidf_rank
+      FROM cos QUALIFY tfidf_rank <= {_RRF_POOL}
+    )
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K0} + b.bm25_rank), 0)
+                 + coalesce(1.0 / ({_RRF_K0} + c.tfidf_rank), 0), 6)
+             AS rrf_score,
+           b.bm25_rank, c.tfidf_rank
+    FROM bm25_rank b FULL OUTER JOIN cos_rank c USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "text_hybrid_rrf_topk",
+    _rrf_oracle_sql(),
+    "Hybrid retrieval via reciprocal-rank fusion (k0=60): BM25 and "
+    "TF-IDF-cosine each rank the corpus for the same fixed query, the "
+    "two top-20 lists full-outer-join on doc_id, and each doc scores "
+    "sum(1/(k0+rank)) over the lists it appears in — rank-space "
+    "fusion, so the two systems' incomparable score scales never mix. "
+    "Both scores round to 6dp BEFORE ranking with a doc_id tiebreak, "
+    "making ranks (and hence the fused order) engine-exact. One "
+    "tokenize feeds both scorers; the fusion join touches 2x20 rows "
+    "regardless of corpus size. In production the second list is the "
+    "ANN index's — same fusion shape.",
+)
+def text_hybrid_rrf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mcyj_datapipeline_spark.operators import text_analysis as TA
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # system 1: BM25 (shared scorer), top-20 ranks
+    wdesc = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm25 = (
+        _bm25_scores(docs)
+        .withColumn("bm25_rank", F.row_number().over(wdesc))
+        .filter(F.col("bm25_rank") <= _RRF_POOL)
+        .select("doc_id", "bm25_rank")
+    )
+
+    # system 2: TF-IDF cosine of the query against each doc
+    toks = docs.select(
+        "doc_id", F.explode(TA.tokens(F.col("text"))).alias("term")
+    )
+    tf_all = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_all = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = F.log(F.lit(1.0) + F.col("n") / F.col("df"))
+    weighted = tf_all.join(df_all, "term").crossJoin(
+        F.broadcast(n_docs)
+    ).select("doc_id", "term", (F.col("tf") * idf).alias("w"), idf.alias("idf"))
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qnorm = (
+        weighted.filter(F.col("term").isin(*_BM25_TERMS))
+        .select("term", "idf")
+        .distinct()
+        .agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("qn"))
+    )
+    cos = (
+        weighted.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("idf")).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("tfidf_rank", F.row_number().over(wdesc))
+        .filter(F.col("tfidf_rank") <= _RRF_POOL)
+        .select("doc_id", "tfidf_rank")
+    )
+
+    # rank-space fusion over the two tiny lists
+    fused = bm25.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (_RRF_K0 + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (_RRF_K0 + F.col("tfidf_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+        "bm25_rank",
+        "tfidf_rank",
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
