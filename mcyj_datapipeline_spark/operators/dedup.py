@@ -940,3 +940,95 @@ def repeated_ngram_spans(
         )
         .drop("_sid")
     )
+
+
+def cut_repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level corpus REWRITE: remove every word covered by a
+    corpus-duplicated n-gram from all documents except the gram's
+    OWNER (the minimum doc id containing it) — the keep-one-occurrence
+    cut of Lee et al. 2022, so the repeated boilerplate survives in
+    exactly one place and the rest of each document is untouched. The
+    owner keeps all its own occurrences (including intra-doc repeats);
+    a document can lose words to several different owners at once.
+
+    Output: one row per input document — ``n_words_before``,
+    ``n_words_after``, and ``clean_text`` rebuilt from the surviving
+    words in order (documents with nothing cut pass through verbatim
+    modulo whitespace normalization, which the tokenizer already
+    imposes).
+
+    Plan: the positional-gram + frequency stages of
+    :func:`repeated_ngram_spans`, plus a per-gram min(doc) owner
+    aggregate, an explode of each foreign dup hit into its covered
+    word indexes, and ONE anti-join of the word stream against the cut
+    set before an order-preserving per-doc reassembly (sort_array over
+    collected (idx, word) structs — a grouped sort of each doc's own
+    words, never a global sort)."""
+    from mcyj_datapipeline_spark.operators.text_analysis import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    k = F.size("_w") - (n - 1)
+    gram_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        id_col, F.posexplode(gram_arr).alias("_p0", "gram")
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
+
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram", "_owner")
+    )
+    cut = (
+        grams.join(owners, "gram")
+        .filter(F.col(id_col) != F.col("_owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("widx"),
+        )
+        .distinct()
+    )
+
+    words = toks.select(
+        id_col, F.posexplode("_w").alias("_p0", "word")
+    ).select(id_col, (F.col("_p0") + 1).alias("widx"), "word")
+    kept = words.join(cut, [id_col, "widx"], "left_anti")
+
+    before = toks.select(id_col, F.size("_w").alias("n_words_before"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words_after"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("widx", "word"))
+                ),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    return before.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_words_before",
+        F.coalesce(F.col("n_words_after"), F.lit(0)).alias(
+            "n_words_after"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -1086,3 +1086,74 @@ def text_hybrid_rrf_topk(spark, sf_dir):
         "tfidf_rank",
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+# ===========================================================================
+# E13 flagship: span-level dedup REWRITE — cut corpus-repeated n-gram
+# spans everywhere except their owner document (Lee et al. 2022's
+# keep-one-occurrence policy), rebuilding the cleaned corpus
+# ===========================================================================
+
+
+def _span_cut_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(w[i.i:i.i + {_SPAN_N} - 1], ' ') AS gram
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+                    1, greatest(len(w) - {_SPAN_N} + 1, 0))) AS i) i
+    ), owners AS (
+      SELECT gram, min(doc_id) AS owner FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), cut AS (
+      SELECT DISTINCT g.doc_id, x.widx
+      FROM grams g JOIN owners o USING (gram),
+           LATERAL (SELECT unnest(generate_series(
+                    g.pos, g.pos + {_SPAN_N} - 1)) AS widx) x
+      WHERE g.doc_id <> o.owner
+    ), words AS (
+      SELECT doc_id, j.j AS widx, w[j.j] AS word
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(w))) AS j) j
+    ), kept AS (
+      SELECT wd.doc_id, wd.widx, wd.word
+      FROM words wd ANTI JOIN cut c
+        ON c.doc_id = wd.doc_id AND c.widx = wd.widx
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS n_words_after,
+             string_agg(word, ' ' ORDER BY widx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.w) AS n_words_before,
+           coalesce(r.n_words_after, 0) AS n_words_after,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@register(
+    "e13_span_dedup_rewrite",
+    _span_cut_oracle_sql(),
+    "E13 flagship: span-level dedup rewrite — every word covered by a "
+    "corpus-repeated 5-gram is cut from all documents except the "
+    "gram's owner (min doc id), keeping repeated boilerplate in "
+    "exactly one place; full cleaned corpus rebuilt with before/after "
+    "word counts. Same two gram shuffles as the span detector plus "
+    "one anti-join of the word stream against the cut set and an "
+    "order-preserving grouped reassembly (sort_array over each doc's "
+    "own (idx, word) structs — never a global sort).",
+)
+def e13_span_dedup_rewrite(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        cut_repeated_ngram_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cut_repeated_ngram_spans(docs, n=_SPAN_N).orderBy("doc_id")

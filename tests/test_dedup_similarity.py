@@ -684,3 +684,35 @@ def test_repeated_ngram_spans_adjacent_passages_merge(spark):
     assert sorted(spans[2]) == [(1, 4, 1), (10, 13, 1)]
     assert spans[3] == [(1, 4, 1)]
     assert spans[4] == [(1, 4, 1)]
+
+
+def test_cut_repeated_ngram_spans_owner_keeps_others_lose(spark):
+    """Span-cut rewrite: the gram's minimum doc keeps its occurrence
+    verbatim; every other doc loses exactly the covered words; unique
+    docs pass through; word counts reconcile."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        cut_repeated_ngram_spans,
+    )
+
+    shared = "one two three four"  # a single 4-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "pre " + shared + " post"),      # owner (min doc id)
+            (2, "alpha " + shared + " omega"),   # loses the 4 words
+            (3, shared),                          # loses everything
+            (4, "totally unrelated words here"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_words_before"],
+            r["n_words_after"],
+            r["clean_text"],
+        )
+        for r in cut_repeated_ngram_spans(docs, n=4).collect()
+    }
+    assert out[1] == (6, 6, "pre " + shared + " post")
+    assert out[2] == (6, 2, "alpha omega")
+    assert out[3] == (4, 0, "")
+    assert out[4] == (4, 4, "totally unrelated words here")
