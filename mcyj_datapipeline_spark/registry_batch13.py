@@ -999,6 +999,33 @@ def _rrf_oracle_sql() -> str:
     """
 
 
+def _rank_top_pool(scored, rank_name):
+    """Top-``_RRF_POOL`` rows of a (doc_id, score) frame with dense
+    1-based ranks — WITHOUT a global window (rank-over-the-corpus is
+    the one-reducer sort the registry-wide plan gate bans). The
+    orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    top-k, driver merge of pool-sized heads); ranks then come from a
+    pool x pool self-join count of strictly-preceding rows — constant
+    work (20x20) regardless of corpus size, broadcast both sides.
+    Deterministic because scores are rounded before ranking and ties
+    break on doc_id."""
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_POOL)
+    a = top.select(
+        F.col("doc_id").alias("_ad"), F.col("score").alias("_as")
+    )
+    b = top.select(
+        F.col("doc_id").alias("_bd"), F.col("score").alias("_bs")
+    )
+    before = (F.col("_bs") > F.col("_as")) | (
+        (F.col("_bs") == F.col("_as")) & (F.col("_bd") < F.col("_ad"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("_ad").alias("doc_id"))
+        .agg((F.count("_bd") + 1).cast("int").alias(rank_name))
+    )
+
+
 @register(
     "text_hybrid_rrf_topk",
     _rrf_oracle_sql(),
@@ -1014,20 +1041,12 @@ def _rrf_oracle_sql() -> str:
     "ANN index's — same fusion shape.",
 )
 def text_hybrid_rrf_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
     from mcyj_datapipeline_spark.operators import text_analysis as TA
 
     docs = _t(spark, sf_dir, "documents")
 
     # system 1: BM25 (shared scorer), top-20 ranks
-    wdesc = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    bm25 = (
-        _bm25_scores(docs)
-        .withColumn("bm25_rank", F.row_number().over(wdesc))
-        .filter(F.col("bm25_rank") <= _RRF_POOL)
-        .select("doc_id", "bm25_rank")
-    )
+    bm25 = _rank_top_pool(_bm25_scores(docs), "bm25_rank")
 
     # system 2: TF-IDF cosine of the query against each doc
     toks = docs.select(
@@ -1053,7 +1072,7 @@ def text_hybrid_rrf_topk(spark, sf_dir):
         .distinct()
         .agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("qn"))
     )
-    cos = (
+    cos = _rank_top_pool(
         weighted.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("idf")).alias("dot"))
@@ -1064,10 +1083,8 @@ def text_hybrid_rrf_topk(spark, sf_dir):
             F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), 6).alias(
                 "score"
             ),
-        )
-        .withColumn("tfidf_rank", F.row_number().over(wdesc))
-        .filter(F.col("tfidf_rank") <= _RRF_POOL)
-        .select("doc_id", "tfidf_rank")
+        ),
+        "tfidf_rank",
     )
 
     # rank-space fusion over the two tiny lists
