@@ -716,3 +716,69 @@ def test_cut_repeated_ngram_spans_owner_keeps_others_lose(spark):
     assert out[2] == (6, 2, "alpha omega")
     assert out[3] == (4, 0, "")
     assert out[4] == (4, 4, "totally unrelated words here")
+
+
+def test_repeated_ngram_spans_random_corpora_match_bruteforce(spark):
+    """Randomized cross-check (the union-find pattern): on arbitrary
+    small corpora drawn from a tiny vocabulary (to force shared
+    grams), the Spark span pipeline must agree exactly with a
+    driver-side brute-force reference over three seeds."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    def brute(docs, n):
+        grams = {}
+        for did, text in docs:
+            ws = text.split()
+            for p in range(1, len(ws) - n + 2):
+                g = " ".join(ws[p - 1 : p - 1 + n])
+                grams.setdefault(g, set()).add(did)
+        dup = {g for g, ds in grams.items() if len(ds) >= 2}
+        out = []
+        for did, text in docs:
+            ws = text.split()
+            hits = [
+                p
+                for p in range(1, len(ws) - n + 2)
+                if " ".join(ws[p - 1 : p - 1 + n]) in dup
+            ]
+            span = None
+            for p in hits:
+                if span and p - span[1] <= n:
+                    span = (span[0], p, span[2] + 1)
+                else:
+                    if span:
+                        out.append((did, span[0], span[1] + n - 1, span[2]))
+                    span = (p, p, 1)
+            if span:
+                out.append((did, span[0], span[1] + n - 1, span[2]))
+        return sorted(out)
+
+    for seed, n_docs, vocab_n, doc_len, n in [
+        (11, 12, 6, 18, 3),
+        (12, 8, 4, 25, 4),
+        (13, 15, 8, 12, 2),
+    ]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        docs = [
+            (
+                i,
+                " ".join(
+                    vocab[rng.randrange(vocab_n)] for _ in range(doc_len)
+                ),
+            )
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            (
+                r["doc_id"],
+                r["span_start"],
+                r["span_end"],
+                r["n_dup_grams"],
+            )
+            for r in repeated_ngram_spans(df, n=n).collect()
+        )
+        assert got == brute(docs, n), f"seed {seed} diverged"
