@@ -106,6 +106,9 @@ HEADLINE = [
     "ts2_linear_interpolation",
     "text_bm25_topk",
     "text_vocab_oov_rate",
+    "dedup_repeated_ngram_spans",
+    "text_hybrid_rrf_topk",
+    "e13_span_dedup_rewrite",
 ]
 
 
