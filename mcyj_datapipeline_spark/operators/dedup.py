@@ -1032,3 +1032,101 @@ def cut_repeated_ngram_spans(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similar pairs via prefix filtering (the
+    AllPairs/PPJoin family) — same output contract as
+    :func:`ngram_jaccard_pairs`, different candidate generation: each
+    document indexes only its PREFIX (its ``|r| - ceil(t*|r|) + 1``
+    globally-rarest shingles under the canonical (document-frequency
+    asc, shingle asc) order) instead of every shingle. Any pair with
+    jaccard >= t must overlap in at least ``ceil(t*|r|)`` shingles, so
+    an intersection confined to the suffix (size ``ceil(t*|r|) - 1``)
+    is impossible — candidates shrink, recall stays 1.0 by theorem,
+    and exact verification (array_intersect on the full sets) makes
+    the result identical to the brute shared-shingle join.
+
+    This is the EXACT counterpart to MinHash/LSH at scale: where LSH
+    trades recall for bucket-bounded cost, prefix filtering keeps
+    exactness and instead bounds cost by indexing rare tokens — the
+    frequent boilerplate shingles that explode ngram_jaccard_pairs'
+    inverted index (its ``max_shingle_docs`` valve) mostly live in
+    SUFFIXES here and never reach the self-join.
+
+    Plan: shingle frequency (one groupBy), per-doc canonical sort of
+    its OWN shingles (sort_array over collected (freq, shingle)
+    structs — grouped, never a global vocabulary window), prefix
+    explode + self-join + distinct for candidates, then one
+    verification join carrying the two full shingle arrays."""
+    sh = (
+        _spread_for_compute(
+            df.select(F.col(id_col), F.col(text_col)), id_col
+        )
+        .select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+
+    ordered = (
+        inv.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_df", "shingle"))
+            ).alias("_ord")
+        )
+    )
+    sz = F.size("_ord")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.slice("_ord", 1, plen), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    cands = (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("_i"),
+            F.size("_sa").alias("_na"),
+            F.size("_sb").alias("_nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified

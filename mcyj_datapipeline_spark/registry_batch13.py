@@ -1174,3 +1174,53 @@ def e13_span_dedup_rewrite(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return cut_repeated_ngram_spans(docs, n=_SPAN_N).orderBy("doc_id")
+
+
+# ===========================================================================
+# Prefix-filtered exact Jaccard join (AllPairs/PPJoin family) — the
+# EXACT set-similarity join; oracle is the brute shared-shingle join
+# ===========================================================================
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    # Same oracle as dedup_ngram_jaccard_pairs: prefix filtering is a
+    # candidate-pruning strategy with recall 1.0 by theorem, so the
+    # output must EQUAL the brute-force shared-shingle join's.
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)]) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 3
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh
+    ), shared AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared
+      FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           round(s.shared::DOUBLE / (len(a.sh) + len(b.sh) - s.shared), 6) AS jaccard
+    FROM shared s JOIN sh a ON s.id_a = a.doc_id JOIN sh b ON s.id_b = b.doc_id
+    WHERE s.shared::DOUBLE / (len(a.sh) + len(b.sh) - s.shared) >= 0.5
+    """,
+    "EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin): each "
+    "doc indexes only its |r|-ceil(t|r|)+1 globally-rarest shingles "
+    "(df-asc canonical order, sorted per-doc with sort_array — no "
+    "vocabulary-wide window), candidates self-join on prefix shingles "
+    "only, then exact array_intersect verification. Recall 1.0 by "
+    "theorem — the oracle is the brute shared-shingle join verbatim. "
+    "The exact counterpart to LSH at scale: boilerplate shingles live "
+    "in suffixes and never reach the self-join, attacking the same "
+    "fan-out ngram_jaccard's max_shingle_docs valve caps lossily.",
+)
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )

@@ -782,3 +782,95 @@ def test_repeated_ngram_spans_random_corpora_match_bruteforce(spark):
             for r in repeated_ngram_spans(df, n=n).collect()
         )
         assert got == brute(docs, n), f"seed {seed} diverged"
+
+
+def test_prefix_filter_jaccard_equals_bruteforce_with_fewer_candidates(
+    corpus,
+):
+    """Prefix filtering is exact by theorem: on the crafted corpus its
+    pair set must EQUAL ngram_jaccard_pairs'. And it must earn its
+    keep — the prefix inverted index generates strictly fewer
+    candidate pairs than the full shared-shingle index."""
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.prefix_filter_jaccard_pairs(
+            corpus, threshold=0.5
+        ).collect()
+    }
+    assert got == exact and exact, got ^ exact
+
+
+def test_prefix_filter_skips_boilerplate_candidate_blowup(spark):
+    """The scale claim: a boilerplate header shared by every doc makes
+    the FULL inverted index generate all C(n,2) candidate pairs, while
+    the prefix index (rarest-first order pushes the high-df header
+    shingles into suffixes) generates none of them — same final pair
+    set (empty here: bodies are unique), quadratically fewer
+    candidates."""
+    header = "standard license header all rights reserved"
+    rng = random.Random(5)
+    vocab = [f"b{i}" for i in range(2000)]
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                header
+                + " "
+                + " ".join(
+                    vocab[rng.randrange(len(vocab))] for _ in range(30)
+                ),
+            )
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    # same final answer (no pair reaches jaccard 0.5)
+    assert D.prefix_filter_jaccard_pairs(corpus, threshold=0.5).count() == 0
+    assert D.ngram_jaccard_pairs(corpus, threshold=0.5).count() == 0
+
+    # candidate-count comparison on the same shingle sets
+    sh = corpus.select(
+        "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    full_cands = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        inv.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_df", "shingle"))).alias(
+                "_ord"
+            )
+        )
+    )
+    plen = (
+        F.size("_ord") - F.ceil(F.lit(0.5) * F.size("_ord")) + 1
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("_ord", 1, plen), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    pref_cands = (
+        pref.alias("x")
+        .join(pref.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    assert full_cands >= 190  # every C(20,2) pair via the header
+    assert pref_cands < full_cands // 10, (pref_cands, full_cands)
