@@ -1224,3 +1224,126 @@ def dedup_prefix_filter_jaccard(spark, sf_dir):
     return prefix_filter_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+# ===========================================================================
+# E14 flagship: corpus datasheet — the per-language release report
+# (docs/tokens/vocab, exact-dup share, quality quartiles) every
+# dataset card needs, as ONE declarative pass
+# ===========================================================================
+
+
+def _datasheet_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry_batch3 import _E4_QUALITY_SQL
+
+    return f"""
+    WITH scored AS ({_E4_QUALITY_SQL}),
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), tok_stats AS (
+      SELECT lang, count(*) AS n_tokens,
+             count(DISTINCT term) AS n_distinct_terms
+      FROM toks GROUP BY lang
+    ), owners AS (
+      SELECT sha256(text) AS sha, min(doc_id) AS owner
+      FROM documents GROUP BY 1
+    ), flags AS (
+      SELECT d.lang, d.doc_id, length(d.text) AS n_chars,
+             CASE WHEN o.owner <> d.doc_id THEN 1 ELSE 0 END AS is_dup,
+             s.quality
+      FROM documents d
+      JOIN owners o ON o.sha = sha256(d.text)
+      JOIN scored s ON s.doc_id = d.doc_id
+    )
+    SELECT f.lang,
+           count(*) AS n_docs,
+           t.n_tokens, t.n_distinct_terms,
+           sum(f.n_chars)::BIGINT AS n_chars,
+           sum(f.is_dup)::BIGINT AS n_exact_dups,
+           round(sum(f.is_dup)::DOUBLE / count(*), 6) AS dup_rate,
+           round(quantile_cont(f.quality, 0.25), 4) AS quality_p25,
+           round(quantile_cont(f.quality, 0.50), 4) AS quality_p50,
+           round(quantile_cont(f.quality, 0.75), 4) AS quality_p75
+    FROM flags f JOIN tok_stats t USING (lang)
+    GROUP BY f.lang, t.n_tokens, t.n_distinct_terms
+    ORDER BY f.lang
+    """
+
+
+@register(
+    "e14_corpus_datasheet",
+    _datasheet_oracle_sql(),
+    "E14 flagship: the corpus datasheet — per-language doc/token/"
+    "distinct-term/char counts, exact-duplicate share (sha owner != "
+    "self), and quality quartiles (exact interpolated percentile, "
+    "both engines linear-interpolate identically on 6dp-rounded "
+    "scores) — the release report every dataset card carries. One "
+    "tokenize pass feeds token and vocab stats; the dup flag is a "
+    "digest-only groupBy joined back; quality is a pure column "
+    "expression; everything meets in a per-lang aggregate (tiny "
+    "grouping key set).",
+)
+def e14_corpus_datasheet(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators import text_analysis as TA
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(TA.tokens(F.col("text"))).alias("term")
+    )
+    tok_stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct_terms"),
+    )
+    owners = docs.groupBy(F.sha2("text", 256).alias("_sha")).agg(
+        F.min("doc_id").alias("_owner")
+    )
+    flags = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.sha2("text", 256).alias("_sha"),
+            TA.quality_score(F.col("text")).alias("quality"),
+        )
+        .join(owners, "_sha")
+        .withColumn(
+            "is_dup",
+            F.when(F.col("_owner") != F.col("doc_id"), 1).otherwise(0),
+        )
+    )
+    per_lang = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("is_dup").alias("n_exact_dups"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.expr("percentile(quality, 0.25)"), 4).alias(
+            "quality_p25"
+        ),
+        F.round(F.expr("percentile(quality, 0.50)"), 4).alias(
+            "quality_p50"
+        ),
+        F.round(F.expr("percentile(quality, 0.75)"), 4).alias(
+            "quality_p75"
+        ),
+    )
+    return (
+        per_lang.join(tok_stats, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_terms",
+            "n_chars",
+            "n_exact_dups",
+            "dup_rate",
+            "quality_p25",
+            "quality_p50",
+            "quality_p75",
+        )
+        .orderBy("lang")
+    )
