@@ -389,11 +389,13 @@ def synth_gray_png(width: int, height: int, value: int) -> bytes:
     )
 
 
-def _png_decode_image(content: bytes) -> tuple[int, int, float]:
-    """REAL decoder for 8-bit grayscale PNG: chunk walk, zlib inflate,
-    full scanline unfilter (all five PNG filter types), mean over the
-    recovered pixels. Raises ValueError on anything it cannot decode
-    (caller decides poison policy)."""
+def _png_gray_pixels(content: bytes) -> tuple[int, int, list]:
+    """REAL decoder core for 8-bit grayscale PNG: chunk walk, zlib
+    inflate, full scanline unfilter (all five PNG filter types);
+    returns (width, height, rows-of-pixel-bytearrays). Raises
+    ValueError on anything it cannot decode (caller decides poison
+    policy). ``_png_decode_image`` and the dHash kernel both build on
+    this."""
     import struct
     import zlib
 
@@ -419,7 +421,7 @@ def _png_decode_image(content: bytes) -> tuple[int, int, float]:
     stride = w + 1
     if len(raw) < stride * h:
         raise ValueError("truncated pixel data")
-    total = 0
+    rows = []
     prev = bytearray(w)
     for y in range(h):
         row = bytearray(raw[y * stride + 1:(y + 1) * stride])
@@ -445,6 +447,161 @@ def _png_decode_image(content: bytes) -> tuple[int, int, float]:
                 row[x] = (row[x] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown filter {ftype}")
-        total += sum(row)
+        rows.append(row)
         prev = row
-    return w, h, total / (w * h)
+    return w, h, rows
+
+
+def _png_decode_image(content: bytes) -> tuple[int, int, float]:
+    """Mean-luma features over the real stdlib PNG decode."""
+    w, h, rows = _png_gray_pixels(content)
+    return w, h, sum(sum(r) for r in rows) / (w * h)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: difference hash (dHash) + banded near-pair join
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_from_grid(grid) -> int:
+    """64-bit difference hash from a 8-row x 9-column grayscale grid
+    (flat list of 72 ints): bit r*8+c set iff cell (r, c+1) is
+    brighter than cell (r, c) — the classic gradient-direction
+    fingerprint, invariant to global brightness/contrast shifts."""
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r * 9 + c + 1] > grid[r * 9 + c]:
+                h |= 1 << (r * 8 + c)
+    # keep inside signed int64 for Spark LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _png_grid_decoder(content: bytes):
+    """REAL grid decoder: stdlib PNG decode, then block-mean resize to
+    the 9x8 dHash grid (each cell averages its pixel block — the
+    area-style downsample dHash specifies)."""
+    w, h, rows = _png_gray_pixels(content)
+    grid = []
+    for gr in range(8):
+        y0, y1 = gr * h // 8, max((gr + 1) * h // 8, gr * h // 8 + 1)
+        for gc in range(9):
+            x0, x1 = gc * w // 9, max((gc + 1) * w // 9, gc * w // 9 + 1)
+            acc = n = 0
+            for y in range(y0, min(y1, h)):
+                row = rows[y]
+                for x in range(x0, min(x1, w)):
+                    acc += row[x]
+                    n += 1
+            grid.append(acc // max(n, 1))
+    return grid
+
+
+def _fake_grid_decoder(content: bytes):
+    """Deterministic stand-in grid for non-image bytes (closed-form in
+    octet_length, so registry oracles re-derive it arithmetically —
+    the mm_image_features convention)."""
+    n = len(content)
+    return [(n * 7 + i * 13) % 251 for i in range(72)]
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    grid_decoder=None,
+) -> DataFrame:
+    """Per-image 64-bit dHash via Arrow mapInPandas (1:1). The grid
+    decoder is the injectable seam: explicit wins, else the stdlib PNG
+    path for real grayscale PNGs, else the deterministic fake — same
+    resolution policy as :func:`extract_image_features`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = grid_decoder
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content) if content is not None else b""
+                if decode is not None:
+                    grid = decode(content)
+                else:
+                    try:
+                        grid = _png_grid_decoder(content)
+                    except (ValueError, IndexError):
+                        grid = _fake_grid_decoder(content)
+                rows.append(
+                    (int(mid), len(content), _dhash_from_grid(grid))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "dhash"]
+            )
+
+    src = spread_for_compute(df.select(id_col, content_col), id_col)
+    return src.mapInPandas(kernel, schema=DHASH_SCHEMA)
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs: hamming(dhash_a, dhash_b) <=
+    ``max_hamming`` via pigeonhole banding — split the 64 bits into
+    ``max_hamming + 1`` bands; any pair within the radius must agree
+    EXACTLY on at least one band, so candidates come from equi-joins
+    on (band_index, band_value) and the full cross join never exists
+    (the simhash_near_pairs strategy, applied to perceptual hashes).
+    Exact verification by bit_count(xor) keeps the result identical
+    to brute force."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), b * width
+                        ).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", "_b.band", "_b.val")
+    cands = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "val"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x._h").alias("_ha"),
+            F.col("y._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

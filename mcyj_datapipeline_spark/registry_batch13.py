@@ -1347,3 +1347,69 @@ def e14_corpus_datasheet(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Perceptual image dedup: dHash + banded hamming near-pair join
+# ===========================================================================
+
+
+def _dhash_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry_batch3 import _MM_BLOB_SQL
+
+    # closed-form twin of the fake grid decoder + dHash bit rule:
+    # grid[i] = (L*7 + i*13) % 251 over flat index i = r*9 + c, bit
+    # r*8+c set iff grid[r*9+c+1] > grid[r*9+c]; signed-int64 wrap
+    # mirrors Spark's LongType.
+    bit = (
+        "CASE WHEN (L*7 + ((i//8)*9 + (i%8) + 1)*13) % 251 "
+        "> (L*7 + ((i//8)*9 + (i%8))*13) % 251 "
+        "THEN (1::HUGEINT << i) ELSE 0::HUGEINT END"
+    )
+    return f"""
+    WITH blobs AS ({_MM_BLOB_SQL}),
+    sums AS (
+      SELECT media_id,
+             list_sum([{bit} for i in range(0, 64)]) AS s
+      FROM (SELECT media_id, octet_length(content) AS L FROM blobs)
+    ),
+    hashes AS (
+      SELECT media_id,
+             (CASE WHEN s >= (1::HUGEINT << 63)
+                   THEN s - (1::HUGEINT << 64) ELSE s END)::BIGINT AS dhash
+      FROM sums
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "mm_image_dhash_near_dup",
+    _dhash_oracle_sql(),
+    "Perceptual image dedup: per-image 64-bit difference hash (dHash) "
+    "via Arrow mapInPandas, then near-pairs at hamming <= 4 via "
+    "pigeonhole banding — 5 bands of 12-13 bits, equi-join on (band, "
+    "value), exact bit_count(xor) verification; the full cross join "
+    "never exists. Grid decoder is the injectable seam (real stdlib "
+    "PNG block-mean path unit-tested separately); the registered "
+    "query pins the deterministic fake so the oracle re-derives the "
+    "grid arithmetic closed-form — the mm_image_features convention.",
+)
+def mm_image_dhash_near_dup(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        _fake_grid_decoder,
+        dhash_near_pairs,
+        image_dhash,
+    )
+    from mcyj_datapipeline_spark.registry_batch3 import _media_df
+
+    hashes = image_dhash(
+        _media_df(spark, sf_dir), grid_decoder=_fake_grid_decoder
+    )
+    return dhash_near_pairs(hashes, max_hamming=4).orderBy(
+        "id_a", "id_b"
+    )

@@ -489,3 +489,147 @@ def test_pdf_stdlib_roundtrips_all_real_reference_texts():
     assert n == 596
     assert simple_ok == n, f"simple layout: {simple_ok}/{n}"
     assert adv_ok == n, f"advanced layout: {adv_ok}/{n}"
+
+
+def _gradient_png(width: int, height: int, step: int, noise: int = 0) -> bytes:
+    """8-bit grayscale PNG with a horizontal gradient (value = x*step,
+    clamped), optional tiny per-row brightness offset to emulate a
+    re-encode — filter type 0 rows, single IDAT."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for y in range(height):
+        row = bytes(
+            min(255, x * step + (noise if y % 2 else 0))
+            for x in range(width)
+        )
+        raw += b"\x00" + row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_dhash_real_png_near_dup_vs_distinct():
+    """The REAL dHash path (stdlib PNG decode -> block-mean 9x8 grid):
+    a re-encoded near-copy of a gradient (tiny brightness jitter) must
+    land within a small hamming radius of the original, while a
+    reversed gradient must sit far away — the perceptual property the
+    hash exists for. Brightness invariance: a globally +40 shifted
+    copy hashes IDENTICALLY (dHash compares neighbors, not levels)."""
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        _dhash_from_grid,
+        _png_grid_decoder,
+    )
+
+    base = _dhash_from_grid(_png_grid_decoder(_gradient_png(36, 32, 6)))
+    jitter = _dhash_from_grid(
+        _png_grid_decoder(_gradient_png(36, 32, 6, noise=2))
+    )
+    reverse = _dhash_from_grid(
+        _png_grid_decoder(_reverse_gradient_png(36, 32, 6))
+    )
+    shifted = _dhash_from_grid(
+        _png_grid_decoder(_shifted_gradient_png(36, 32, 6, 40))
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(base, jitter) <= 4, ham(base, jitter)
+    assert ham(base, reverse) >= 32, ham(base, reverse)
+    assert shifted == base
+
+
+def _reverse_gradient_png(width: int, height: int, step: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for _y in range(height):
+        row = bytes(
+            min(255, (width - 1 - x) * step) for x in range(width)
+        )
+        raw += b"\x00" + row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _shifted_gradient_png(width: int, height: int, step: int, shift: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    for _y in range(height):
+        row = bytes(
+            min(255, x * step + shift) for x in range(width)
+        )
+        raw += b"\x00" + row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_dhash_spark_pipeline_finds_planted_image_pair(spark):
+    """End-to-end through the Spark operators: plant two near-identical
+    real PNGs among distinct ones; image_dhash (real stdlib path) +
+    dhash_near_pairs must surface exactly the planted pair."""
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    # NOTE: no "flatter ramp" decoy — dHash is contrast-invariant by
+    # design, so ANY monotone-increasing gradient hashes identically to
+    # the base (that's the feature, not a bug); the far image must
+    # differ in gradient DIRECTION, as the reversed ramp does.
+    rows = [
+        (1, _gradient_png(36, 32, 6)),
+        (2, _gradient_png(36, 32, 6, noise=2)),  # near-copy of 1
+        (3, _reverse_gradient_png(36, 32, 6)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = image_dhash(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_pairs(hashes, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert all(p == (1, 2) for p in pairs), pairs
