@@ -1413,3 +1413,65 @@ def mm_image_dhash_near_dup(spark, sf_dir):
     return dhash_near_pairs(hashes, max_hamming=4).orderBy(
         "id_a", "id_b"
     )
+
+
+# ===========================================================================
+# Audio near-dup: frame-energy fingerprint + the same banded hamming join
+# ===========================================================================
+
+
+def _afp_oracle_sql() -> str:
+    from mcyj_datapipeline_spark.registry_batch3 import _MM_BLOB_SQL
+
+    # closed-form twin of the fake energy frames + sign-of-delta bits:
+    # f(i) = (L*11 + i*17) % 257, bit i set iff f(i+1) > f(i).
+    bit = (
+        "CASE WHEN (L*11 + (i+1)*17) % 257 > (L*11 + i*17) % 257 "
+        "THEN (1::HUGEINT << i) ELSE 0::HUGEINT END"
+    )
+    return f"""
+    WITH blobs AS ({_MM_BLOB_SQL}),
+    sums AS (
+      SELECT media_id,
+             list_sum([{bit} for i in range(0, 64)]) AS s
+      FROM (SELECT media_id, octet_length(content) AS L FROM blobs)
+    ),
+    hashes AS (
+      SELECT media_id,
+             (CASE WHEN s >= (1::HUGEINT << 63)
+                   THEN s - (1::HUGEINT << 64) ELSE s END)::BIGINT AS afp
+      FROM sums
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "mm_audio_fingerprint_near_dup",
+    _afp_oracle_sql(),
+    "Audio near-dup: per-clip 64-bit fingerprint (sign of frame-energy "
+    "delta over 65 equal time blocks — loudness-invariant, the 1-D "
+    "dHash analog) via Arrow mapInPandas, then hamming <= 4 pairs "
+    "through the SAME pigeonhole-banded join as image dHash (the "
+    "banding operator is hash-agnostic). Real stdlib PCM16 framing "
+    "unit-tested separately; the registered query pins the "
+    "deterministic fake with a closed-form oracle.",
+)
+def mm_audio_fingerprint_near_dup(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        _fake_energy_frames,
+        audio_fingerprint,
+        dhash_near_pairs,
+    )
+    from mcyj_datapipeline_spark.registry_batch3 import _media_df
+
+    fps = audio_fingerprint(
+        _media_df(spark, sf_dir), frame_fn=_fake_energy_frames
+    )
+    return dhash_near_pairs(
+        fps, max_hamming=4, hash_col="afp"
+    ).orderBy("id_a", "id_b")

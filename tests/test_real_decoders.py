@@ -633,3 +633,68 @@ def test_dhash_spark_pipeline_finds_planted_image_pair(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_audio_fingerprint_real_wav_near_dup_and_loudness_invariance(
+    spark,
+):
+    """The REAL audio path (stdlib PCM16 framing): a half-volume copy
+    of a clip fingerprints IDENTICALLY (sign-of-delta is loudness
+    invariant), a lightly-noised re-encode lands within hamming 4, and
+    a different melody sits far away; the Spark pipeline surfaces
+    exactly the planted near-group."""
+    import math
+    import struct
+
+    from mcyj_datapipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_near_pairs,
+    )
+
+    def wav(samples):
+        payload = b"".join(
+            struct.pack("<h", max(-32768, min(32767, int(s))))
+            for s in samples
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rng_phase = lambda i: math.sin(i / 50.0) * math.sin(i / 700.0)
+    melody_a = [12000 * rng_phase(i) for i in range(8000)]
+    half_volume = [s * 0.5 for s in melody_a]
+    noised = [s + ((i * 37) % 13 - 6) * 8 for i, s in enumerate(melody_a)]
+    melody_b = [
+        12000 * math.sin(i / 9.0) * math.cos(i / 301.0) for i in range(8000)
+    ]
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(melody_a)),
+            (2, wav(half_volume)),
+            (3, wav(noised)),
+            (4, wav(melody_b)),
+        ],
+        "media_id long, content binary",
+    )
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert fps[1] == fps[2], "loudness invariance broken"
+    assert ham(fps[1], fps[3]) <= 4, ham(fps[1], fps[3])
+    assert ham(fps[1], fps[4]) > 10, ham(fps[1], fps[4])
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dhash_near_pairs(
+            audio_fingerprint(df), max_hamming=4, hash_col="afp"
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p for p in pairs), pairs
