@@ -871,6 +871,7 @@ def repeated_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    hash_first: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate SPANS: for every document, the merged
     word ranges covered by n-grams that also occur in at least
@@ -895,12 +896,16 @@ def repeated_ngram_spans(
     suffix-array construction the paper uses is a single-machine
     design; the n-gram restriction (fixed minimum match length L = n
     words) is what makes the semantics shuffle-expressible, and is the
-    standard distributed relaxation. At 100 TB the gram SHUFFLE pays
-    for the string payload — hash grams to 8 bytes first
-    (xxhash64, collision-checked on the shortlist) and pre-screen
-    singleton grams with a count-min/bloom pass so only repeated grams
-    reach the exact count; both drop in before the groupBy without
-    changing this function's contract."""
+    standard distributed relaxation.
+
+    ``hash_first`` is the 100 TB shuffle shape: the frequency pass
+    groups on xxhash64(gram) — 8-byte shuffle keys instead of n-word
+    strings — and only the HASH-duplicated candidate subset (tiny
+    relative to the corpus) is re-counted on the exact gram string, so
+    a hash collision can never promote a unique gram to duplicated.
+    Output is identical either way; default False keeps the two-stage
+    plan out of small jobs where the extra stages cost more than the
+    narrower shuffle saves."""
     from pyspark.sql import Window
 
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
@@ -918,13 +923,31 @@ def repeated_ngram_spans(
         id_col, F.posexplode(gram_arr).alias("_p0", "gram")
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
 
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("gram")
-    )
-    dpos = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+    if hash_first:
+        hgrams = grams.withColumn("_gh", F.xxhash64("gram"))
+        dup_h = (
+            hgrams.groupBy("_gh")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_gh")
+        )
+        cand = hgrams.join(dup_h, "_gh", "left_semi")
+        # exact confirm on the candidate subset only — collisions die here
+        dup = (
+            cand.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("gram")
+        )
+        dpos = cand.join(dup, "gram", "left_semi").select(id_col, "pos")
+    else:
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("gram")
+        )
+        dpos = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = dpos.withColumn(

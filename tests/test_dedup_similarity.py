@@ -874,3 +874,23 @@ def test_prefix_filter_skips_boilerplate_candidate_blowup(spark):
     )
     assert full_cands >= 190  # every C(20,2) pair via the header
     assert pref_cands < full_cands // 10, (pref_cands, full_cands)
+
+
+def test_repeated_ngram_spans_hash_first_identical_output(spark, sf_dir):
+    """The 100 TB shuffle shape (xxhash64 gram keys + exact string
+    confirm on the candidate subset) must produce EXACTLY the plain
+    path's spans — collisions can never promote a unique gram."""
+    from mcyj_datapipeline_spark.io import read_table
+    from mcyj_datapipeline_spark.operators.dedup import (
+        repeated_ngram_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    plain = sorted(
+        tuple(r) for r in repeated_ngram_spans(docs, n=5).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in repeated_ngram_spans(docs, n=5, hash_first=True).collect()
+    )
+    assert plain == hashed and plain
