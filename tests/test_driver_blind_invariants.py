@@ -296,3 +296,35 @@ def test_pagerank_on_purchase_graph_conserves_mass(spark, sf_dir, qs):
     # to n x 5e-7
     assert math.isclose(sum(ranks), 1.0, abs_tol=len(ranks) * 5e-7)
     assert max(ranks) < 0.5
+
+
+def test_e13_span_rewrite_conserves_and_only_removes(spark, sf_dir, qs):
+    """e13_span_dedup_rewrite on the real corpus: one output row per
+    document, no document GAINS words, total words only shrink, and
+    clean_text's own word count equals the reported n_words_after."""
+    rows = qs["e13_span_dedup_rewrite"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    lost = 0
+    for r in rows:
+        assert 0 <= r["n_words_after"] <= r["n_words_before"]
+        got_words = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert got_words == r["n_words_after"], r["doc_id"]
+        lost += r["n_words_before"] - r["n_words_after"]
+    assert lost > 0, "no spans cut on a corpus with known duplicates"
+
+
+def test_e14_datasheet_internally_consistent(spark, sf_dir, qs):
+    """e14_corpus_datasheet: per-language rows must reconcile with the
+    corpus (docs sum to corpus count, dup counts below doc counts,
+    rate == dups/docs, quartiles ordered within [0, 1], vocab no
+    larger than the token count)."""
+    rows = qs["e14_corpus_datasheet"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_exact_dups"] < r["n_docs"]
+        assert abs(r["dup_rate"] - round(r["n_exact_dups"] / r["n_docs"], 6)) < 1e-9
+        assert 0 <= r["quality_p25"] <= r["quality_p50"] <= r["quality_p75"] <= 1
+        assert 0 < r["n_distinct_terms"] <= r["n_tokens"]
+        assert r["n_chars"] > 0
