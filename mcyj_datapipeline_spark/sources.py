@@ -472,6 +472,17 @@ class JsonlAtomicStreamWriter(DataSourceStreamWriter):
         if replaced:
             _delete_unreferenced(self.path, replaced, set(manifest["files"]))
         _sweep_staging(self.path)
+        # fault-injection seam (tests only): hold the return to the
+        # engine AFTER the manifest publish — the engine cannot write
+        # its commits/<batch> entry until commit() returns, so a test
+        # killing the process inside this sleep lands exactly in the
+        # "sink committed, engine uncommitted" crash window whose
+        # replay must hit the epoch-REPLACE path above.
+        delay_ms = os.environ.get("JSONL_ATOMIC_POST_COMMIT_DELAY_MS", "")
+        if delay_ms:
+            import time
+
+            time.sleep(int(delay_ms) / 1000.0)
 
     def abort(self, messages, batchId: int) -> None:
         self.inner.abort(messages)

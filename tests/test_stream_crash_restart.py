@@ -155,3 +155,85 @@ def test_sigkill_mid_batch_then_restart_is_exactly_once(tmp_path):
             with open(os.path.join(target, name)) as fh:
                 actual += sum(1 for ln in fh if ln.strip())
         assert manifest["epoch_rows"][epoch] == actual
+
+
+def test_sigkill_after_sink_commit_before_engine_commit(tmp_path):
+    """The NARROWER crash window: the jsonl_atomic manifest already
+    holds epoch N (sink commit published) but the engine's commits/N
+    is not yet written — forced open via the sink's post-commit
+    fault-injection delay, then a real SIGKILL inside it. On restart
+    the engine must replay batch N and the sink's epoch-REPLACE
+    re-commit must leave every page exactly once (the idempotence the
+    unit tests prove in-process, here across a process kill)."""
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "sink")
+    offsets_dir = os.path.join(ckpt, "offsets")
+    commits_dir = os.path.join(ckpt, "commits")
+    mp = os.path.join(target, "_committed.json")
+
+    os.environ["JSONL_ATOMIC_POST_COMMIT_DELAY_MS"] = "1500"
+    try:
+        child = _spawn(ckpt, target, timeout_s=300)
+        kill_epoch = None
+        deadline = time.time() + 120
+        try:
+            while time.time() < deadline:
+                if child.poll() is not None:
+                    out = child.stdout.read().decode(errors="replace")
+                    pytest.fail(
+                        f"child exited rc={child.returncode} early:\n"
+                        f"{out[-2000:]}"
+                    )
+                try:
+                    epochs = {
+                        int(e)
+                        for e in json.load(open(mp))
+                        .get("epochs", {})
+                        .keys()
+                        if e.isdigit()
+                    }
+                except (OSError, ValueError):
+                    epochs = set()
+                pending = {
+                    n
+                    for n in epochs - _batch_ids(commits_dir)
+                    if n >= 1
+                }
+                if pending:
+                    kill_epoch = min(pending)
+                    os.kill(child.pid, signal.SIGKILL)
+                    break
+                time.sleep(0.01)
+            else:
+                child.kill()
+                pytest.fail("sink-committed/engine-uncommitted window "
+                            "never observed")
+        finally:
+            child.wait(timeout=30)
+    finally:
+        del os.environ["JSONL_ATOMIC_POST_COMMIT_DELAY_MS"]
+
+    # the kill landed in the narrow window: epoch in the manifest,
+    # batch absent from the engine commit log
+    assert kill_epoch is not None and kill_epoch >= 1
+    assert kill_epoch in _batch_ids(offsets_dir)
+    assert kill_epoch not in _batch_ids(commits_dir)
+    rows_at_crash = json.load(open(mp)).get("rows", 0)
+    assert rows_at_crash > 0
+
+    # restart WITHOUT the delay; the engine replays batch kill_epoch
+    child2 = _spawn(ckpt, target, timeout_s=240)
+    out2, _ = child2.communicate(timeout=300)
+    assert child2.returncode == 0, out2.decode(errors="replace")[-2000:]
+
+    manifest = json.load(open(mp))
+    assert manifest["rows"] == EXPECTED
+    seen = []
+    for name in manifest["files"]:
+        with open(os.path.join(target, name)) as fh:
+            seen += [
+                (json.loads(ln)["page"], json.loads(ln)["agency_id"])
+                for ln in fh
+                if ln.strip()
+            ]
+    assert len(seen) == len(set(seen)) == EXPECTED
