@@ -558,3 +558,80 @@ def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, n_bytes long, ratio double"
     )
+
+
+def bpe_top_merges(
+    df,
+    text_col: str = "text",
+    k: int = 3,
+):
+    """The core of BPE tokenizer TRAINING: ``k`` rounds of "count all
+    adjacent symbol pairs (weighted by word frequency), merge the most
+    frequent pair everywhere" (Sennrich et al. 2016). Returns one row
+    per learned merge: (iteration, pair, merged, pair_count).
+
+    Distribution shape: the corpus collapses to a distinct-word
+    frequency table first (vocabulary-sized, the standard trick — at
+    100 TB the word table is millions of rows, not trillions), then
+    each round is ONE pair-count groupBy over the word table plus a
+    driver collect of exactly one row (the argmax pair — bounded like
+    the k-means centroid collect) and a literal symbol rewrite.
+
+    Semantics note (identical in Spark and DuckDB, deviating from
+    canonical greedy BPE only on runs of a repeated symbol): the merge
+    applies via space-padded literal replace, so in ``a a a a`` the
+    second ``a a`` occurrence shares its boundary space with the first
+    and survives until the NEXT round. Pair counting itself is the
+    canonical overlapping zip-adjacent count."""
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "sym", F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+        )
+        .persist()
+    )
+    spark = df.sparkSession
+    out = []
+    cur = words
+    for it in range(1, k + 1):
+        s = F.split(F.col("sym"), " ")
+        pairs = F.when(
+            F.size(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda j: F.concat_ws(
+                    " ", F.element_at(s, j), F.element_at(s, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, total = top[0]["pair"], top[0]["total"]
+        merged = pair.replace(" ", "")
+        out.append((it, pair, merged, int(total)))
+        cur = cur.withColumn(
+            "sym",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ),
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        out, "iteration int, pair string, merged string, pair_count bigint"
+    )

@@ -1475,3 +1475,80 @@ def mm_audio_fingerprint_near_dup(spark, sf_dir):
     return dhash_near_pairs(
         fps, max_hamming=4, hash_col="afp"
     ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# BPE tokenizer-training core: k rounds of count-pairs / merge-argmax
+# (Sennrich et al. 2016), DuckDB twin as an unrolled-CTE chain
+# ===========================================================================
+
+_BPE_K = 3
+
+
+def _bpe_oracle_sql() -> str:
+    blocks = [
+        """
+    words AS (
+      SELECT w, count(*) AS cnt,
+             trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    prev = "words"
+    selects = []
+    for i in range(1, _BPE_K + 1):
+        blocks.append(f"""
+    p{i} AS (
+      SELECT pair, sum(cnt) AS total FROM (
+        SELECT cnt,
+               unnest([s[j] || ' ' || s[j+1] for j in range(1, len(s))])
+                 AS pair
+        FROM (SELECT cnt, string_split(sym, ' ') AS s FROM {prev})
+      ) GROUP BY pair
+    ),
+    t{i} AS (SELECT pair, total FROM p{i}
+             ORDER BY total DESC, pair LIMIT 1),
+    it{i} AS (
+      SELECT w, cnt,
+             trim(replace(' ' || sym || ' ',
+                          ' ' || (SELECT pair FROM t{i}) || ' ',
+                          ' ' || replace((SELECT pair FROM t{i}), ' ', '')
+                              || ' ')) AS sym
+      FROM {prev}
+    )""")
+        selects.append(
+            f"SELECT {i} AS iteration, pair, replace(pair, ' ', '') AS "
+            f"merged, total::BIGINT AS pair_count FROM t{i}"
+        )
+        prev = f"it{i}"
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY iteration"
+    )
+
+
+@register(
+    "text_bpe_top_merges",
+    _bpe_oracle_sql(),
+    f"BPE tokenizer-training core: {_BPE_K} rounds of 'count adjacent "
+    "symbol pairs weighted by word frequency, merge the argmax "
+    "everywhere' (Sennrich et al. 2016). The corpus collapses to a "
+    "distinct-word frequency table first (vocabulary-sized — the "
+    "standard trick that makes BPE training tractable at corpus "
+    "scale); each round is one pair-count groupBy plus a one-row "
+    "argmax collect (bounded, k-means-style) and a literal symbol "
+    "rewrite. DuckDB twin unrolls the rounds as a CTE chain with the "
+    "identical padded-replace merge semantics.",
+)
+def text_bpe_top_merges(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        bpe_top_merges,
+    )
+
+    return bpe_top_merges(_t(spark, sf_dir, "documents"), k=_BPE_K)

@@ -243,3 +243,52 @@ def test_stream_dedup_bloom_screened(spark, tmp_path):
         f"{state}/bitmap/{versions[-1]}"
     )
     assert latest.count() <= m_bits // 64
+
+
+def test_bpe_top_merges_hand_computed(spark):
+    """The Sennrich toy corpus, hand-walked: 'low'x3 + 'lower' +
+    'lowest'. Round 1 ties ('l o' and 'o w' both 5) and must break on
+    pair asc; rounds 2-3 follow the merged symbols."""
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        bpe_top_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    rows = [
+        (r["iteration"], r["pair"], r["merged"], r["pair_count"])
+        for r in bpe_top_merges(docs, k=3).orderBy("iteration").collect()
+    ]
+    assert rows == [
+        (1, "l o", "lo", 5),
+        (2, "lo w", "low", 5),
+        (3, "low e", "lowe", 2),
+    ]
+
+
+def test_bpe_merge_applies_everywhere_and_weights_by_frequency(spark):
+    """A pair occurring once in a frequent word must outrank a pair
+    occurring in many distinct but rare words only when the weighted
+    count says so; after the merge, the pair no longer exists in any
+    word's symbols (next round's top differs)."""
+    from mcyj_datapipeline_spark.operators.text_analysis import (
+        bpe_top_merges,
+    )
+
+    # 'zz' pair appears in one word repeated 10 times (weight 10);
+    # 'ab' appears in 4 distinct words once each (weight 4)
+    docs = spark.createDataFrame(
+        [(1, " ".join(["qzz"] * 10 + ["abc", "abd", "abe", "abf"]))],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["iteration"], r["pair"], r["pair_count"])
+        for r in bpe_top_merges(docs, k=2).orderBy("iteration").collect()
+    ]
+    # 'q z' and 'z z' both weigh 10 (the frequent word contributes
+    # both); the tie breaks on pair asc, so 'q z' merges first and
+    # round 2's symbols are 'qz z' — weight still 10, ahead of the
+    # 4-weight 'a b'
+    assert rows[0] == (1, "q z", 10)
+    assert rows[1] == (2, "qz z", 10)
