@@ -513,6 +513,21 @@ def _fake_grid_decoder(content: bytes):
     return [(n * 7 + i * 13) % 251 for i in range(72)]
 
 
+def _fake_grid_decoder_id(content: bytes, media_id: int):
+    """Id-aware fake grid with PLANTED near-dups: ids 0/1 mod 100
+    share a seed (so each hundred-block contributes one exact pair),
+    everything else scatters via a quadratic-residue pattern — a
+    linear fake's constant delta pattern makes every hash
+    near-identical (observed: ~11k pairs over 500 docs), which
+    benchmarks nothing. Closed form in (octet_length, media_id) so
+    the oracle stays arithmetic."""
+    n = len(content)
+    seed = media_id - (media_id % 100) if media_id % 100 < 2 else media_id
+    return [
+        ((n + seed * 31) * (i * i + 3 * i + 7)) % 251 for i in range(72)
+    ]
+
+
 def image_dhash(
     df: DataFrame,
     content_col: str = "content",
@@ -524,6 +539,13 @@ def image_dhash(
     path for real grayscale PNGs, else the deterministic fake — same
     resolution policy as :func:`extract_image_features`."""
 
+    import inspect
+
+    id_aware = (
+        grid_decoder is not None
+        and len(inspect.signature(grid_decoder).parameters) >= 2
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = grid_decoder
         for pdf in batches:
@@ -531,7 +553,11 @@ def image_dhash(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 content = bytes(content) if content is not None else b""
                 if decode is not None:
-                    grid = decode(content)
+                    grid = (
+                        decode(content, int(mid))
+                        if id_aware
+                        else decode(content)
+                    )
                 else:
                     try:
                         grid = _png_grid_decoder(content)
@@ -678,6 +704,17 @@ def _fake_energy_frames(content: bytes, n_frames: int = 65):
     return [(n * 11 + i * 17) % 257 for i in range(n_frames)]
 
 
+def _fake_energy_frames_id(content: bytes, media_id: int, n_frames: int = 65):
+    """Id-aware fake energies with planted near-dups (see
+    ``_fake_grid_decoder_id`` for the rationale)."""
+    n = len(content)
+    seed = media_id - (media_id % 100) if media_id % 100 < 2 else media_id
+    return [
+        ((n + seed * 29) * (i * i + 5 * i + 11)) % 257
+        for i in range(n_frames)
+    ]
+
+
 def audio_fingerprint(
     df: DataFrame,
     content_col: str = "content",
@@ -691,6 +728,18 @@ def audio_fingerprint(
     pairs reuse :func:`dhash_near_pairs` (the banded hamming join is
     hash-agnostic)."""
 
+    import inspect
+
+    id_aware = (
+        frame_fn is not None
+        and sum(
+            1
+            for p in inspect.signature(frame_fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+        )
+        >= 2
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extract = frame_fn
         for pdf in batches:
@@ -698,7 +747,11 @@ def audio_fingerprint(
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 content = bytes(content) if content is not None else b""
                 if extract is not None:
-                    frames = extract(content)
+                    frames = (
+                        extract(content, int(mid))
+                        if id_aware
+                        else extract(content)
+                    )
                 else:
                     try:
                         frames = _wav_energy_frames(content)

@@ -1361,9 +1361,13 @@ def _dhash_oracle_sql() -> str:
     # grid[i] = (L*7 + i*13) % 251 over flat index i = r*9 + c, bit
     # r*8+c set iff grid[r*9+c+1] > grid[r*9+c]; signed-int64 wrap
     # mirrors Spark's LongType.
+    cell = (
+        "((L + seed*31) * ({j}*{j} + 3*{j} + 7)) % 251"
+    )
+    j1 = "((i//8)*9 + (i%8))"
+    j2 = "((i//8)*9 + (i%8) + 1)"
     bit = (
-        "CASE WHEN (L*7 + ((i//8)*9 + (i%8) + 1)*13) % 251 "
-        "> (L*7 + ((i//8)*9 + (i%8))*13) % 251 "
+        f"CASE WHEN {cell.format(j=j2)} > {cell.format(j=j1)} "
         "THEN (1::HUGEINT << i) ELSE 0::HUGEINT END"
     )
     return f"""
@@ -1371,7 +1375,11 @@ def _dhash_oracle_sql() -> str:
     sums AS (
       SELECT media_id,
              list_sum([{bit} for i in range(0, 64)]) AS s
-      FROM (SELECT media_id, octet_length(content) AS L FROM blobs)
+      FROM (SELECT media_id, octet_length(content) AS L,
+                   CASE WHEN media_id % 100 < 2
+                        THEN media_id - (media_id % 100)
+                        ELSE media_id END AS seed
+            FROM blobs)
     ),
     hashes AS (
       SELECT media_id,
@@ -1401,14 +1409,14 @@ def _dhash_oracle_sql() -> str:
 )
 def mm_image_dhash_near_dup(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.multimodal import (
-        _fake_grid_decoder,
+        _fake_grid_decoder_id,
         dhash_near_pairs,
         image_dhash,
     )
     from mcyj_datapipeline_spark.registry_batch3 import _media_df
 
     hashes = image_dhash(
-        _media_df(spark, sf_dir), grid_decoder=_fake_grid_decoder
+        _media_df(spark, sf_dir), grid_decoder=_fake_grid_decoder_id
     )
     return dhash_near_pairs(hashes, max_hamming=4).orderBy(
         "id_a", "id_b"
@@ -1425,8 +1433,9 @@ def _afp_oracle_sql() -> str:
 
     # closed-form twin of the fake energy frames + sign-of-delta bits:
     # f(i) = (L*11 + i*17) % 257, bit i set iff f(i+1) > f(i).
+    f = "((L + seed*29) * ({j}*{j} + 5*{j} + 11)) % 257"
     bit = (
-        "CASE WHEN (L*11 + (i+1)*17) % 257 > (L*11 + i*17) % 257 "
+        f"CASE WHEN {f.format(j='(i+1)')} > {f.format(j='i')} "
         "THEN (1::HUGEINT << i) ELSE 0::HUGEINT END"
     )
     return f"""
@@ -1434,7 +1443,11 @@ def _afp_oracle_sql() -> str:
     sums AS (
       SELECT media_id,
              list_sum([{bit} for i in range(0, 64)]) AS s
-      FROM (SELECT media_id, octet_length(content) AS L FROM blobs)
+      FROM (SELECT media_id, octet_length(content) AS L,
+                   CASE WHEN media_id % 100 < 2
+                        THEN media_id - (media_id % 100)
+                        ELSE media_id END AS seed
+            FROM blobs)
     ),
     hashes AS (
       SELECT media_id,
@@ -1463,14 +1476,14 @@ def _afp_oracle_sql() -> str:
 )
 def mm_audio_fingerprint_near_dup(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.multimodal import (
-        _fake_energy_frames,
+        _fake_energy_frames_id,
         audio_fingerprint,
         dhash_near_pairs,
     )
     from mcyj_datapipeline_spark.registry_batch3 import _media_df
 
     fps = audio_fingerprint(
-        _media_df(spark, sf_dir), frame_fn=_fake_energy_frames
+        _media_df(spark, sf_dir), frame_fn=_fake_energy_frames_id
     )
     return dhash_near_pairs(
         fps, max_hamming=4, hash_col="afp"
