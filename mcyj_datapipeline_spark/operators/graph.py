@@ -168,3 +168,54 @@ def triangle_stats(
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .select("n_edges", "n_wedges", "n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list given in mirrored form (both directions
+    present). Returns ``(node, label)`` after ``iterations`` rounds.
+
+    Semantics: ``label_0(v) = v``; each round every node adopts the
+    most frequent label among its NEIGHBORS (the node's own previous
+    label does not vote), ties broken to the smallest label — the
+    deterministic variant of Raghavan et al.'s LPA, so the result is a
+    pure function of the edge set and both engines agree bit-for-bit.
+
+    Scale shape: edges are repartitioned on ``src`` once and lazily
+    checkpointed; each round is one hash join of the previous labels
+    (already partitioned on node by the round's final groupBy) against
+    the cached edges, a partial-aggregating groupBy(node, label)
+    vote count, and a groupBy(node) argmax — label state never exceeds
+    one row per node, and the plan stays constant-size via
+    ``localCheckpoint`` (swap for ``checkpoint`` on a real cluster).
+    The argmax is ``max(struct(votes, -label))`` — no per-node window,
+    so partial aggregation applies map-side.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(e["dst"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

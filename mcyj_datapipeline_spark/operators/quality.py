@@ -59,3 +59,49 @@ def referential_violations(
     return orphans.crossJoin(total).select(
         F.lit(rule).alias("rule"), "n_violations", "n_rows"
     )
+
+
+def column_profile(
+    df: DataFrame,
+    columns: list[str],
+    numeric_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deequ-style per-column profile in ONE aggregation pass: for every
+    column, ``completeness`` (non-null fraction) and ``distinct_count``;
+    for numeric columns additionally ``min`` / ``max`` / ``mean``.
+    Output: (column, metric, value DOUBLE) — the long shape profile
+    stores union over and diff across batches.
+
+    Scale shape: a single ``agg`` over one scan. The exact
+    count-distincts ride the same pass via Catalyst's Expand (one scan,
+    one k-way replicated shuffle of the profiled columns only); at
+    100 TB swap them for ``approx_count_distinct`` (the a04 epsilon
+    pattern) and the Expand disappears — completeness/min/max/mean are
+    plain partial aggregates either way. The wide->long pivot is a
+    ``stack`` over ONE aggregated row, driver-side cost zero.
+    """
+    numeric = list(numeric_cols or [])
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    metrics: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+    for i, c in enumerate(columns):
+        aggs.append(F.count(F.col(c)).alias(f"_c{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_d{i}"))
+        metrics.append((c, "completeness", f"_c{i}/_n"))
+        metrics.append((c, "distinct_count", f"_d{i}"))
+    for i, c in enumerate(numeric):
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn{i}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx{i}"))
+        aggs.append(F.avg(F.col(c)).alias(f"_av{i}"))
+        metrics.append((c, "min", f"_mn{i}"))
+        metrics.append((c, "max", f"_mx{i}"))
+        metrics.append((c, "mean", f"_av{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{m}', round(CAST({expr} AS DOUBLE), 6)"
+        for c, m, expr in metrics
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(metrics)}, {stack_args}) AS (column, metric, value)"
+        )
+    )

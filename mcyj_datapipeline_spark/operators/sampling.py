@@ -178,3 +178,35 @@ def leakage_safe_split(
         test_fraction=test_fraction,
         n_buckets=n_buckets,
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws a pseudo-uniform ``u`` from its key
+    hash and is ranked by ``ln(u)/w`` (the monotone-equivalent log form
+    of ``u^(1/w)``); the top-k ranked rows are the sample. Inclusion
+    probability is proportional to weight, yet the draw is a pure
+    function of the row — reproducible across runs, partitionings, and
+    engines, unlike ``rand(seed)``-based designs (module docstring).
+
+    Scale shape: the priority is a per-row expression (no shuffle), and
+    the top-k is a ``TakeOrdered`` — per-partition heaps of size k, one
+    k-row merge at the driver, never a global sort. Rows with
+    non-positive weight are excluded (zero mass). ``u`` lands in
+    ``(0, 1]`` so ``ln(u)`` is finite.
+    """
+    u = (hash60(F.col(key).cast("string")) + F.lit(1).cast("double")) / F.lit(
+        float(1 << 60)
+    )
+    pri = F.log(u) / weight
+    return (
+        df.filter(weight > 0)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(key).asc())
+        .limit(k)
+    )

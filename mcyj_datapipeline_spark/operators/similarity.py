@@ -872,3 +872,55 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "score", F.col("_rn").alias("rank"))
     )
+
+
+def label_centroid_cosine_pairs(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (componentwise mean) — the class-separation / cluster-confusion
+    matrix a curation pipeline reads before trusting labels.
+
+    Scale shape: the corpus is touched once, as a posexplode to
+    (label, pos, value) that partial-aggregates map-side down to
+    ``k x d`` centroid components — corpus size never reaches a
+    shuffle. The pairwise stage is a self-join of the tiny centroid
+    relation on the dimension index (k^2 x d rows at most, with
+    ``label_a < label_b`` halving it) + one groupBy — all relational,
+    no arrays re-assembled, no driver collect. At 100 TB the explode is
+    d rows per vector but the partial agg means the shuffle carries
+    only k x d partials per task.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    nrm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = F.broadcast(nrm.select(F.col("label").alias("label_a"), F.col("nrm").alias("na")))
+    nb = F.broadcast(nrm.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb")))
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )

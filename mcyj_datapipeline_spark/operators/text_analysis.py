@@ -635,3 +635,56 @@ def bpe_top_merges(
     return spark.createDataFrame(
         out, "iteration int, pair string, merged string, pair_count bigint"
     )
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-phrase search via a positional index: documents whose
+    whitespace token stream contains ``phrase`` as a consecutive run,
+    with per-document match count and first match position (0-based).
+
+    Scale shape: this is the plan you get when the corpus has a
+    materialized positional inverted index (term, doc, pos) — the
+    FIRST thing that happens is a filter to the phrase's own terms, so
+    a term-partitioned index table would be partition-pruned down to
+    ``len(phrase)`` terms regardless of corpus size. The pruned
+    postings then collapse with ONE groupBy(doc): per-term position
+    arrays (bounded by document length, not corpus size) and an array
+    intersection ``p0 ∩ (p1-1) ∩ (p2-2) …`` entirely in JVM array
+    expressions. No self-join per phrase term, no window, and docs
+    without all terms are dropped by the array filter for free.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_match_counts wants >= 2 terms")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin(phrase))
+    pos_arrays = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == w, F.col("pos")))
+        ).alias(f"p{i}")
+        for i, w in enumerate(phrase)
+    ]
+    g = toks.groupBy(id_col).agg(*pos_arrays)
+    # one-arg closure per term: a `lambda x, i=i` would be introspected
+    # by F.filter as an (element, index) lambda and break resolution
+    def _adjacent(i: int):
+        return lambda x: F.array_contains(F.col(f"p{i}"), x + i)
+
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.filter(starts, _adjacent(i))
+    return (
+        g.select(F.col(id_col), starts.alias("starts"))
+        .filter(F.size("starts") > 0)
+        .select(
+            id_col,
+            F.size("starts").alias("n_matches"),
+            F.element_at("starts", 1).alias("first_pos"),
+        )
+    )
