@@ -112,6 +112,8 @@ HEADLINE = [
     "e14_corpus_datasheet",
     "dedup_prefix_filter_jaccard",
     "text_bpe_top_merges",
+    "g3_label_propagation",
+    "text_phrase_search",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes

@@ -560,29 +560,13 @@ def compression_ratio(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def bpe_top_merges(
-    df,
-    text_col: str = "text",
-    k: int = 3,
-):
-    """The core of BPE tokenizer TRAINING: ``k`` rounds of "count all
-    adjacent symbol pairs (weighted by word frequency), merge the most
-    frequent pair everywhere" (Sennrich et al. 2016). Returns one row
-    per learned merge: (iteration, pair, merged, pair_count).
-
-    Distribution shape: the corpus collapses to a distinct-word
-    frequency table first (vocabulary-sized, the standard trick — at
-    100 TB the word table is millions of rows, not trillions), then
-    each round is ONE pair-count groupBy over the word table plus a
-    driver collect of exactly one row (the argmax pair — bounded like
-    the k-means centroid collect) and a literal symbol rewrite.
-
-    Semantics note (identical in Spark and DuckDB, deviating from
-    canonical greedy BPE only on runs of a repeated symbol): the merge
-    applies via space-padded literal replace, so in ``a a a a`` the
-    second ``a a`` occurrence shares its boundary space with the first
-    and survives until the NEXT round. Pair counting itself is the
-    canonical overlapping zip-adjacent count."""
+def _bpe_train(df, text_col: str, k: int):
+    """Shared BPE training loop: ``k`` rounds of "count adjacent symbol
+    pairs weighted by word frequency, merge the argmax everywhere".
+    Returns ``(merges, final_words, persisted_words)`` — the learned
+    merge list, the word table AFTER all rewrites (its ``sym`` column
+    IS the BPE segmentation of every word type), and the persisted
+    source table the caller must unpersist."""
     from pyspark.sql import functions as F
 
     words = (
@@ -594,7 +578,6 @@ def bpe_top_merges(
         )
         .persist()
     )
-    spark = df.sparkSession
     out = []
     cur = words
     for it in range(1, k + 1):
@@ -631,10 +614,68 @@ def bpe_top_merges(
                 )
             ),
         )
+    return out, cur, words
+
+
+def bpe_top_merges(
+    df,
+    text_col: str = "text",
+    k: int = 3,
+):
+    """The core of BPE tokenizer TRAINING: ``k`` rounds of "count all
+    adjacent symbol pairs (weighted by word frequency), merge the most
+    frequent pair everywhere" (Sennrich et al. 2016). Returns one row
+    per learned merge: (iteration, pair, merged, pair_count).
+
+    Distribution shape: the corpus collapses to a distinct-word
+    frequency table first (vocabulary-sized, the standard trick — at
+    100 TB the word table is millions of rows, not trillions), then
+    each round is ONE pair-count groupBy over the word table plus a
+    driver collect of exactly one row (the argmax pair — bounded like
+    the k-means centroid collect) and a literal symbol rewrite.
+
+    Semantics note (identical in Spark and DuckDB, deviating from
+    canonical greedy BPE only on runs of a repeated symbol): the merge
+    applies via space-padded literal replace, so in ``a a a a`` the
+    second ``a a`` occurrence shares its boundary space with the first
+    and survives until the NEXT round. Pair counting itself is the
+    canonical overlapping zip-adjacent count."""
+    spark = df.sparkSession
+    out, _cur, words = _bpe_train(df, text_col, k)
     words.unpersist()
     return spark.createDataFrame(
         out, "iteration int, pair string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode_vocab(
+    df,
+    text_col: str = "text",
+    k: int = 3,
+):
+    """BPE tokenizer APPLICATION: train ``k`` merges (same loop as
+    :func:`bpe_top_merges`), then emit the resulting segmentation of
+    every word TYPE — (w, cnt, pieces, n_pieces). This is the encode
+    half of the tokenizer story: at serving time the corpus encodes by
+    joining its (vocabulary-sized) word table against exactly this
+    relation, so per-word work happens once per type, never per token
+    occurrence.
+
+    The final word table after the k-th rewrite already IS the encoded
+    vocabulary (training's rewrite and encoding's merge application are
+    the same operation in rank order), so encode costs nothing beyond
+    the training rounds plus one projection."""
+    from pyspark.sql import functions as F
+
+    _out, cur, words = _bpe_train(df, text_col, k)
+    enc = cur.select(
+        "w",
+        "cnt",
+        F.col("sym").alias("pieces"),
+        F.size(F.split(F.col("sym"), " ")).alias("n_pieces"),
+    ).localCheckpoint(eager=True)
+    words.unpersist()
+    return enc
 
 
 def phrase_match_counts(
@@ -688,3 +729,85 @@ def phrase_match_counts(
             F.element_at("starts", 1).alias("first_pos"),
         )
     )
+
+
+def pmi_bigrams(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 25,
+):
+    """Collocation mining: top-k word bigrams by pointwise mutual
+    information ``ln( p(ab) / (p(a) p(b)) )`` over token OCCURRENCES,
+    with a minimum bigram count floor (raw PMI without a floor just
+    surfaces hapaxes). Complements ``a05_bigram_counts`` (document-
+    frequency ranked): PMI finds pairs that co-occur far above chance
+    even when absolutely rare — the phrase/named-entity signal a
+    tokenizer or n-gram blocklist wants.
+
+    Scale shape: one tokenize pass feeds both the unigram and the
+    adjacent-zip bigram counts (partial aggregation map-side); the
+    unigram relation is vocabulary-sized and joined onto the
+    floor-filtered bigrams via broadcast, the two totals ride along as
+    broadcast one-row relations. Final ordering is on round(pmi, 6)
+    with the bigram as tie-break, so the top-k cut is deterministic
+    across engines.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(tokens(F.col(text_col)).alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_total = uni.agg(F.sum("c").cast("double").alias("t_tok"))
+    w = F.col("ws")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda j: F.concat_ws(
+                " ", F.element_at(w, j), F.element_at(w, j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        toks.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    b_total = (
+        toks.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb").cast("double").alias("t_big"))
+    )
+    ua = F.broadcast(uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a")))
+    ub = F.broadcast(uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b")))
+    scored = (
+        big.withColumn("wa", F.split("bigram", " ")[0])
+        .withColumn("wb", F.split("bigram", " ")[1])
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("t_big"))
+                    / (
+                        (F.col("c_a") / F.col("t_tok"))
+                        * (F.col("c_b") / F.col("t_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)

@@ -1648,3 +1648,4 @@ from mcyj_datapipeline_spark import registry_batch11  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch12  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch13  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch14  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch15  # noqa: E402,F401

@@ -1498,7 +1498,10 @@ def mm_audio_fingerprint_near_dup(spark, sf_dir):
 _BPE_K = 3
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_blocks() -> tuple[list[str], list[str], str]:
+    """The unrolled BPE-training CTE chain, shared by the merge-list
+    oracle below and batch 15's encode oracle: returns (with-blocks,
+    per-round merge selects, name of the final rewritten word table)."""
     blocks = [
         """
     words AS (
@@ -1537,6 +1540,11 @@ def _bpe_oracle_sql() -> str:
             f"merged, total::BIGINT AS pair_count FROM t{i}"
         )
         prev = f"it{i}"
+    return blocks, selects, prev
+
+
+def _bpe_oracle_sql() -> str:
+    blocks, selects, _final = _bpe_blocks()
     return (
         "WITH "
         + ",".join(blocks)
