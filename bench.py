@@ -114,6 +114,8 @@ HEADLINE = [
     "text_bpe_top_merges",
     "g3_label_propagation",
     "text_phrase_search",
+    "mb_association_rules",
+    "text_pmi_bigrams",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes

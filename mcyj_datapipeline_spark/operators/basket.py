@@ -34,12 +34,23 @@ def association_rules_pairs(
     ``item_a < item_b`` → pair floor → rule expansion via a tiny
     2-row explode, with supports and the basket count broadcast on.
     """
-    b = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # the distinct basket relation feeds the self-join (twice), the
+    # item supports, and the basket count — checkpoint it once so the
+    # scan+distinct subtree is not re-executed per consumer (static
+    # plans duplicate it; exchange reuse is a runtime maybe, this is a
+    # guarantee)
+    b = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     supp = b.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
     freq = supp.filter(F.col("s") >= min_item_support)
-    bf = b.join(freq.select("item"), "item", "left_semi")
+    bf = b.join(freq.select("item"), "item", "left_semi").localCheckpoint(
+        eager=False
+    )
     left = bf.select("basket", F.col("item").alias("item_a"))
     right = bf.select("basket", F.col("item").alias("item_b"))
     pairs = (

@@ -924,3 +924,74 @@ def label_centroid_cosine_pairs(
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+def label_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mislabel detection: vectors whose nearest LABEL CENTROID is not
+    their own label — the label-noise screen run before trusting labels
+    for supervised filtering or SemDeDup-style per-class pruning.
+    Returns (id, label, best_label, own_cos, best_cos, delta) for
+    flagged vectors only, ``delta = best_cos - own_cos > 0`` measuring
+    how confidently the embedding disagrees with the label.
+
+    Scale shape: centroids partial-aggregate map-side to k x d and are
+    re-assembled into k broadcast rows (sorted-struct transform — no
+    collect_list order assumption); scoring is the IVF assignment
+    pattern — broadcast cross join + per-vector argmax via
+    max(struct), with the own-label cosine riding the SAME groupBy as
+    a conditional max, so the corpus is scanned once and shuffles one
+    row per vector. Cosines round to 6dp before the argmax (stable
+    cross-engine tie-break to the smallest label)."""
+    ex = emb.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    cent_parts = ex.groupBy("clabel", "pos").agg(F.avg("v").alias("c"))
+    cent = cent_parts.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cent_vec")
+    )
+    scored = (
+        emb.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("clabel"),
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("cent_vec"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    agg = scored.groupBy(id_col, label_col).agg(
+        F.max(
+            F.struct(
+                F.col("cos"), (-F.col("clabel")).alias("_neg"), F.col("clabel")
+            )
+        ).alias("b"),
+        F.max(
+            F.when(F.col("clabel") == F.col(label_col), F.col("cos"))
+        ).alias("own_cos"),
+    )
+    return (
+        agg.select(
+            id_col,
+            label_col,
+            F.col("b.clabel").alias("best_label"),
+            "own_cos",
+            F.col("b.cos").alias("best_cos"),
+            F.round(F.col("b.cos") - F.col("own_cos"), 6).alias("delta"),
+        )
+        .filter(F.col("best_label") != F.col(label_col))
+    )

@@ -213,3 +213,61 @@ def frontier_schedule(
             (F.col("_rank") * delay).cast("double").alias("fetch_at_s"),
         )
     )
+
+
+def interval_islands(
+    df,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+):
+    """Gaps-and-islands: merge overlapping/touching intervals per key
+    into maximal covered spans, reporting per key the island count,
+    total covered milliseconds, and the longest island. The classic
+    coverage rollup (user activity spans, sensor uptime, lease
+    coalescing).
+
+    Plan: one key-partitioned window ordered by (start, end) computes
+    the running max of prior ends; a row starts a new island iff its
+    start exceeds that max, and the island id is the running sum of
+    those flags — islands then aggregate with min(start)/max(end)
+    (an island's union is contiguous by construction, so covered time
+    is exactly max_end - min_start). Two groupBys after the window,
+    all partitioned on the key; no self-join, no explode. Equal-start
+    ties cannot flip island boundaries (equal starts imply overlap),
+    so the result is partition-layout invariant."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.select(key_col, start_col, end_col).withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = (
+        flagged.withColumn(
+            "island_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(key_col, "island_id")
+        .agg(
+            F.min(start_col).alias("s"),
+            F.max(end_col).alias("e"),
+        )
+        .select(
+            key_col,
+            (F.unix_millis("e") - F.unix_millis("s")).alias("span_ms"),
+        )
+    )
+    return islands.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("span_ms").alias("covered_ms"),
+        F.max("span_ms").alias("max_island_ms"),
+    )

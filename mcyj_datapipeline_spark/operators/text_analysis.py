@@ -745,10 +745,12 @@ def pmi_bigrams(
     even when absolutely rare — the phrase/named-entity signal a
     tokenizer or n-gram blocklist wants.
 
-    Scale shape: one tokenize pass feeds both the unigram and the
-    adjacent-zip bigram counts (partial aggregation map-side); the
-    unigram relation is vocabulary-sized and joined onto the
-    floor-filtered bigrams via broadcast, the two totals ride along as
+    Scale shape: three column-pruned passes over the text column —
+    unigram explode, adjacent-zip bigram explode, and a no-explode
+    token-total scan — each collapsing map-side before any shuffle.
+    The unigram relation is vocabulary-sized, checkpointed once (it
+    feeds the total and BOTH join sides), and joined onto the
+    floor-filtered bigrams via broadcast; the two totals ride along as
     broadcast one-row relations. Final ordering is on round(pmi, 6)
     with the bigram as tie-break, so the top-k cut is deterministic
     across engines.
@@ -762,6 +764,7 @@ def pmi_bigrams(
         toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     t_total = uni.agg(F.sum("c").cast("double").alias("t_tok"))
     w = F.col("ws")

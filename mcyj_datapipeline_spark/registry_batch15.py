@@ -119,10 +119,11 @@ def mb_association_rules(spark, sf_dir):
     "Collocation mining: top-25 word bigrams by pointwise mutual "
     "information over token occurrences with a count-5 floor — the "
     "above-chance co-occurrence signal a tokenizer or n-gram blocklist "
-    "wants, complementing a05's raw document-frequency ranking. One "
-    "tokenize pass feeds both unigram and adjacent-zip bigram counts "
-    "(map-side partial agg); the vocabulary-sized unigram relation "
-    "broadcasts onto the floor-filtered bigrams and the two totals "
+    "wants, complementing a05's raw document-frequency ranking. Three "
+    "column-pruned passes (unigram explode, bigram explode, no-explode "
+    "totals), each collapsing map-side before any shuffle; the "
+    "vocabulary-sized unigram relation is checkpointed once and "
+    "broadcasts onto the floor-filtered bigrams, the two totals "
     "ride along as one-row broadcasts. The top-25 cut orders on "
     "round(pmi, 6) with the bigram as tie-break, so it is "
     "deterministic across engines.",
