@@ -263,7 +263,13 @@ def interval_islands(
         )
         .select(
             key_col,
-            (F.unix_millis("e") - F.unix_millis("s")).alias("span_ms"),
+            # TIMESTAMP_NTZ sources need the cast; the session timezone
+            # is pinned to UTC (session.py) so it is a pure relabel and
+            # the subtraction is exact epoch arithmetic either way
+            (
+                F.unix_millis(F.col("e").cast("timestamp"))
+                - F.unix_millis(F.col("s").cast("timestamp"))
+            ).alias("span_ms"),
         )
     )
     return islands.groupBy(key_col).agg(
