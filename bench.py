@@ -116,6 +116,10 @@ HEADLINE = [
     "text_phrase_search",
     "mb_association_rules",
     "text_pmi_bigrams",
+    "j20_snapshot_diff_cdc",
+    "t9_interval_islands",
+    "sk_count_min_heavy_hitters",
+    "g4_khop_reachability",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes
