@@ -42,11 +42,20 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--sample", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--match",
+        default=None,
+        help="comma-separated name prefixes — audit only matching queries",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="partition-invariance")
     qs = registry.queries()
     names = sorted(qs)
+    if args.match:
+        prefixes = tuple(p for p in args.match.split(",") if p)
+        names = [n for n in names if n.startswith(prefixes)]
+        print(f"family mode: {len(names)} queries match {prefixes}")
     if args.sample is not None:
         rng = random.Random(args.seed)
         names = sorted(rng.sample(names, min(args.sample, len(names))))
