@@ -1654,3 +1654,4 @@ from mcyj_datapipeline_spark import registry_batch17  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch18  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch19  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch20  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch21  # noqa: E402,F401
