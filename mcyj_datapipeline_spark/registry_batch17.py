@@ -33,16 +33,22 @@ def _t(spark, sf_dir, name):
 # diff itself is the production shape: full outer join on the key,
 # classify by side-presence and payload equality.
 
+# Payloads are derived in integer CENTS: round(x * 1.1, 2) on doubles
+# is engine-divergent at half-cent boundaries (a 1-cent drift appears
+# at sf0.1), while (cents * 11 + 5) // 10 is exact HALF_UP integer
+# arithmetic in both engines. Prices render back as cents / 100.0.
 _J20_B_SQL = f"""
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN {hash60_sql("o_orderkey::VARCHAR")} % 10 = 1
-                  THEN round(o_totalprice * 1.1, 2)
-                  ELSE o_totalprice END AS o_totalprice
+                  THEN ((round(o_totalprice * 100)::BIGINT * 11 + 5) // 10)
+                       / 100.0
+                  ELSE round(o_totalprice * 100)::BIGINT / 100.0
+             END AS o_totalprice
       FROM orders
       WHERE {hash60_sql("o_orderkey::VARCHAR")} % 10 <> 0
       UNION ALL
       SELECT o_orderkey + 100000000, o_orderstatus,
-             round(o_totalprice + 1.0, 2)
+             (round(o_totalprice * 100)::BIGINT + 100) / 100.0
       FROM orders
       WHERE {hash60_sql("o_orderkey::VARCHAR")} % 10 = 2
 """
@@ -85,24 +91,25 @@ def j20_snapshot_diff_cdc(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     bucket = hash60(F.col("o_orderkey").cast("string")) % 10
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     b = (
         orders.filter(bucket != 0)
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.when(
-                bucket == 1, F.round(F.col("o_totalprice") * 1.1, 2)
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
+            (
+                F.when(
+                    bucket == 1,
+                    F.floor((cents * 11 + 5) / 10).cast("bigint"),
+                ).otherwise(cents)
+                / 100.0
+            ).alias("o_totalprice"),
         )
         .union(
             orders.filter(bucket == 2).select(
                 (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
                 "o_orderstatus",
-                F.round(F.col("o_totalprice") + 1.0, 2).alias(
-                    "o_totalprice"
-                ),
+                ((cents + 100) / 100.0).alias("o_totalprice"),
             )
         )
     )
