@@ -112,6 +112,80 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: the teleport vector is uniform over the
+    ``seeds`` relation (single column ``node``) instead of over all
+    nodes — random walks restart AT THE SEEDS, so ranks measure
+    proximity/trust relative to that set (the recommendation /
+    TrustRank formulation). ``rank_0 = 1/|S|`` on seeds, 0 elsewhere;
+    each round ``rank(v) = (1-d)/|S| * [v in S] + d * sum contribs``.
+
+    Same scale shape as :func:`pagerank`: weights pre-joined once,
+    one join + one groupBy per iteration; the seed flag rides the node
+    relation (one broadcast-size semi-join at setup, never per
+    round). Seeds not present in the graph still teleport-anchor
+    (they hold rank even with no edges) — standard PPR behavior.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
+    s = seeds.select("node").distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    flagged = nodes.join(
+        F.broadcast(s.withColumn("_seed", F.lit(1))), "node", "left"
+    ).select(
+        "node", F.coalesce("_seed", F.lit(0)).alias("is_seed")
+    ).localCheckpoint(eager=False)
+    ns = s.count()
+    if ns == 0:
+        return flagged.select("node", F.lit(0.0).alias("rank"))
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    weighted = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+
+    teleport = F.col("is_seed") * ((1.0 - damping) / ns)
+    ranks = flagged.select(
+        "node", "is_seed", (F.col("is_seed") / ns).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+        )
+        ranks = flagged.join(
+            contribs, flagged["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            "is_seed",
+            (
+                teleport
+                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")
+
+
 def triangle_stats(
     edges: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:

@@ -1656,3 +1656,4 @@ from mcyj_datapipeline_spark import registry_batch19  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch20  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch21  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch22  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch23  # noqa: E402,F401
