@@ -120,6 +120,12 @@ HEADLINE = [
     "t9_interval_islands",
     "sk_count_min_heavy_hitters",
     "g4_khop_reachability",
+    "ml_psi_drift",
+    "quality_token_budget_select",
+    "e16_quality_canonical_rewrite",
+    "i2_incremental_join_maintenance",
+    "ev_session_paths",
+    "g5_personalized_pagerank",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes

@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     ``(node, rank)`` for every node that appears as a source or
@@ -60,9 +61,12 @@ def pagerank(
     # total instead of five (each job is scheduler latency plus a spin
     # of the host-stall lottery; same batching rationale as
     # connected_components' check_every).
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        # weighted walk: step probability proportional to edge weight
+        # (TextRank's formulation) — out-"degree" is the weight sum
+        cols.append(F.col(weight).cast("double").alias("_ew"))
+    e = edges.select(*cols).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -73,10 +77,15 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        w_expr = F.lit(1.0) / F.col("deg")
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("_ew").alias("deg"))
+        w_expr = F.col("_ew") / F.col("deg")
     weighted = (
         e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .select("src", "dst", w_expr.alias("w"))
         .repartition("src")
         .localCheckpoint(eager=False)
     )
