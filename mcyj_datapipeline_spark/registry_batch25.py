@@ -1,0 +1,151 @@
+"""Batch 25 registry entries (round 6, continued): time travel over
+the jsonl_atomic sink's generation manifests, and dynamic partition
+pruning over a partitioned fact table — the two table-format
+behaviors (Delta-style versioned reads, DPP-pruned scans) users
+expect from a 100 TB lakehouse, demonstrated with the engine's own
+machinery.
+
+Reference provenance: the reference's CSV stores are overwrite-only
+with no history (run_full_pipeline.py:150-165); the generation
+manifests give its append path a readable commit history for the
+cost of one extra KB-sized JSON per commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.operators.hashing import hash60, hash60_sql
+from mcyj_datapipeline_spark.registry import register
+from mcyj_datapipeline_spark.session import session_scratch
+
+__all__ = ["k8_time_travel_read", "o15_dynamic_partition_pruning"]
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+_K8_BUCKET = f"{hash60_sql('o_orderkey::VARCHAR')} % 3"
+
+
+@register(
+    "k8_time_travel_read",
+    f"""
+    WITH v1 AS (
+      SELECT 1 AS version, count(*) AS n_rows,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE {_K8_BUCKET} = 0
+    ), v2 AS (
+      SELECT 2 AS version, count(*) AS n_rows,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE {_K8_BUCKET} IN (0, 1)
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version
+    """,
+    "Time travel on the jsonl_atomic sink: every commit now also "
+    "publishes an immutable _committed.v{{N}}.json generation snapshot "
+    "(sources.py commit path), so read_jsonl_atomic(version=K) "
+    "resolves the table AS OF its K-th commit — the Delta-log "
+    "version-read contract for one KB of JSON per commit. The query "
+    "overwrites generation 1 (hash bucket 0 of orders), appends "
+    "generation 2 (bucket 1), then aggregates BOTH versions: v1 must "
+    "still see only the first slice after the append, v2 the union. "
+    "Append generations share their immutable file sets, so history "
+    "costs no data copies; an overwrite vacuums and resets history "
+    "(which is why the query starts with one — repeated runs are "
+    "deterministic). The oracle states each version's closed-form "
+    "slice directly against the source table.",
+)
+def k8_time_travel_read(spark, sf_dir):
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    out = os.path.join(session_scratch("timetravel"), "table")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket = hash60(F.col("o_orderkey").cast("string")) % 3
+    orders.filter(bucket == 0).write.format("jsonl_atomic").mode(
+        "overwrite"
+    ).save(out)
+    orders.filter(bucket == 1).write.format("jsonl_atomic").mode(
+        "append"
+    ).save(out)
+
+    def agg_of(version: int):
+        return (
+            read_jsonl_atomic(spark, out, version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(
+                F.lit(version).alias("version"), "n_rows", "revenue"
+            )
+        )
+
+    return agg_of(1).unionByName(agg_of(2)).orderBy("version")
+
+
+@register(
+    "o15_dynamic_partition_pruning",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus IN (SELECT DISTINCT l_linestatus FROM lineitem
+                            WHERE l_quantity >= 49 AND l_discount >= 0.09)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "Dynamic partition pruning: orders written hive-partitioned by "
+    "o_orderstatus, then joined on the partition column to a "
+    "dimension whose surviving statuses are DATA-DEPENDENT (distinct "
+    "l_linestatus of heavy discounted shipments) — no literal exists for "
+    "static pruning to propagate, so Catalyst must insert a "
+    "DynamicPruningExpression: the broadcast dim's values become a "
+    "runtime partition filter on the fact scan and only matching "
+    "status directories are read. At 100 TB this is the star-schema "
+    "pattern (fact partitioned by date/region, dim filtered by "
+    "attributes) where DPP is the difference between scanning one "
+    "partition and the whole table. tests/test_batch25.py asserts "
+    "the dynamicpruning expression is actually present in the "
+    "physical plan.",
+)
+def o15_dynamic_partition_pruning(spark, sf_dir):
+    # scratch keyed by sf basename: one cached partitioned copy PER
+    # SCALE, so a session that runs several scale factors never reads
+    # a stale copy from another one
+    out = os.path.join(
+        session_scratch("dpp"),
+        f"orders_by_status_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        # overwrite keeps repeated runs deterministic if a prior
+        # write was interrupted
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.09))
+        .select(F.col("l_linestatus").alias("status"))
+        .distinct()
+    )
+    return (
+        fact.join(
+            F.broadcast(dim), fact["o_orderstatus"] == dim["status"]
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

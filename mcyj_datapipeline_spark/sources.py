@@ -314,10 +314,31 @@ class JsonlAtomicWriter(DataSourceWriter):
                 "files": sorted(prev.get("files", []) + manifest["files"]),
                 "rows": prev.get("rows", 0) + total,
             }
+        # generation counter: every commit also publishes an immutable
+        # _committed.v{N}.json snapshot of the live manifest — the
+        # poor-man's-Delta-log that makes read_jsonl_atomic(version=K)
+        # time travel possible. APPEND generations share their file
+        # sets (append never deletes), so every historical version
+        # stays readable; OVERWRITE vacuums unreferenced files, which
+        # invalidates prior generations — so it also resets the
+        # version history (old v-manifests removed below, gen -> 1).
+        gen = 1 if (self.overwrite or prev is None) else prev.get("gen", 0) + 1
+        manifest["gen"] = gen
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path())  # the publish point
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("_committed.v") and name.endswith(".json"):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
+        vtmp = self._version_path(gen) + ".tmp"
+        with open(vtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(vtmp, self._version_path(gen))
         # VACUUM phase, strictly AFTER the publish point so a crash
         # anywhere above leaves the previous manifest fully readable:
         # an overwrite unpublishes the prior manifest's files, so
@@ -345,6 +366,11 @@ class JsonlAtomicWriter(DataSourceWriter):
         import os
 
         return os.path.join(self.path, "_committed.json")
+
+    def _version_path(self, gen: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"_committed.v{gen}.json")
 
 
 def _delete_unreferenced(path: str, candidates, keep: set) -> None:
@@ -394,13 +420,26 @@ class JsonlAtomicSource(DataSource):
         return JsonlAtomicStreamWriter(self.options)
 
 
-def read_jsonl_atomic(spark, path: str):
+def read_jsonl_atomic(spark, path: str, version: int | None = None):
     """Read back ONLY the committed files (manifest-resolved): staged
     or orphaned part files are invisible, exactly like a table-format
-    log reader."""
+    log reader.
+
+    ``version=K`` time-travels to the table as of its K-th commit
+    (1-based), resolving the immutable ``_committed.v{{K}}.json``
+    generation snapshot instead of the live manifest. Append
+    generations never delete files, so every historical version stays
+    readable; an overwrite vacuums and resets the history (its own
+    commit becomes v1)."""
     import os
 
-    with open(os.path.join(path, "_committed.json")) as fh:
+    name = "_committed.json" if version is None else f"_committed.v{version}.json"
+    manifest_file = os.path.join(path, name)
+    if version is not None and not os.path.exists(manifest_file):
+        raise FileNotFoundError(
+            f"jsonl_atomic: no committed generation v{version} at {path}"
+        )
+    with open(manifest_file) as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f) for f in manifest["files"]]
     if not files:

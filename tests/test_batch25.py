@@ -1,0 +1,105 @@
+"""Batch 25 semantic tests: generation-manifest immutability (time
+travel survives later appends, overwrite resets history) and the
+presence of a real DynamicPruningExpression in the DPP plan. Value
+parity vs DuckDB runs in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(df, path, mode):
+    df.write.format("jsonl_atomic").mode(mode).save(path)
+
+
+def test_k8_generations_are_immutable_under_append(spark, tmp_path):
+    """v1's visible rows must not change when later generations
+    append; each new append bumps the generation; every historical
+    version stays readable."""
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    path = str(tmp_path / "table")
+    _write(spark.range(0, 10), path, "overwrite")
+    _write(spark.range(10, 15), path, "append")
+    v1_before = read_jsonl_atomic(spark, path, version=1).count()
+    _write(spark.range(15, 25), path, "append")
+
+    assert read_jsonl_atomic(spark, path, version=1).count() == 10
+    assert v1_before == 10
+    assert read_jsonl_atomic(spark, path, version=2).count() == 15
+    assert read_jsonl_atomic(spark, path, version=3).count() == 25
+    assert read_jsonl_atomic(spark, path).count() == 25
+    live = json.load(open(os.path.join(path, "_committed.json")))
+    assert live["gen"] == 3
+
+
+def test_k8_overwrite_resets_history(spark, tmp_path):
+    """An overwrite vacuums old files AND removes prior generation
+    manifests: history restarts at v1 and stale versions raise."""
+    from mcyj_datapipeline_spark.sources import (
+        read_jsonl_atomic,
+        register_jsonl_atomic,
+    )
+
+    register_jsonl_atomic(spark)
+    path = str(tmp_path / "table")
+    _write(spark.range(0, 10), path, "overwrite")
+    _write(spark.range(10, 15), path, "append")
+    assert read_jsonl_atomic(spark, path, version=2).count() == 15
+
+    _write(spark.range(100, 103), path, "overwrite")
+    assert read_jsonl_atomic(spark, path).count() == 3
+    assert read_jsonl_atomic(spark, path, version=1).count() == 3
+    with pytest.raises(FileNotFoundError):
+        read_jsonl_atomic(spark, path, version=2)
+    # vacuum removed the unreferenced data files of the old history
+    live = json.load(open(os.path.join(path, "_committed.json")))
+    on_disk = {
+        n for n in os.listdir(path) if n.endswith(".jsonl")
+    }
+    assert on_disk == set(live["files"])
+
+
+def test_o15_plan_contains_dynamic_pruning(spark):
+    """The fact scan must carry a DynamicPruningExpression — the dim
+    filter is data-dependent, so static constant propagation cannot
+    have produced the partition filter."""
+    from mcyj_datapipeline_spark.registry_batch25 import (
+        o15_dynamic_partition_pruning,
+    )
+
+    df = o15_dynamic_partition_pruning(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # and the result equals the statically-filtered rollup
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    statuses = {
+        r["l_linestatus"]
+        for r in li.filter(
+            (F.col("l_quantity") >= 49) & (F.col("l_discount") >= 0.09)
+        )
+        .select("l_linestatus")
+        .distinct()
+        .collect()
+    }
+    direct = {
+        (r["o_orderpriority"], r["n"])
+        for r in orders.filter(F.col("o_orderstatus").isin(statuses))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+    assert got == direct

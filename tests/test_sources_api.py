@@ -325,7 +325,7 @@ def test_jsonl_atomic_empty_write_commits_empty_manifest(spark, tmp_path):
         "overwrite"
     ).save(target)
     m = json.load(open(os.path.join(target, "_committed.json")))
-    assert m == {"files": [], "rows": 0}
+    assert m == {"files": [], "rows": 0, "gen": 1}
     assert read_jsonl_atomic(spark, target).count() == 0
 
 
