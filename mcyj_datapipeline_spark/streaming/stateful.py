@@ -239,3 +239,108 @@ def session_stream(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# (StatefulProcessor + typed state handles + RocksDB state store).
+# Same running-totals contract as running_user_totals_stream above, so
+# the two APIs can be asserted equivalent on identical input.
+# ---------------------------------------------------------------------------
+
+try:  # the processor API exists from Spark 4.0 — but its state-server
+    # wire protocol needs the google.protobuf runtime, which this
+    # sandbox does not ship; gate on BOTH so environments with
+    # protobuf get the real path and others skip cleanly
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """Per-user (count, value-sum) via a typed ValueState handle —
+        the transformWithState twin of ``_update_totals``. The handle
+        API replaces the whole-state tuple of GroupState with named,
+        schema'd state variables (here one ValueState; ListState /
+        MapState cover the multi-variable cases) stored in RocksDB."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total = int(prior[0]), float(prior[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def running_user_totals_tws(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    schema: T.StructType,
+) -> None:
+    """``transformWithStateInPandas`` form of the running totals: the
+    Spark 4 StatefulProcessor replaces applyInPandasWithState's
+    (fn, state-tuple) with an object carrying named typed state
+    handles, and REQUIRES the RocksDB state store provider (set here
+    for the query via the session conf; the provider ships with
+    Spark). Same AvailableNow + foreachBatch + checkpoint contract —
+    tests/test_batch26.py drives both APIs over identical landing
+    data and asserts identical final totals and restart behavior."""
+    if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
+        raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(source_dir)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(output_dir)
+
+        (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_RunningTotalsProcessor(),
+                outputStructType=RUNNING_TOTALS_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prior_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
