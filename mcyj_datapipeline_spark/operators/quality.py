@@ -105,3 +105,56 @@ def column_profile(
             f"stack({len(metrics)}, {stack_args}) AS (column, metric, value)"
         )
     )
+
+
+def token_budget_select(
+    scored: DataFrame,
+    budget: Column,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "tokens",
+    bin_dp: int = 3,
+) -> DataFrame:
+    """Greedy quality-first prefix under a token budget WITHOUT a
+    global sort: keep documents in (quality DESC, id) order while the
+    running token total fits ``budget`` (a one-row-DataFrame column —
+    pass e.g. ``F.lit(...)`` via a broadcast agg).
+
+    Plan: quality rounds to ``bin_dp`` decimals (monotone, so bin
+    order equals quality order across bins), a bin-grain rollup plus
+    a triangular self-join yields each bin's tokens-above, and the
+    only per-row window is PARTITIONED by bin. Provably identical to
+    the global running-sum prefix; at 100 TB the bin relation is KBs
+    and nothing single-reducer touches the data.
+
+    ``budget`` must be a DataFrame with exactly one row and one column
+    named ``budget``. Returns (id, quality, tokens, cum_tokens)."""
+    from pyspark.sql import Window
+
+    scored = scored.localCheckpoint(eager=False)
+    binned = scored.withColumn("_bin", F.round(F.col(quality_col), bin_dp))
+    bin_tokens = binned.groupBy("_bin").agg(
+        F.sum(tokens_col).alias("_bt")
+    ).localCheckpoint(eager=False)
+    hi = bin_tokens.select(
+        F.col("_bin").alias("_hb"), F.col("_bt").alias("_ht")
+    )
+    above = (
+        bin_tokens.join(F.broadcast(hi), F.col("_hb") > F.col("_bin"), "left")
+        .groupBy("_bin")
+        .agg(F.coalesce(F.sum("_ht"), F.lit(0)).alias("_above"))
+    )
+    w = (
+        Window.partitionBy("_bin")
+        .orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        binned.join(F.broadcast(above), "_bin")
+        .withColumn(
+            "cum_tokens", F.col("_above") + F.sum(tokens_col).over(w)
+        )
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .drop("_bin", "_above", "budget")
+    )

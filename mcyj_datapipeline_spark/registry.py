@@ -1661,3 +1661,4 @@ from mcyj_datapipeline_spark import registry_batch24  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch25  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch26  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch27  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch28  # noqa: E402,F401

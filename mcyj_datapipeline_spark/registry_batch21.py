@@ -12,7 +12,6 @@ expressed as declarative plans over the same `documents` table.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.io import read_table
@@ -75,6 +74,8 @@ def _scored_sql() -> str:
     "filter, bin relation is KBs; no single-reducer anything.",
 )
 def quality_token_budget_select(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.quality import token_budget_select
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = docs.select(
         "doc_id",
@@ -84,31 +85,8 @@ def quality_token_budget_select(spark, sf_dir):
     budget = scored.agg(
         (F.lit(_BUDGET_SHARE) * F.sum("tokens")).alias("budget")
     )
-    binned = scored.withColumn("bin", F.round("quality", _Q_BIN_DP))
-    bin_tokens = binned.groupBy("bin").agg(
-        F.sum("tokens").alias("bin_tokens")
-    ).localCheckpoint(eager=False)
-    hi = bin_tokens.select(
-        F.col("bin").alias("hi_bin"), F.col("bin_tokens").alias("hi_tokens")
-    )
-    above = (
-        bin_tokens.join(F.broadcast(hi), F.col("hi_bin") > F.col("bin"), "left")
-        .groupBy("bin")
-        .agg(F.coalesce(F.sum("hi_tokens"), F.lit(0)).alias("tokens_above"))
-    )
-    w = (
-        Window.partitionBy("bin")
-        .orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        binned.join(F.broadcast(above), "bin")
-        .withColumn(
-            "cum_tokens", F.col("tokens_above") + F.sum("tokens").over(w)
-        )
-        .crossJoin(F.broadcast(budget))
-        .filter(F.col("cum_tokens") <= F.col("budget"))
-        .select("doc_id", "quality", "tokens", "cum_tokens")
+    return token_budget_select(scored, budget, bin_dp=_Q_BIN_DP).select(
+        "doc_id", "quality", "tokens", "cum_tokens"
     )
 
 
