@@ -1663,3 +1663,4 @@ from mcyj_datapipeline_spark import registry_batch26  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch27  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch28  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch29  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch30  # noqa: E402,F401
