@@ -126,6 +126,11 @@ HEADLINE = [
     "i2_incremental_join_maintenance",
     "ev_session_paths",
     "g5_personalized_pagerank",
+    "text_textrank_keywords",
+    "e17_corpus_release_pipeline",
+    "dedup_minhash_eval",
+    "o15_dynamic_partition_pruning",
+    "k8_time_travel_read",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes
