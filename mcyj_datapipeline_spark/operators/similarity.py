@@ -945,8 +945,11 @@ def label_outliers(
     pattern — broadcast cross join + per-vector argmax via
     max(struct), with the own-label cosine riding the SAME groupBy as
     a conditional max, so the corpus is scanned once and shuffles one
-    row per vector. Cosines round to 6dp before the argmax (stable
-    cross-engine tie-break to the smallest label)."""
+    row per vector. Cosines round to 4dp before the argmax (stable
+    cross-engine tie-break to the smallest label) — 6dp proved too
+    fine at sf0.1: float32-sourced centroid sums carry ~1e-9
+    cross-engine noise, and three of ~1600 rows straddled a 6dp
+    rounding boundary."""
     ex = emb.select(
         F.col(label_col).alias("clabel"),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
@@ -970,7 +973,7 @@ def label_outliers(
                     F.col(vec_col).cast("array<double>"),
                     F.col("cent_vec"),
                 ),
-                6,
+                4,
             ).alias("cos"),
         )
     )
@@ -991,7 +994,7 @@ def label_outliers(
             F.col("b.clabel").alias("best_label"),
             "own_cos",
             F.col("b.cos").alias("best_cos"),
-            F.round(F.col("b.cos") - F.col("own_cos"), 6).alias("delta"),
+            F.round(F.col("b.cos") - F.col("own_cos"), 4).alias("delta"),
         )
         .filter(F.col("best_label") != F.col(label_col))
     )

@@ -106,7 +106,7 @@ def ev_dow_anomaly(spark, sf_dir):
       GROUP BY 1, 2, 3
     ), cos AS (
       SELECT d.vec_id, d.label, d.clabel,
-             round(d.dot / (vn.vn * cn.cn), 6) AS cos
+             round(d.dot / (vn.vn * cn.cn), 4) AS cos
       FROM dots d JOIN vnorm vn ON vn.vec_id = d.vec_id
                   JOIN cnorm cn ON cn.clabel = d.clabel
     ), best AS (
@@ -115,7 +115,7 @@ def ev_dow_anomaly(spark, sf_dir):
               ORDER BY cos DESC, clabel ASC) AS rn FROM cos) WHERE rn = 1
     ), own AS (SELECT vec_id, cos AS own_cos FROM cos WHERE clabel = label)
     SELECT b.vec_id, b.label, b.best_label, o.own_cos, b.best_cos,
-           round(b.best_cos - o.own_cos, 6) AS delta
+           round(b.best_cos - o.own_cos, 4) AS delta
     FROM best b JOIN own o ON o.vec_id = b.vec_id
     WHERE b.best_label <> b.label
     ORDER BY b.vec_id
@@ -129,7 +129,7 @@ def ev_dow_anomaly(spark, sf_dir):
     "the own-label cosine riding the SAME groupBy as a conditional "
     "max — corpus scanned once, shuffle carries one row per vector. "
     "The oracle takes the independent pos-exploded relational route "
-    "with a row_number argmax. Cosines round to 6dp before the argmax "
+    "with a row_number argmax. Cosines round to 4dp before the argmax "
     "(ties to the smallest label in both engines).",
 )
 def sim_label_outliers(spark, sf_dir):
