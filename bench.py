@@ -131,6 +131,12 @@ HEADLINE = [
     "dedup_minhash_eval",
     "o15_dynamic_partition_pruning",
     "k8_time_travel_read",
+    "sim_hard_negatives",
+    "text_ngram_novelty",
+    "text_readability",
+    "ev_cusum_changepoint",
+    "er_jaro_winkler_vocab",
+    "ts5_dow_baseline_anomaly",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes

@@ -1,0 +1,136 @@
+"""Fuzzy record-linkage kernels: Jaro-Winkler similarity (which Spark
+lacks as a built-in — ``levenshtein`` is the only built-in edit
+metric) and a blocked vocabulary-linkage composition.
+
+The kernel is the textbook Jaro-Winkler (Winkler 1990): Jaro match
+window ``max(|s1|,|s2|)/2 - 1``, transpositions counted over matched
+characters, prefix boost ``l * 0.1 * (1 - jaro)`` with ``l`` the
+common prefix capped at 4, applied only when ``jaro > 0.7``. This is
+bit-for-bit the variant DuckDB ships as ``jaro_winkler_similarity``
+(verified over the full blocked pair set at every SF), which is what
+makes a full value oracle possible for a custom Python kernel.
+
+Scale notes: Jaro-Winkler is a per-pair CPU kernel with no
+decomposable structure, so the job is to bound the PAIR COUNT, not
+the kernel cost — the composition extracts the distinct vocabulary
+first (corpus-sized input, tiny distinct output) and self-joins only
+inside (first-char, length-band) blocks, the standard linkage
+blocking. The kernel itself is an Arrow-batched pandas UDF: one
+Python loop per batch, never per executor row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    transpositions //= 2
+    return (
+        matches / l1
+        + matches / l2
+        + (matches - transpositions) / matches
+    ) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Plain-Python Jaro-Winkler (shared by the UDF and the tests)."""
+    j = _jaro(s1, s2)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1.0 - j)
+
+
+def jaro_winkler(c1: Column, c2: Column) -> Column:
+    """Arrow-batched Jaro-Winkler similarity column (pandas UDF —
+    there is no built-in; this is the documented slow path, applied
+    only to blocked candidate pairs, never a raw corpus)."""
+
+    @F.pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                jaro_winkler_py(x, y) if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
+        )
+
+    return _jw(c1, c2)
+
+
+def fuzzy_vocab_pairs(
+    tokens_df: DataFrame,
+    token_col: str = "w",
+    min_jw: float = 0.605,
+    max_len_diff: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy vocabulary linkage: distinct tokens self-joined
+    inside (first character, ±``max_len_diff`` length) blocks, scored
+    with Jaro-Winkler, kept at ``jw >= min_jw``. Returns
+    ``(w1, w2, jw)`` with ``w1 < w2`` and jw 6dp-stable-rounded.
+
+    At 100 TB the distinct() is the only corpus-sized stage; the
+    self-join runs on the vocabulary relation (millions of rows at
+    web scale, KBs here) with the block predicate keeping the pair
+    count near-linear in vocabulary size."""
+    vocab = tokens_df.select(F.col(token_col).alias("w")).distinct()
+    a = vocab.select(
+        F.col("w").alias("w1"),
+        F.substring("w", 1, 1).alias("_c1"),
+        F.length("w").alias("_l1"),
+    )
+    b = vocab.select(
+        F.col("w").alias("w2"),
+        F.substring("w", 1, 1).alias("_c2"),
+        F.length("w").alias("_l2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("_c1") == F.col("_c2"))
+        & (F.abs(F.col("_l1") - F.col("_l2")) <= max_len_diff)
+        & (F.col("w1") < F.col("w2")),
+    ).select("w1", "w2", jaro_winkler(F.col("w1"), F.col("w2")).alias("_jw"))
+    stable = F.floor(F.col("_jw") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    return (
+        pairs.filter(F.col("_jw") >= min_jw)
+        .select("w1", "w2", stable.alias("jw"))
+        .orderBy("w1", "w2")
+    )

@@ -164,3 +164,75 @@ def holt_linear_per_key(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key_cols: Iterable[str],
+    ts_col: str,
+    value_col: str,
+    k_frac: float = 0.25,
+    h_frac: float = 1.0,
+) -> DataFrame:
+    """Two-sided CUSUM mean-shift detector per key, ordered by
+    ``ts_col``: with ``mu`` the key's series mean, allowance
+    ``k = k_frac * mu`` and threshold ``h = h_frac * mu``,
+
+        sp_0 = max(0, (x_0 - mu) - k)        (upward drift)
+        sp_t = max(0, sp_{t-1} + ((x_t - mu) - k))
+        sm_0 = max(0, (mu - x_0) - k)        (downward drift)
+        sm_t = max(0, sm_{t-1} + ((mu - x_t) - k))
+        alarm_t = sp_t > h OR sm_t > h
+
+    Like the EWMA/Holt recurrences this depends on previous OUTPUTS
+    (the max(0, .) clamp kills any prefix-sum rewrite), so it is a
+    grouped ``applyInPandas`` pass — one shuffle on the key, O(rows)
+    per group — with a recursive-CTE DuckDB twin written in the same
+    operation order so the float paths agree bit-for-bit. ``mu`` is
+    sum/n (exact for integer inputs). At 100 TB the input is already
+    a per-key day-grain rollup (thousands of rows per key), never the
+    raw event stream.
+
+    Appends ``mu``, ``sp``, ``sm``, ``alarm``.
+    """
+    from pyspark.sql import types as T
+
+    key_cols = list(key_cols)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("mu", T.DoubleType()),
+            T.StructField("sp", T.DoubleType()),
+            T.StructField("sm", T.DoubleType()),
+            T.StructField("alarm", T.BooleanType()),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        mu = float(y.sum()) / n if n else 0.0
+        k = k_frac * mu
+        h = h_frac * mu
+        sp = np.empty(n)
+        sm = np.empty(n)
+        prev_p = 0.0
+        prev_m = 0.0
+        for i in range(n):
+            prev_p = prev_p + ((y[i] - mu) - k)
+            if prev_p < 0.0:
+                prev_p = 0.0
+            prev_m = prev_m + ((mu - y[i]) - k)
+            if prev_m < 0.0:
+                prev_m = 0.0
+            sp[i], sm[i] = prev_p, prev_m
+        pdf["mu"] = mu
+        pdf["sp"] = sp
+        pdf["sm"] = sm
+        pdf["alarm"] = (sp > h) | (sm > h)
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(walk, schema=out_schema)

@@ -998,3 +998,63 @@ def label_outliers(
         )
         .filter(F.col("best_label") != F.col(label_col))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    max_cosine: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor, the top-``k`` most-similar corpus vectors that carry a
+    DIFFERENT label, with a ``max_cosine`` ceiling so near-duplicates
+    (which are almost certainly mislabeled positives, not useful
+    negatives) are excluded from the candidate pool.
+
+    Plan shape is :func:`cosine_topk`'s: the anchor batch is broadcast
+    (training mines negatives for a batch at a time, never the whole
+    corpus at once), one corpus scan scores everything JVM-side, and a
+    per-anchor row_number window over the k·|anchors| survivor set
+    picks the winners. At 100 TB the corpus side never shuffles —
+    the only shuffle is the tiny anchor-partitioned top-k. Cosines
+    round to 6dp before ranking (raw pairwise dots are bit-stable
+    cross-engine — the same operand order in both engines — unlike the
+    centroid sums in :func:`label_outliers`)."""
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("a_vec"),
+        )
+    )
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(a)
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(cosine(F.col("a_vec"), F.col("c_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") < max_cosine)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "anchor_id", "negative_id", "cosine", F.col("_rn").alias("rank")
+        )
+    )

@@ -814,3 +814,35 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count for readability scoring: the number of
+    terminal-punctuation runs (``[.!?]+``), floored at 1 so an
+    unpunctuated fragment still counts as one sentence. A pure
+    column expression (no UDF); DuckDB twin is
+    ``greatest(len(regexp_extract_all(text, '[.!?]+')), 1)``."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+
+
+def syllable_count(text: Column) -> Column:
+    """Heuristic syllable count: per whitespace token, the number of
+    vowel-group runs (``[aeiouy]+``, case-folded) floored at 1 (every
+    word carries at least one syllable), summed over the document.
+    The standard cheap Flesch estimator — deterministic and
+    engine-portable (a higher-order array expression, no UDF)."""
+    per_word = F.transform(
+        tokens(text),
+        lambda w: F.greatest(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(w), F.lit(r"[aeiouy]+"), F.lit(0)
+                )
+            ),
+            F.lit(1),
+        ),
+    )
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)

@@ -1664,3 +1664,6 @@ from mcyj_datapipeline_spark import registry_batch27  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch28  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch29  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch30  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch31  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch32  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch33  # noqa: E402,F401
