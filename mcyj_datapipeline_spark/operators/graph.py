@@ -195,26 +195,12 @@ def personalized_pagerank(
     return ranks.select("node", "rank")
 
 
-def triangle_stats(
-    edges: DataFrame, a: str = "a", b: str = "b"
-) -> DataFrame:
-    """Global triangle census over an undirected graph given as a
-    canonical edge list (each edge once, ``a < b``). Returns one row
-    ``(n_edges, n_wedges, n_triangles)``.
-
-    Algorithm: degree-ordered orientation (Suri & Vassilvitskii's
-    MR triangle counting) — direct every edge from its lower-(degree,
-    id) endpoint to the higher one, enumerate wedges by self-joining
-    the oriented list on the source, then close each wedge with a
-    semi-join back to the edge set. Orientation bounds every node's
-    out-degree by O(sqrt(m)), so the wedge (shuffle) volume is
-    O(m^1.5) worst case instead of sum-of-squared-degrees — the skewed
-    hub that would explode a naive wedge join contributes only
-    low-degree-endpoint wedges.
-
-    Every step is a hash join / groupBy on node or edge keys; nothing
-    is collected. The count row at the end is the only driver traffic.
-    """
+def _canonical_oriented(edges: DataFrame, a: str, b: str):
+    """Shared triangle-counting preamble: canonical distinct edge list
+    (checkpointed — it is read three times downstream), per-node
+    degrees, and the degree-ordered orientation (Suri &
+    Vassilvitskii) that bounds every node's out-degree by O(sqrt(m)).
+    Returns ``(co, deg, oriented)``."""
     co = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
     co = co.localCheckpoint(eager=True)
     deg = (
@@ -237,6 +223,30 @@ def triangle_stats(
         )
         .localCheckpoint(eager=True)
     )
+    return co, deg, oriented
+
+
+def triangle_stats(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Global triangle census over an undirected graph given as a
+    canonical edge list (each edge once, ``a < b``). Returns one row
+    ``(n_edges, n_wedges, n_triangles)``.
+
+    Algorithm: degree-ordered orientation (Suri & Vassilvitskii's
+    MR triangle counting) — direct every edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges by self-joining
+    the oriented list on the source, then close each wedge with a
+    semi-join back to the edge set. Orientation bounds every node's
+    out-degree by O(sqrt(m)), so the wedge (shuffle) volume is
+    O(m^1.5) worst case instead of sum-of-squared-degrees — the skewed
+    hub that would explode a naive wedge join contributes only
+    low-degree-endpoint wedges.
+
+    Every step is a hash join / groupBy on node or edge keys; nothing
+    is collected. The count row at the end is the only driver traffic.
+    """
+    co, deg, oriented = _canonical_oriented(edges, a, b)
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
@@ -250,6 +260,58 @@ def triangle_stats(
         .crossJoin(co.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         .select("n_edges", "n_wedges", "n_triangles")
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph
+    given as a canonical edge list (each edge once, ``a < b``):
+    ``cc(v) = 2*T(v) / (d(v)*(d(v)-1))`` with ``T(v)`` the number of
+    triangles through ``v`` — the local-density signal behind
+    community detection and spam-graph screening.
+
+    Same degree-ordered orientation as :func:`triangle_stats` (shared
+    preamble), but the wedge-closing join is an INNER join so each
+    closed triangle ``(u, x, y)`` survives with all three vertices;
+    one unpivot + groupBy then yields per-node triangle counts.
+    Every triangle is produced exactly once (its vertices appear in
+    one canonical orientation order), so the per-node counts are
+    exact. Shuffle volume is the same O(m^1.5) wedge bound as the
+    census; the output is node-grain (|V| rows), never pair-grain."""
+    co, deg, oriented = _canonical_oriented(edges, a, b)
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        co, (wedges["x"] == co["a"]) & (wedges["y"] == co["b"])
+    ).select("u", "x", "y")
+    tn = (
+        tri.select(F.col("u").alias("node"))
+        .union(tri.select(F.col("x").alias("node")))
+        .union(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("d")
+    cc = F.when(
+        d >= 2,
+        (F.lit(2.0) * F.col("triangles")) / (d * (d - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tn, "node", "left")
+        .na.fill({"triangles": 0})
+        .select(
+            "node",
+            d.alias("degree"),
+            "triangles",
+            (
+                F.floor(cc * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("cc"),
+        )
+        .orderBy("node")
     )
 
 
