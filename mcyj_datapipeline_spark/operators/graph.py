@@ -315,6 +315,53 @@ def clustering_coefficients(
     )
 
 
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Nodes of the ``k``-core: the maximal subgraph where every node
+    keeps degree >= ``k`` — computed by the standard peel (drop all
+    sub-``k`` nodes, recompute degrees, repeat). Runs a FIXED
+    ``rounds`` peel passes rather than a data-dependent convergence
+    probe: extra passes after the fixpoint are no-ops, and the fixed
+    count is what lets a SQL twin unroll the identical computation
+    (the unrolled-PageRank oracle pattern). Callers assert fixpoint
+    by checking that ``rounds+1`` returns the same set.
+
+    Each pass is one degree groupBy + two semi-joins on node keys,
+    with the surviving edge list checkpointed so lineage stays flat —
+    at 100 TB that is ``rounds`` edge-key shuffles, no driver-side
+    data movement. Returns a single-column ``node`` frame, sorted."""
+    co = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    co = co.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            co.select(F.col("a").alias("node"))
+            .union(co.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        co = (
+            co.join(
+                keep.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        co.select(F.col("a").alias("node"))
+        .union(co.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.filter(F.col("d") >= k).select("node").orderBy("node")
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
