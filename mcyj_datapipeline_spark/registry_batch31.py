@@ -209,24 +209,42 @@ def text_boolean_retrieval(spark, sf_dir):
     "when grams are long.",
 )
 def text_ngram_novelty(spark, sf_dir):
+    # No join back onto the posting list: a df=1 shingle has exactly
+    # one owner, so min(struct(doc,lang)) riding the df aggregate IS
+    # the owner — per-doc novel counts then come from the tiny
+    # unique-shingle relation, and the posting list shuffles ONCE
+    # (for df) instead of twice (df + re-join).
     docs = _t(spark, sf_dir, "documents")
     inv = docs.select(
         "doc_id",
         "lang",
         F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
     )
-    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    totals = inv.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    dfagg = inv.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min(F.struct("doc_id", "lang")).alias("owner"),
+    )
+    novel = (
+        dfagg.filter(F.col("df") == 1)
+        .groupBy(
+            F.col("owner.doc_id").alias("doc_id"),
+            F.col("owner.lang").alias("lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        inv.join(df_counts, "shingle")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        totals.join(novel, ["doc_id", "lang"], "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_novel",
             F.round(
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
             ).alias("novelty"),
         )
         .orderBy("doc_id")
