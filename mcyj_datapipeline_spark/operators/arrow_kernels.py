@@ -32,7 +32,11 @@ def _token_stats_batches(
     ['']), so the group-by result realigns 1:1 with the batch after a
     defensive sort."""
     for b in batches:
-        text = pc.cast(b.column("text"), pa.string())
+        # fill_null BEFORE splitting: a null list gets NO parent index
+        # from pc.list_parent_indices, which would desync the group-by
+        # realignment (n-1 groups vs n rows) — NULL text counts as the
+        # empty document, matching the oracle's coalesce.
+        text = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
         toks = pc.split_pattern_regex(text, r"\s+")
         flat = pc.list_flatten(toks)
         parents = pc.list_parent_indices(toks)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mcyj_datapipeline_spark.functions.numerics import stable6
+
 
 def pagerank(
     edges: DataFrame,
@@ -306,10 +308,7 @@ def clustering_coefficients(
             "node",
             d.alias("degree"),
             "triangles",
-            (
-                F.floor(cc * F.lit(1000000.0) + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("cc"),
+            stable6(cc).alias("cc"),
         )
         .orderBy("node")
     )

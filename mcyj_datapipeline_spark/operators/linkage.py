@@ -120,15 +120,15 @@ def fuzzy_vocab_pairs(
         F.substring("w", 1, 1).alias("_c2"),
         F.length("w").alias("_l2"),
     )
+    from mcyj_datapipeline_spark.functions.numerics import stable6
+
     pairs = a.join(
         b,
         (F.col("_c1") == F.col("_c2"))
         & (F.abs(F.col("_l1") - F.col("_l2")) <= max_len_diff)
         & (F.col("w1") < F.col("w2")),
     ).select("w1", "w2", jaro_winkler(F.col("w1"), F.col("w2")).alias("_jw"))
-    stable = F.floor(F.col("_jw") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
-        1000000.0
-    )
+    stable = stable6(F.col("_jw"))
     return (
         pairs.filter(F.col("_jw") >= min_jw)
         .select("w1", "w2", stable.alias("jw"))

@@ -118,6 +118,29 @@ def g1_pagerank_purchase_graph(spark, sf_dir):
     ).orderBy("node")
 
 
+def copurchase_edges(spark, sf_dir):
+    """Canonical part co-purchase edge list (parts sharing an order,
+    bulk lines only; each edge once, a < b) — the ONE construction the
+    whole graph family (g2 census, g6 clustering, g7 k-core) analyzes.
+    Shared so a threshold change cannot silently fork the graph.
+    NOT distinct()-ed here: every graph operator canonicalizes its
+    input itself (triangle_stats/_canonical_oriented/kcore_nodes), so
+    a caller-side distinct would just add a redundant shuffle."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l1 = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+    )
+    l2 = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+    )
+    return l1.join(l2, "k").filter(F.col("a") < F.col("b")).select("a", "b")
+
+
 # ===========================================================================
 # G2: triangle census over the part co-purchase graph
 # ===========================================================================
@@ -158,28 +181,11 @@ def g1_pagerank_purchase_graph(spark, sf_dir):
     "joins are node/edge-keyed hash joins; the single output row is "
     "the only driver traffic.",
 )
+
 def g2_triangle_census(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.graph import triangle_stats
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 25)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    l1 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
-    )
-    l2 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
-    )
-    co = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return triangle_stats(co)
+    return triangle_stats(copurchase_edges(spark, sf_dir))
 
 
 # ===========================================================================

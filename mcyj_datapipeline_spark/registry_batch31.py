@@ -108,6 +108,13 @@ _BOOL_MUST = ("hash", "join")
 _BOOL_MUST_NOT = ("vector",)
 
 
+def _sql_list(terms):
+    """Render a term tuple as a SQL IN-list — the oracle interpolates
+    the SAME constants the Spark side reads, so editing the query
+    terms cannot desync the twins."""
+    return ", ".join("'" + t + "'" for t in terms)
+
+
 @register(
     "text_boolean_retrieval",
     f"""
@@ -119,11 +126,12 @@ _BOOL_MUST_NOT = ("vector",)
       FROM documents
     ), hits AS (
       SELECT doc_id, lang,
-             sum(CASE WHEN term IN ('hash', 'join') THEN 1 ELSE 0 END)
-               AS n_must,
-             sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS n_not
+             sum(CASE WHEN term IN ({_sql_list(_BOOL_MUST)}) THEN 1
+                      ELSE 0 END) AS n_must,
+             sum(CASE WHEN term IN ({_sql_list(_BOOL_MUST_NOT)}) THEN 1
+                      ELSE 0 END) AS n_not
       FROM toks
-      WHERE term IN ('hash', 'join', 'vector')
+      WHERE term IN ({_sql_list(_BOOL_MUST + _BOOL_MUST_NOT)})
       GROUP BY doc_id, lang
     )
     SELECT doc_id, lang FROM hits

@@ -58,7 +58,7 @@ _CUSUM_H_FRAC = 1.0  # alarm threshold h = mu
 
 @register(
     "ev_cusum_changepoint",
-    """
+    f"""
     WITH RECURSIVE daily AS (
       SELECT event_type, ts::DATE AS d, count(*)::DOUBLE AS x
       FROM events GROUP BY 1, 2
@@ -69,13 +69,13 @@ _CUSUM_H_FRAC = 1.0  # alarm threshold h = mu
       FROM daily
     ), walk AS (
       SELECT event_type, d, x, rn, mu,
-             greatest(0.0, 0.0 + ((x - mu) - 0.25 * mu)) AS sp,
-             greatest(0.0, 0.0 + ((mu - x) - 0.25 * mu)) AS sm
+             greatest(0.0, 0.0 + ((x - mu) - {_CUSUM_K_FRAC} * mu)) AS sp,
+             greatest(0.0, 0.0 + ((mu - x) - {_CUSUM_K_FRAC} * mu)) AS sm
       FROM seq WHERE rn = 1
       UNION ALL
       SELECT s.event_type, s.d, s.x, s.rn, s.mu,
-             greatest(0.0, w.sp + ((s.x - s.mu) - 0.25 * s.mu)),
-             greatest(0.0, w.sm + ((s.mu - s.x) - 0.25 * s.mu))
+             greatest(0.0, w.sp + ((s.x - s.mu) - {_CUSUM_K_FRAC} * s.mu)),
+             greatest(0.0, w.sm + ((s.mu - s.x) - {_CUSUM_K_FRAC} * s.mu))
       FROM walk w
       JOIN seq s ON s.event_type = w.event_type AND s.rn = w.rn + 1
     )
@@ -83,7 +83,7 @@ _CUSUM_H_FRAC = 1.0  # alarm threshold h = mu
            floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mu,
            floor(sp * 1000000.0 + 0.5) / 1000000.0 AS sp,
            floor(sm * 1000000.0 + 0.5) / 1000000.0 AS sm,
-           (sp > 1.0 * mu OR sm > 1.0 * mu) AS alarm
+           (sp > {_CUSUM_H_FRAC} * mu OR sm > {_CUSUM_H_FRAC} * mu) AS alarm
     FROM walk ORDER BY event_type, d
     """,
     "Two-sided CUSUM mean-shift monitor (Page 1954) over per-type "
@@ -261,7 +261,11 @@ def dq7_cohens_kappa(spark, sf_dir):
     stats = agg.select(
         F.col("n"), po.alias("po"), pe.alias("pe")
     )
-    kappa = (F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+    # try_divide: pe == 1 (degenerate marginals — every doc in one
+    # cell) must yield NULL, not an ANSI DIVIDE_BY_ZERO crash
+    kappa = F.try_divide(
+        F.col("po") - F.col("pe"), F.lit(1.0) - F.col("pe")
+    )
     return stats.select(
         F.col("n").cast("long").alias("n_docs"),
         _stable(F.col("po")).alias("po"),

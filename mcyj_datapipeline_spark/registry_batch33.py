@@ -37,8 +37,7 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
-def _stable(c):
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+from mcyj_datapipeline_spark.functions.numerics import stable6 as _stable  # noqa: E402
 
 
 # ===========================================================================

@@ -40,8 +40,7 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
-def _stable(c):
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+from mcyj_datapipeline_spark.functions.numerics import stable6 as _stable  # noqa: E402
 
 
 # ===========================================================================
@@ -102,26 +101,9 @@ def g6_clustering_coefficient(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.graph import (
         clustering_coefficients,
     )
+    from mcyj_datapipeline_spark.registry_batch11 import copurchase_edges
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 25)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    l1 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
-    )
-    l2 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
-    )
-    co = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return clustering_coefficients(co)
+    return clustering_coefficients(copurchase_edges(spark, sf_dir))
 
 
 # ===========================================================================

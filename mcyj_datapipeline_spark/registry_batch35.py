@@ -105,26 +105,11 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 )
 def g7_kcore_membership(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.graph import kcore_nodes
+    from mcyj_datapipeline_spark.registry_batch11 import copurchase_edges
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 25)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    return kcore_nodes(
+        copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
-    l1 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
-    )
-    l2 = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
-    )
-    co = (
-        l1.join(l2, "k")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return kcore_nodes(co, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
 # ===========================================================================

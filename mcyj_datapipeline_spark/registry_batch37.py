@@ -84,11 +84,24 @@ def ts6_autocorrelation(spark, sf_dir):
         "x",
         *[F.lag("x", L).over(w).alias(f"x{L}") for L in _ACF_LAGS],
     )
+    # corr spelled as try_divide(covar, sd*sd): F.corr's internal
+    # division throws DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    # when a series is degenerate (two active days, or constant daily
+    # counts); try_divide yields NULL there — matching DuckDB's corr.
+    # The x side is masked to rows where the lag EXISTS so all three
+    # aggregates see exactly the complete pairs, like corr itself.
+    def _acf(lag_name):
+        xp = F.when(F.col(lag_name).isNotNull(), F.col("x"))
+        return F.round(
+            F.try_divide(
+                F.covar_samp(xp, F.col(lag_name)),
+                F.stddev_samp(xp) * F.stddev_samp(lag_name),
+            ),
+            6,
+        )
+
     per_type = lagged.groupBy("event_type").agg(
-        *[
-            F.round(F.corr("x", f"x{L}"), 6).alias(f"acf{L}")
-            for L in _ACF_LAGS
-        ]
+        *[_acf(f"x{L}").alias(f"acf{L}") for L in _ACF_LAGS]
     )
     stack = ", ".join(f"{L}, acf{L}" for L in _ACF_LAGS)
     return (
@@ -167,9 +180,7 @@ def e18_corpus_health_scorecard(spark, sf_dir):
             F.lit(name_map[name]).alias("signal"), "value"
         )
 
-    stable = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
-        1000000.0
-    )  # noqa: E731
+    from mcyj_datapipeline_spark.functions.numerics import stable6 as stable
     name_map = {
         "ev_cusum_changepoint": "cusum_alarm_days",
         "ts5_dow_baseline_anomaly": "dow_anomaly_days",

@@ -30,8 +30,8 @@ __all__ = ["f31_arrow_native_kernel"]
     "f31_arrow_native_kernel",
     r"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'),
-                           t -> t <> '')) AS n_tokens,
+           coalesce(len(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t <> '')), 0) AS n_tokens,
            coalesce(list_sum(list_transform(
              list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
              t -> length(t))), 0)::BIGINT AS tok_chars

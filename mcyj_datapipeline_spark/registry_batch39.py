@@ -44,6 +44,10 @@ def _t(spark, sf_dir, name):
 
 def _register_events_view(spark, sf_dir):
     _t(spark, sf_dir, "events").createOrReplaceTempView("_b39_events")
+    # Spark caps recursive CTEs at 100 levels by default; the spine /
+    # EWMA recursion is depth = days-in-range, so a >100-day table
+    # would throw RECURSION_LEVEL_LIMIT_EXCEEDED. Idempotent raise.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
 
 
 # ===========================================================================

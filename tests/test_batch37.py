@@ -95,3 +95,30 @@ def test_scorecard_matches_member_signals(spark):
     assert card["rater_kappa"] == kappa
     assert 0.0 <= card["exact_dup_rate"] < 1.0
     assert 0.0 <= card["oov_rate"] < 1.0
+
+
+def test_acf_degenerate_series_yields_null_not_crash(spark):
+    """Constant or two-point series (zero variance) must yield NULL
+    acf — not an ANSI DIVIDE_BY_ZERO crash — matching DuckDB corr;
+    the try_divide(covar, sd*sd) spelling over pair-masked columns is
+    what the registry query uses."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0), ("b", 1, 7.0)],
+        "k string, t int, x double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("t")
+    lagged = df.select("k", "x", F.lag("x", 1).over(w).alias("x1"))
+    xp = F.when(F.col("x1").isNotNull(), F.col("x"))
+    out = lagged.groupBy("k").agg(
+        F.try_divide(
+            F.covar_samp(xp, F.col("x1")),
+            F.stddev_samp(xp) * F.stddev_samp("x1"),
+        ).alias("acf")
+    ).collect()
+    got = {r["k"]: r["acf"] for r in out}
+    assert got["a"] is None  # constant series: sd == 0 -> NULL
+    assert got["b"] is None  # single point: no pairs -> NULL

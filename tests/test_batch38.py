@@ -108,3 +108,22 @@ def test_window_group_limit_pushdown(spark):
     # sanity: it still returns exactly k rows per key
     counts = topk.groupBy("lang").count().collect()
     assert counts and all(r["count"] <= 3 for r in counts)
+
+
+def test_arrow_kernel_handles_null_text(spark):
+    """NULL text counts as the empty document (0 tokens, 0 chars) —
+    without fill_null the group-by realignment desyncs and the
+    kernel raises a RecordBatch length mismatch."""
+    from mcyj_datapipeline_spark.operators.arrow_kernels import (
+        token_stats_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "two words"), (1, None), (2, "one")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_chars"])
+        for r in token_stats_arrow(df).collect()
+    }
+    assert got == {0: (2, 8), 1: (0, 0), 2: (1, 3)}
