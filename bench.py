@@ -137,6 +137,9 @@ HEADLINE = [
     "ev_cusum_changepoint",
     "er_jaro_winkler_vocab",
     "ts5_dow_baseline_anomaly",
+    "w9_session_window_tvf",
+    "ml_feature_hashing",
+    "sk_hll_daily_merge",
     # mm_image_dhash_near_dup / mm_audio_fingerprint_near_dup stay
     # gate-only: their runtime is dominated by the deterministic fake
     # fixture's length-degenerate hash density (many identical hashes

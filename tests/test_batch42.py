@@ -70,3 +70,31 @@ def test_hll_overlap_contract_and_exact_counts(spark):
     assert row["n_b_exact"] == len(b)
     assert row["n_overlap_exact"] == len(a & b)
     assert row["within_bound"]
+
+
+def test_boundary_overlap_pairs_are_real_seams(spark):
+    """Every reported pair's tail gram really is the tail of one doc
+    and the head of the other, recomputed from raw text (batch 43)."""
+    import re
+
+    from mcyj_datapipeline_spark.registry_batch43 import (
+        _BOUNDARY_K,
+        dedup_boundary_overlap,
+    )
+
+    rows = dedup_boundary_overlap(spark, SF).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: [
+            w
+            for w in re.split(r"\s+", r["text"] or "")
+            if w
+        ]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in rows:
+        tail_ws = texts[r["tail_doc"]]
+        head_ws = texts[r["head_doc"]]
+        assert " ".join(tail_ws[-_BOUNDARY_K:]) == r["gram"]
+        assert " ".join(head_ws[:_BOUNDARY_K]) == r["gram"]
+        assert r["tail_doc"] != r["head_doc"]
