@@ -4,23 +4,33 @@
 ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Process-batched since round 7 (VERDICT r6 "what's wrong" #2): running
+all 79 headline queries in ONE JVM inflated every shared query 15-25%
+vs its isolated truth (r6 booked g1_pagerank at 3.54s while it runs
+1.76s isolated — codegen-cache pressure, accumulated broadcast/shuffle
+state, and heap churn from 78 neighbours). The parent process now
+splits the headline set into batches of ~20 and runs each batch in a
+FRESH subprocess/JVM with its own warmup, then merges the per-batch
+results into the single machine line. Per-query numbers are therefore
+close to isolated-session truth while still amortizing session
+startup over ~20 queries. Set SPARK_GRAFT_BENCH_BATCH_SIZE=0 to force
+the old single-process regime for A/B.
+
 Each query is timed end-to-end (plan + execute + collect-to-count);
-a warmup query first amortizes JVM/session startup out of the numbers.
+a warmup iteration per batch amortizes JVM/codegen/C2 out of the
+numbers (regime rationale inline below).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import functions as F
-
-from mcyj_datapipeline_spark import registry
-from mcyj_datapipeline_spark.session import get_spark
 
 
 def materialized_count(df) -> int:
@@ -31,18 +41,21 @@ def materialized_count(df) -> int:
     quantization query would then measure parquet IO, not the operator.
     Hashing the full output row into the aggregate makes every column
     load-bearing; ``bit_xor`` folds the hashes without overflow."""
+    from pyspark.sql import functions as F
+
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("_h"),
     ).collect()[0]
     return row["n"]
 
+
 def _release_pinned_blocks(spark) -> None:
     """Free localCheckpoint blocks left behind by iterative queries
     (PageRank, connected components). ``clearCache`` only drops
     CacheManager entries — checkpointed RDD blocks release when the
     driver-side references are GC'd and the ContextCleaner runs, so
-    without a nudge they accumulate across the 42-query loop and the
+    without a nudge they accumulate across the query loop and the
     storage pressure turns into GC churn for later queries."""
     import gc
 
@@ -55,9 +68,7 @@ def _release_pinned_blocks(spark) -> None:
     # without a beat here its block/broadcast/shuffle removals land
     # inside the NEXT timed window (observed as rep-2/3 inflation on
     # the checkpoint-heavy iterative queries)
-    import time as _time
-
-    _time.sleep(0.3)
+    time.sleep(0.3)
 
 
 HEADLINE = [
@@ -148,11 +159,15 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="mcyj-bench")
+def run_batch(names: list[str], sf_dir: str) -> dict:
+    """Run one batch of headline queries in THIS process and return the
+    per-query detail dict. Called in a fresh subprocess per batch by
+    main(); callable directly (all names, batch_size=0) for the legacy
+    single-process regime."""
+    from mcyj_datapipeline_spark import registry
+    from mcyj_datapipeline_spark.session import get_spark
 
+    spark = get_spark(app_name="mcyj-bench")
     qs = registry.queries()
     # Warmup: JVM + codegen + parquet footer reads, plus the Python
     # worker pool (one trivial mapInPandas spawns the per-core workers
@@ -174,29 +189,28 @@ def main() -> None:
         "events documents embeddings"
     ).split():
         read_table(spark, sf_dir, t).count()
-    # Fit the train-once ML model fixture outside the timed loop: the
-    # headline entry benchmarks SCORING (the per-batch path that must
-    # scale); training is the one-time sampled job registered separately
-    # as ml_quality_train.
-    from mcyj_datapipeline_spark.registry_batch4 import _fitted_quality_model
+    if "ml_quality_classifier_score" in names:
+        # Fit the train-once ML model fixture outside the timed loop:
+        # the headline entry benchmarks SCORING (the per-batch path
+        # that must scale); training is the one-time sampled job
+        # registered separately as ml_quality_train.
+        from mcyj_datapipeline_spark.registry_batch4 import _fitted_quality_model
 
-    _fitted_quality_model(spark, sf_dir)
-    # Warmup iteration: run every headline plan ONCE, untimed, at the
-    # TARGET scale (standard benchmark practice — JMH-style). First
+        _fitted_quality_model(spark, sf_dir)
+    # Warmup iteration: run every query of THIS batch once, untimed, at
+    # the TARGET scale (standard benchmark practice — JMH-style). First
     # execution of a plan shape pays whole-stage-codegen compilation
     # and C2 JIT of the generated classes, and on this microVM host
     # that costs up to 10-30x the data-proportional time and lands
-    # nondeterministically (compiler-queue contention): repeated full
-    # bench runs swung 38-70s with the SLOW query changing each run,
-    # while every query is stable in isolation once compiled. A
-    # smaller-SF pre-pass does NOT absorb it — AQE picks different
-    # physical shapes at different scales, so the at-scale codegen
-    # stays cold. The timed pass below therefore measures steady-state
-    # execution of each plan on the measured data — the engine, not
-    # the host's compiler. Results are never reused: caches are
-    # cleared before every timed run, and BENCH_DETAIL.json carries
-    # warm-min/spread reps separately.
-    for name in HEADLINE:
+    # nondeterministically (compiler-queue contention). A smaller-SF
+    # pre-pass does NOT absorb it — AQE picks different physical shapes
+    # at different scales, so the at-scale codegen stays cold. The
+    # timed pass below therefore measures steady-state execution of
+    # each plan on the measured data — the engine, not the host's
+    # compiler. Results are never reused: caches are cleared before
+    # every timed run, and BENCH_DETAIL.json carries warm-min/spread
+    # reps separately.
+    for name in names:
         try:
             materialized_count(qs[name](spark, sf_dir))
         except Exception:
@@ -204,8 +218,6 @@ def main() -> None:
         spark.catalog.clearCache()
     _release_pinned_blocks(spark)
 
-    # Timed loop: per query, 1 + WARM_REPS cleared-cache executions;
-    # the headline number is the min (rationale at the loop).
     timings: dict[str, float] = {}
     pass1: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -213,7 +225,7 @@ def main() -> None:
     all_reps: dict[str, list[float]] = {}
     all_gc: dict[str, list[int]] = {}
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
-    for name in HEADLINE:
+    for name in names:
         # 1 + WARM_REPS identical executions, caches cleared before
         # EACH (each query call persists its own intermediates —
         # signatures, CC labels — and CacheManager would otherwise let
@@ -265,6 +277,90 @@ def main() -> None:
             f" spread {warm_spread[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
+    spark.stop()
+    return {
+        "queries": timings,
+        "queries_pass1": pass1,
+        "queries_warm": warm,
+        "queries_warm_spread": warm_spread,
+        "queries_reps": all_reps,
+        "queries_rep_gc_ms": all_gc,
+        "warm_reps": warm_reps,
+    }
+
+
+def _child_main() -> None:
+    names = os.environ["SPARK_GRAFT_BENCH_NAMES"].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.environ["SPARK_GRAFT_BENCH_OUT"]
+    result = run_batch(names, sf_dir)
+    with open(out, "w") as fh:
+        json.dump(result, fh)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    batch_size = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH_SIZE", "20"))
+
+    if batch_size <= 0:
+        parts = [run_batch(list(HEADLINE), sf_dir)]
+        n_batches = 1
+    else:
+        batches = [
+            HEADLINE[i : i + batch_size]
+            for i in range(0, len(HEADLINE), batch_size)
+        ]
+        n_batches = len(batches)
+        parts = []
+        for bi, names in enumerate(batches):
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", prefix=f"bench_b{bi}_", delete=False
+            ) as fh:
+                out_path = fh.name
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_NAMES"] = ",".join(names)
+            env["SPARK_GRAFT_BENCH_OUT"] = out_path
+            env["SPARK_GRAFT_BENCH_ROLE"] = "child"
+            print(
+                f"# batch {bi + 1}/{n_batches}: {len(names)} queries "
+                f"in a fresh JVM",
+                file=sys.stderr,
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=sys.stderr,  # children never write the machine line
+            )
+            if proc.returncode != 0:
+                print(
+                    f"# FATAL: batch {bi + 1} exited {proc.returncode}",
+                    file=sys.stderr,
+                )
+                sys.exit(proc.returncode)
+            with open(out_path) as rfh:
+                parts.append(json.load(rfh))
+            os.unlink(out_path)
+
+    # Merge per-batch dicts (disjoint query sets — plain dict unions).
+    merged: dict[str, dict] = {}
+    for key in (
+        "queries",
+        "queries_pass1",
+        "queries_warm",
+        "queries_warm_spread",
+        "queries_reps",
+        "queries_rep_gc_ms",
+    ):
+        merged[key] = {}
+        for p in parts:
+            merged[key].update(p[key])
+    timings = merged["queries"]
+    warm = merged["queries_warm"]
+    pass1 = merged["queries_pass1"]
+    warm_spread = merged["queries_warm_spread"]
+    all_reps = merged["queries_reps"]
+    warm_reps = parts[0]["warm_reps"]
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -296,7 +392,10 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "regime": f"steady_min_of_{1 + warm_reps}",
+        "regime": (
+            f"steady_min_of_{1 + warm_reps}"
+            f"_batched{batch_size}x{n_batches}"
+        ),
         "queries": timings,
         "total_warm": round(sum(warm.values()), 3),
         "total_cold_pass1": round(sum(pass1.values()), 3),
@@ -305,12 +404,10 @@ def main() -> None:
     }
     detail = dict(
         machine_line,
-        queries_pass1=pass1,
-        queries_warm=warm,
-        queries_warm_spread=warm_spread,
-        queries_reps=all_reps,
-        queries_rep_gc_ms=all_gc,
+        **merged,
         warm_reps=warm_reps,
+        batch_size=batch_size,
+        n_batches=n_batches,
         cpus=os.environ.get("SPARK_GRAFT_CPUS", ""),
     )
     detail_path = os.path.join(
@@ -320,8 +417,10 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail, indent=1), file=sys.stderr)
     print(json.dumps(machine_line, separators=(",", ":")))
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "child":
+        _child_main()
+    else:
+        main()

@@ -405,8 +405,18 @@ def label_propagation(
         )
         labels = (
             votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("label"))
+            # argmax votes, tie -> SMALLEST label, as min(struct(-votes,
+            # label)): negating the numeric VOTE count (never the label)
+            # keeps the tie-break correct for any orderable label type —
+            # the former -label spelling silently cast string labels to
+            # null (ADVICE r6) — and stays a plain min aggregate, so
+            # partial aggregation remains map-side (no per-node window).
+            .agg(
+                F.min(
+                    F.struct((-F.col("votes")).alias("nv"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

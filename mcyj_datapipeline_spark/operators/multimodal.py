@@ -541,9 +541,18 @@ def image_dhash(
 
     import inspect
 
+    # Count REQUIRED parameters only (the audio_fingerprint form,
+    # ADVICE r6): counting all parameters miscalled a decoder like
+    # ``lambda content, n=72`` with (content, media_id), shoving the
+    # id into its tuning knob.
     id_aware = (
         grid_decoder is not None
-        and len(inspect.signature(grid_decoder).parameters) >= 2
+        and sum(
+            1
+            for p in inspect.signature(grid_decoder).parameters.values()
+            if p.default is inspect.Parameter.empty
+        )
+        >= 2
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -81,30 +81,51 @@ def column_profile(
     ``stack`` over ONE aggregated row, driver-side cost zero.
     """
     numeric = list(numeric_cols or [])
+
+    def _qcol(name: str) -> Column:
+        # F.col() PARSES its argument (dots, backticks) — a name with
+        # an unpaired backtick or embedded quote raises or resolves to
+        # the wrong attribute. Standard identifier quoting: double any
+        # backticks, wrap the whole name, so arbitrary user column
+        # names profile verbatim.
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
-    metrics: list[tuple[str, str, str]] = []  # (column, metric, agg alias)
+    # (column name, metric name, value Column over the agg aliases) —
+    # typed Columns end to end; nothing user-supplied is ever spliced
+    # into a SQL string (the former f-string stack() broke — or worse,
+    # silently re-targeted — on column names containing quotes, commas
+    # or backtick-needing characters; ADVICE r6).
+    metrics: list[tuple[str, str, Column]] = []
     for i, c in enumerate(columns):
-        aggs.append(F.count(F.col(c)).alias(f"_c{i}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_d{i}"))
-        metrics.append((c, "completeness", f"_c{i}/_n"))
-        metrics.append((c, "distinct_count", f"_d{i}"))
-    for i, c in enumerate(numeric):
-        aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn{i}"))
-        aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx{i}"))
-        aggs.append(F.avg(F.col(c)).alias(f"_av{i}"))
-        metrics.append((c, "min", f"_mn{i}"))
-        metrics.append((c, "max", f"_mx{i}"))
-        metrics.append((c, "mean", f"_av{i}"))
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', '{m}', round(CAST({expr} AS DOUBLE), 6)"
-        for c, m, expr in metrics
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(metrics)}, {stack_args}) AS (column, metric, value)"
+        aggs.append(F.count(_qcol(c)).alias(f"_c{i}"))
+        aggs.append(F.countDistinct(_qcol(c)).alias(f"_d{i}"))
+        metrics.append(
+            (c, "completeness", F.col(f"_c{i}") / F.col("_n"))
         )
+        metrics.append((c, "distinct_count", F.col(f"_d{i}")))
+    for i, c in enumerate(numeric):
+        aggs.append(F.min(_qcol(c)).cast("double").alias(f"_mn{i}"))
+        aggs.append(F.max(_qcol(c)).cast("double").alias(f"_mx{i}"))
+        aggs.append(F.avg(_qcol(c)).alias(f"_av{i}"))
+        metrics.append((c, "min", F.col(f"_mn{i}")))
+        metrics.append((c, "max", F.col(f"_mx{i}")))
+        metrics.append((c, "mean", F.col(f"_av{i}")))
+    wide = df.agg(*aggs)
+    # wide-to-long over the ONE aggregated row: inline(array(struct...))
+    # is stack() with typed literals — same physical shape (a generator
+    # over a 1-row frame), zero string SQL.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(m).alias("metric"),
+                F.round(v.cast("double"), 6).alias("value"),
+            )
+            for c, m, v in metrics
+        ]
     )
+    return wide.select(F.inline(rows))
 
 
 def token_budget_select(

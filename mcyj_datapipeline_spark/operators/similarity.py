@@ -978,10 +978,14 @@ def label_outliers(
         )
     )
     agg = scored.groupBy(id_col, label_col).agg(
-        F.max(
-            F.struct(
-                F.col("cos"), (-F.col("clabel")).alias("_neg"), F.col("clabel")
-            )
+        # argmax cos, tie -> SMALLEST centroid label, as
+        # min(struct(-cos, clabel)): negating the numeric SCORE (never
+        # the label) keeps the tie-break correct for any orderable
+        # label type — the former -clabel spelling silently cast string
+        # labels to null (ADVICE r6) — while staying a plain min
+        # aggregate (map-side partials, no per-id window).
+        F.min(
+            F.struct((-F.col("cos")).alias("_negcos"), F.col("clabel"))
         ).alias("b"),
         F.max(
             F.when(F.col("clabel") == F.col(label_col), F.col("cos"))
@@ -993,8 +997,10 @@ def label_outliers(
             label_col,
             F.col("b.clabel").alias("best_label"),
             "own_cos",
-            F.col("b.cos").alias("best_cos"),
-            F.round(F.col("b.cos") - F.col("own_cos"), 4).alias("delta"),
+            (-F.col("b._negcos")).alias("best_cos"),
+            F.round(-F.col("b._negcos") - F.col("own_cos"), 4).alias(
+                "delta"
+            ),
         )
         .filter(F.col("best_label") != F.col(label_col))
     )

@@ -137,19 +137,33 @@ def build_doc_export(
 
     def keyed(df):
         # loaders skip rows with a blank sha (``:39-41`` etc.) and load
-        # into a dict, so a duplicate sha is LAST-WINS. Enforce that
-        # here rather than resting on an out-of-band CSV-uniqueness
-        # invariant: monotonically_increasing_id preserves file order
-        # for a sequentially-read CSV, and the row_number picker keeps
-        # the latest row per sha (a 64-char-key window shuffle — the
-        # same key partitioning the joins below already need).
+        # into a dict, so a duplicate sha is LAST-WINS, in the
+        # reference's sequential file-read order. That order must be
+        # DERIVED, not assumed: monotonically_increasing_id encodes
+        # (partitionId << 33 | row), and a multi-split scan bin-packs
+        # splits by SIZE — so on a multi-file/multi-split input the id
+        # order can diverge from read order (ADVICE r6). Two-tier
+        # policy:
+        #   * caller supplies ``_ord`` (e.g. a file-sequence + line
+        #     index stamped at load) → used verbatim; the scalable seam
+        #     for multi-file corpora.
+        #   * otherwise the frame is collapsed to ONE partition before
+        #     stamping, making id order = line order by construction.
+        #     These enrichment CSVs are small dims (the reference CLI
+        #     takes exactly one CSV per input), so the single-threaded
+        #     stamp is not on a scale path; the row_number picker
+        #     still shuffles by the 64-char key the joins need anyway.
+        has_ord = "_ord" in df.columns
+        if not has_ord:
+            df = df.coalesce(1).withColumn(
+                "_ord", F.monotonically_increasing_id()
+            )
         w = Window.partitionBy("sha256").orderBy(F.col("_ord").desc())
         return (
             df.filter(
                 F.col("sha256").isNotNull() & (F.trim(F.col("sha256")) != "")
             )
             .withColumn("sha256", F.trim(F.col("sha256")))
-            .withColumn("_ord", F.monotonically_increasing_id())
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_ord", "_rn")

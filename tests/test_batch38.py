@@ -57,9 +57,13 @@ def test_cbo_column_stats_flip_join_to_broadcast(spark, tmp_path):
     stats-collection workflow a 100 TB warehouse runs nightly."""
     import shutil
 
+    # the warehouse dir is per-process since round 7 (concurrent-
+    # session isolation) — resolve it from the session conf instead of
+    # assuming ./spark-warehouse
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in ("cbo_big_t", "cbo_dim_t"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     spark.read.parquet(f"{SF}/../sf0.1/lineitem.parquet").write.saveAsTable(
         "cbo_big_t"
     )

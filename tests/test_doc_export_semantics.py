@@ -109,3 +109,64 @@ def test_blank_sha_rows_are_dropped_not_joined(spark):
     }
     assert got["a" * 64]["agency_name"] == "Real"
     assert got["b" * 64] is None
+
+
+def test_malformed_keyword_cell_collapses_to_empty_array(spark):
+    """DOCUMENTED DEVIATION (plans/doc_export.py module docstring;
+    ADVICE r6 follow-up): the reference ``json.loads`` would store any
+    valid-JSON cell verbatim — a bare string, an object, a number —
+    leaking arbitrary shapes into the export. Here keywords parse via
+    ``from_json(..., 'array<string>')`` with NULL → [], so every
+    non-string-array cell degrades to the EMPTY case. This test pins
+    the deviation's exact contract so it cannot silently widen."""
+    lv = spark.createDataFrame(
+        [
+            ("a" * 64, "high", "j", '["kw1", "kw2"]'),   # well-formed
+            ("b" * 64, "low", "j", '"bare string"'),      # JSON, not array
+            ("c" * 64, "low", "j", '{"k": 1}'),           # JSON object
+            ("d" * 64, "low", "j", "not json at all"),    # unparseable
+            ("e" * 64, "low", "j", None),                  # NULL cell
+        ],
+        "sha256 string, level string, justification string, "
+        "keywords string",
+    )
+    docs = spark.createDataFrame(
+        [(c * 64, "2024-01-02", ["p"]) for c in "abcde"],
+        "sha256 string, dateprocessed string, text array<string>",
+    )
+    got = {
+        r["sha256"][0]: r["sir_violation_level"]["keywords"]
+        for r in build_doc_export(docs, violation_levels=lv).collect()
+    }
+    assert got["a"] == ["kw1", "kw2"]
+    # every malformed/non-array shape collapses to [] — never a leaked
+    # scalar, object, or NULL
+    assert got["b"] == [] and got["c"] == [] and got["d"] == []
+    assert got["e"] == []
+
+
+def test_nonstring_page_literal_elements_coerce_to_str(spark):
+    """DOCUMENTED DEVIATION (``_literal_eval_pages`` docstring): the
+    reference keeps ``ast.literal_eval`` elements verbatim, so a
+    repr'd list holding a number or None would serialize as a JSON
+    number/null there; this engine's pages column is typed
+    array<string>, so those elements coerce to their str() form. Pin
+    the exact coercion (str(3) -> '3', str(None) -> 'None') and the
+    non-list salvage cases."""
+    docs = spark.createDataFrame(
+        [
+            ("a" * 64, "d", "['p1', 'p2']"),       # clean repr list
+            ("b" * 64, "d", "['p1', 3, None]"),    # mixed element types
+            ("c" * 64, "d", "{'not': 'a list'}"),  # literal but not a list
+            ("d" * 64, "d", "plain text"),          # not a literal at all
+            ("e" * 64, "d", None),                   # NULL text
+        ],
+        "sha256 string, dateprocessed string, text string",
+    )
+    got = {
+        r["sha256"][0]: r["pages"]
+        for r in build_doc_export(docs).collect()
+    }
+    assert got["a"] == ["p1", "p2"]
+    assert got["b"] == ["p1", "3", "None"]
+    assert got["c"] == [] and got["d"] == [] and got["e"] == []
