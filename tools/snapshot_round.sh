@@ -51,4 +51,23 @@ for f in "$spot_a" "$spot_b"; do
         echo "FATAL: $f has no summary line"; exit 1; }
 done
 
-echo "snapshot OK: $gate $spot_a $spot_b"
+# FULL-REGISTRY sf0.1 gate (round 7+, VERDICT r6 #2): every oracle at
+# 10x the driver's scale, not just the scale-sensitive families — a
+# contract that only slips at bigger data (rounding at larger sums,
+# bucket boundaries, skew) has nowhere to hide. ~15-20 min.
+gate_sf01="GATE_r${round}_sf01.log"
+python tools/check_driver_gate.py /root/testdata/sf0.1 2>&1 | tee "$gate_sf01"
+test -s "$gate_sf01" || { echo "FATAL: $gate_sf01 is empty"; exit 1; }
+grep -q "oracles match" "$gate_sf01" || {
+    echo "FATAL: $gate_sf01 has no summary line"; exit 1; }
+
+# Full-registry partition-invariance audit: same plan under a hostile
+# shuffle layout (5 partitions, AQE off) must produce identical rows.
+pinv="PINV_r${round}.log"
+python tools/check_partition_invariance.py /root/testdata/sf0.01 \
+    2>&1 | tee "$pinv"
+test -s "$pinv" || { echo "FATAL: $pinv is empty"; exit 1; }
+grep -q "invariant" "$pinv" || {
+    echo "FATAL: $pinv has no summary line"; exit 1; }
+
+echo "snapshot OK: $gate $spot_a $spot_b $gate_sf01 $pinv"
