@@ -138,12 +138,29 @@ def train_quality_classifier(
     """Fit the quality pipeline on a labeled frame (``label`` in {0,1}).
     Training is distributed (L-BFGS over executor partials); only the
     coefficient vector lands on the driver."""
-    return build_quality_pipeline(
+    model = build_quality_pipeline(
         text_col=text_col,
         num_features=num_features,
         reg_param=reg_param,
         max_iter=max_iter,
     ).fit(labeled)
+    lrm = model.stages[-1]
+    # Drop the training summary: it pins the fitting SparkSession into
+    # the model's object graph (summary -> predictions DataFrame ->
+    # session), and on Spark 4.1 serializing that chain inside a task
+    # closure dies on the session's non-serializable ObservationManager
+    # ("Task not serializable" during scoring — surfaced as the
+    # long-session pytest flake). Scoring only needs the coefficient
+    # vector; a model loaded from disk never has a summary either, so
+    # this also makes fit-then-score behave identically to
+    # save-then-load-then-score.
+    try:
+        lrm._java_obj.setSummary(
+            labeled.sparkSession._jvm.scala.Option.apply(None)
+        )
+    except Exception:
+        pass  # py4j seam only; a future Spark may rename the setter
+    return model
 
 
 def score_quality(
