@@ -7,11 +7,12 @@
   eval documents it collides with. Complements the embedding-space
   ``decon_embedding_contamination`` (similarity.py): surface overlap
   vs semantic overlap are different leak channels.
-- ``e19_stratified_split``: deterministic hash train/val/test split
-  (80/10/10) with per-language stratum accounting — the reproducible
-  split every corpus release needs; bucket = (doc_id * 2654435761)
-  mod 1000, a pure-arithmetic Weyl/Knuth hash both engines compute
-  identically (no engine-specific hash functions near the oracle).
+- ``e19_stratified_split``: the per-STRATUM accounting readout of a
+  deterministic hash train/val/test split (80/10/10) — counts and
+  within-language fractions per (lang, split), the release-report
+  companion to ``split_train_val_test`` (batch 3), which emits the
+  per-document assignment itself. Bucket = (doc_id * 2654435761) mod
+  1000, a pure-arithmetic Knuth hash both engines compute identically.
 - ``text_gopher_quality_flags``: the Gopher-style rule gate as one
   row-per-document flag readout (token-count bounds, mean-word-length
   band, alpha ratio floor, stopword floor, top-token repetition
@@ -147,9 +148,10 @@ _SPLIT_ORACLE = f"""
 @register(
     "e19_stratified_split",
     _SPLIT_ORACLE,
-    "Deterministic 80/10/10 train/val/test split with per-language "
-    "stratum accounting: bucket = (doc_id * Knuth-constant) mod 1000 "
-    "— pure integer arithmetic, so the assignment is reproducible "
+    "Per-stratum accounting of the deterministic 80/10/10 split "
+    "(counts + within-language fractions; the per-document assignment "
+    "itself is split_train_val_test): bucket = (doc_id * Knuth-"
+    "constant) mod 1000, pure integer arithmetic — reproducible "
     "across engines, runs, AND partitionings (never rand()). Scale: "
     "the split column is a row-local expression (zero shuffle to "
     "assign); accounting is one map-side-combined groupBy plus a "
