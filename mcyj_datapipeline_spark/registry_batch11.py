@@ -291,7 +291,8 @@ set_oracle(
       FROM walk w
       JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
     )
-    SELECT event_id, user_id, round(ewma, 6) AS ewma
+    SELECT event_id, user_id,
+           floor(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
     FROM walk ORDER BY event_id
     """,
 )

@@ -602,8 +602,17 @@ def ev_ewma_value(spark, sf_dir):
         F.col("event_type") == "purchase"
     ).select("event_id", "user_id", "ts", "value")
     out = ewma_per_key(ev, ["user_id"], "ts", "value", 0.3, "event_id")
+    # cross-engine-stable 6dp: floor(x*1e6+0.5)/1e6, the ts3 formula.
+    # F.round uses BigDecimal HALF_UP on the double's SHORTEST decimal
+    # repr while DuckDB rounds the exact binary value, so a true 6dp
+    # tie (e.g. 65.8639815, which this recurrence of 2dp cents with
+    # decimal-friendly 0.3/0.7 weights manufactures regularly) rounds
+    # differently per engine — caught by the first FULL-registry sf0.1
+    # gate (round 7): 6/10k rows. Identical float ops on identical
+    # doubles, by contrast, agree everywhere.
+    stable6 = F.floor(F.col("ewma") * 1000000.0 + F.lit(0.5)) / 1000000.0
     return out.select(
-        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+        "event_id", "user_id", stable6.alias("ewma")
     ).orderBy("event_id")
 
 
