@@ -384,8 +384,10 @@ def label_propagation(
     vote count, and a groupBy(node) argmax — label state never exceeds
     one row per node, and the plan stays constant-size via
     ``localCheckpoint`` (swap for ``checkpoint`` on a real cluster).
-    The argmax is ``max(struct(votes, -label))`` — no per-node window,
-    so partial aggregation applies map-side.
+    The argmax is ``min(struct(-votes, label))`` (negate the numeric
+    vote count, never the label, so string labels survive and ties
+    break to the smallest label) — no per-node window, so partial
+    aggregation applies map-side.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

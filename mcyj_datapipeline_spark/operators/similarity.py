@@ -977,13 +977,20 @@ def label_outliers(
             ).alias("cos"),
         )
     )
-    agg = scored.groupBy(id_col, label_col).agg(
+    agg = scored.where(F.col("cos").isNotNull()).groupBy(
+        id_col, label_col
+    ).agg(
         # argmax cos, tie -> SMALLEST centroid label, as
         # min(struct(-cos, clabel)): negating the numeric SCORE (never
         # the label) keeps the tie-break correct for any orderable
         # label type — the former -clabel spelling silently cast string
         # labels to null (ADVICE r6) — while staying a plain min
         # aggregate (map-side partials, no per-id window).
+        # NULL cos rows (null embedding / null centroid component) are
+        # dropped BEFORE the agg: struct-min sorts a NULL field first,
+        # so an unfiltered null-cos row would win the argmin and emit
+        # best_cos NULL (ADVICE r7) — the pre-r7 max(struct(cos,...))
+        # form ignored them, and this filter restores that contract.
         F.min(
             F.struct((-F.col("cos")).alias("_negcos"), F.col("clabel"))
         ).alias("b"),

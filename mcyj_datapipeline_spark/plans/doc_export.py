@@ -101,6 +101,38 @@ def _literal_eval_pages(s):
     return s.map(parse)
 
 
+def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
+    """Load-time read-order stamp for frames scanned straight off
+    files: ``_ord = struct(file_path, block_start, row_counter)``.
+
+    Why this triple is the sequential read order: the hidden
+    ``_metadata`` column carries the split's source file and byte
+    offset, and ``monotonically_increasing_id`` increases along each
+    partition; a split never spans partitions and rows inside a
+    partition arrive in (file, offset) order, so the lexicographic
+    struct order equals "files in sorted-path order, bytes in offset
+    order" regardless of how FileSourceScan bin-packs splits by SIZE
+    (descending) into partitions — the exact reordering that made both
+    a bare ``monotonically_increasing_id`` (ADVICE r6, multi-file) and
+    the ``coalesce(1)`` fallback (ADVICE r7, unequal splits of one
+    file concatenate in size order, not offset order) unsound.
+
+    Returns None when ``_metadata`` doesn't resolve (derived or
+    in-memory frames — no file read order exists to recover).
+    """
+    try:
+        return df.withColumn(
+            "_ord",
+            F.struct(
+                F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.file_block_start").alias("b"),
+                F.monotonically_increasing_id().alias("r"),
+            ),
+        )
+    except Exception:
+        return None
+
+
 def build_doc_export(
     docs_raw: DataFrame,
     document_info: DataFrame | None = None,
@@ -139,25 +171,28 @@ def build_doc_export(
         # loaders skip rows with a blank sha (``:39-41`` etc.) and load
         # into a dict, so a duplicate sha is LAST-WINS, in the
         # reference's sequential file-read order. That order must be
-        # DERIVED, not assumed: monotonically_increasing_id encodes
-        # (partitionId << 33 | row), and a multi-split scan bin-packs
-        # splits by SIZE — so on a multi-file/multi-split input the id
-        # order can diverge from read order (ADVICE r6). Two-tier
-        # policy:
-        #   * caller supplies ``_ord`` (e.g. a file-sequence + line
-        #     index stamped at load) → used verbatim; the scalable seam
-        #     for multi-file corpora.
-        #   * otherwise the frame is collapsed to ONE partition before
-        #     stamping, making id order = line order by construction.
-        #     These enrichment CSVs are small dims (the reference CLI
-        #     takes exactly one CSV per input), so the single-threaded
-        #     stamp is not on a scale path; the row_number picker
-        #     still shuffles by the 64-char key the joins need anyway.
-        has_ord = "_ord" in df.columns
-        if not has_ord:
-            df = df.coalesce(1).withColumn(
-                "_ord", F.monotonically_increasing_id()
-            )
+        # DERIVED, not assumed. Three-tier policy:
+        #   * caller supplies ``_ord`` → used verbatim; the scalable
+        #     seam when the read sequence is anything other than
+        #     sorted-path file order.
+        #   * frame reads straight off files → ``_ord`` is stamped from
+        #     the scan's ``_metadata`` as (file_path, block_start,
+        #     row counter), which IS sequential read order no matter
+        #     how the scan bin-packs splits (see
+        #     ``_stamp_file_read_order``). Fully parallel — no
+        #     coalesce — so multi-file corpora stay on the scale path.
+        #   * derived/in-memory frame (no file order to recover) →
+        #     collapse to ONE partition and stamp
+        #     monotonically_increasing_id; order is the parent
+        #     partition order, documented best-effort for test frames.
+        if "_ord" not in df.columns:
+            stamped = _stamp_file_read_order(df)
+            if stamped is not None:
+                df = stamped
+            else:
+                df = df.coalesce(1).withColumn(
+                    "_ord", F.monotonically_increasing_id()
+                )
         w = Window.partitionBy("sha256").orderBy(F.col("_ord").desc())
         return (
             df.filter(

@@ -61,8 +61,8 @@ _FUNNEL_ORACLE = """
       UNION ALL SELECT 4, 'purchase', count(*) FROM s4
     )
     SELECT step_no, step, n_users,
-           round(n_users / lag(n_users, 1, n_users)
-                 OVER (ORDER BY step_no), 6) AS conv_from_prev
+           round(n_users / NULLIF(lag(n_users, 1, n_users)
+                 OVER (ORDER BY step_no), 0), 6) AS conv_from_prev
     FROM counts
     ORDER BY step_no
 """
@@ -118,11 +118,18 @@ def ev_funnel_reach(spark, sf_dir):
             "step_no",
             "step",
             "n_users",
+            # NULLIF-guarded denominator: sessions run ANSI-on, so a
+            # funnel step that dries up mid-chain (prev_n = 0, or a
+            # 0-row step 1 dividing by itself) would raise
+            # DIVIDE_BY_ZERO as a bare division (ADVICE r7). Contract,
+            # pinned identically in the oracle SQL via NULLIF(lag,0):
+            # conversion out of an empty previous step is NULL.
             F.round(
                 F.col("n_users")
-                / F.coalesce(F.col("_prev_n"), F.col("n_users")).cast(
-                    "double"
-                ),
+                / F.nullif(
+                    F.coalesce(F.col("_prev_n"), F.col("n_users")),
+                    F.lit(0),
+                ).cast("double"),
                 6,
             ).alias("conv_from_prev"),
         )
