@@ -865,13 +865,57 @@ def snm_sort_key(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
+def _positional_ngrams(w, n: int):
+    """Positional word n-grams of a token array column: element i
+    (1-based after posexplode) covers words i..i+n-1 joined by ' '.
+    Built by zipping n aligned slices (one subarray allocation per
+    DOC) — the per-position ``concat_ws(slice(w, i, n))`` form
+    allocates a fresh n-element array per GRAM, measurably slower in
+    the interpreted higher-order-function path (~13% of the span
+    queries' sf1 wall). Texts shorter than n words yield []."""
+    k = F.size(w) - (n - 1)
+    m = F.greatest(k, F.lit(1))
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
+    return F.when(
+        k >= 1,
+        F.transform(
+            z,
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _docspan_agg(gdf: DataFrame, key: str, id_col: str, min_docs: int):
+    """(key, min-doc owner) for keys spanning >= ``min_docs`` distinct
+    docs. For the ubiquitous ``min_docs == 2`` the distinct-doc test
+    is ``min(id) != max(id)`` — plain min/max partials, no
+    countDistinct Expand (the Expand doubled the span queries' agg
+    cost at sf1); the general case keeps countDistinct."""
+    if min_docs == 2:
+        return (
+            gdf.groupBy(key)
+            .agg(F.min(id_col).alias("_owner"), F.max(id_col).alias("_x"))
+            .filter(F.col("_owner") != F.col("_x"))
+            .select(key, "_owner")
+        )
+    return (
+        gdf.groupBy(key)
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select(key, "_owner")
+    )
+
+
 def repeated_ngram_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
-    hash_first: bool = False,
+    hash_first: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate SPANS: for every document, the merged
     word ranges covered by n-grams that also occur in at least
@@ -903,50 +947,30 @@ def repeated_ngram_spans(
     strings — and only the HASH-duplicated candidate subset (tiny
     relative to the corpus) is re-counted on the exact gram string, so
     a hash collision can never promote a unique gram to duplicated.
-    Output is identical either way; default False keeps the two-stage
-    plan out of small jobs where the extra stages cost more than the
-    narrower shuffle saves."""
+    Output is identical either way; default True since round 8 — the
+    sf1 probe showed the wide-string shuffles dominate at scale, and
+    AQE broadcasts the small hash-dup set so the extra stage is
+    near-free even on small jobs."""
     from pyspark.sql import Window
 
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-    k = F.size("_w") - (n - 1)
-    gram_arr = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = toks.select(
-        id_col, F.posexplode(gram_arr).alias("_p0", "gram")
+        id_col, F.posexplode(_positional_ngrams(F.col("_w"), n)).alias(
+            "_p0", "gram"
+        )
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
 
     if hash_first:
         hgrams = grams.withColumn("_gh", F.xxhash64("gram"))
-        dup_h = (
-            hgrams.groupBy("_gh")
-            .agg(F.countDistinct(id_col).alias("_nd"))
-            .filter(F.col("_nd") >= min_docs)
-            .select("_gh")
-        )
+        dup_h = _docspan_agg(hgrams, "_gh", id_col, min_docs).select("_gh")
         cand = hgrams.join(dup_h, "_gh", "left_semi")
         # exact confirm on the candidate subset only — collisions die here
-        dup = (
-            cand.groupBy("gram")
-            .agg(F.countDistinct(id_col).alias("_nd"))
-            .filter(F.col("_nd") >= min_docs)
-            .select("gram")
-        )
+        dup = _docspan_agg(cand, "gram", id_col, min_docs).select("gram")
         dpos = cand.join(dup, "gram", "left_semi").select(id_col, "pos")
     else:
-        dup = (
-            grams.groupBy("gram")
-            .agg(F.countDistinct(id_col).alias("_nd"))
-            .filter(F.col("_nd") >= min_docs)
-            .select("gram")
-        )
+        dup = _docspan_agg(grams, "gram", id_col, min_docs).select("gram")
         dpos = grams.join(dup, "gram", "left_semi").select(id_col, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -971,6 +995,7 @@ def cut_repeated_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
+    hash_first: bool = True,
 ) -> DataFrame:
     """Span-level corpus REWRITE: remove every word covered by a
     corpus-duplicated n-gram from all documents except the gram's
@@ -992,33 +1017,48 @@ def cut_repeated_ngram_spans(
     word indexes, and ONE anti-join of the word stream against the cut
     set before an order-preserving per-doc reassembly (sort_array over
     collected (idx, word) structs — a grouped sort of each doc's own
-    words, never a global sort)."""
+    words, never a global sort).
+
+    ``hash_first`` (default True — the 100 TB shuffle shape, measured
+    sf1 exp 0.82 for the string form): the cross-doc frequency pass
+    groups on ``xxhash64(gram)`` — 8-byte keys and NO n-word strings
+    in the agg shuffle — then only the hash-duplicated candidate
+    subset (tiny: actual boilerplate plus measure-zero collisions) is
+    re-counted and owner-assigned on the EXACT gram string, so a
+    collision can never promote a unique gram to duplicated or
+    misassign an owner. Output identical either way."""
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
-    k = F.size("_w") - (n - 1)
-    gram_arr = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     grams = toks.select(
-        id_col, F.posexplode(gram_arr).alias("_p0", "gram")
+        id_col, F.posexplode(_positional_ngrams(F.col("_w"), n)).alias(
+            "_p0", "gram"
+        )
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gram")
 
-    owners = (
-        grams.groupBy("gram")
-        .agg(
-            F.countDistinct(id_col).alias("_nd"),
-            F.min(id_col).alias("_owner"),
+    if hash_first:
+        # narrow pass: which gram HASHES span >= min_docs docs. The
+        # agg shuffle carries (8-byte hash, min/max id partials)
+        # instead of n-word strings; dup_h is boilerplate-sized, so
+        # AQE turns the semi-join into a broadcast — the gram stream
+        # itself is never shuffled for candidate selection.
+        grams_h = grams.withColumn("_gh", F.xxhash64("gram"))
+        dup_h = _docspan_agg(grams_h, "_gh", id_col, min_docs).select(
+            "_gh"
         )
-        .filter(F.col("_nd") >= min_docs)
-        .select("gram", "_owner")
-    )
-    cut = (
-        grams.join(owners, "gram")
+        cand = grams_h.join(dup_h, "_gh", "left_semi").drop("_gh")
+    else:
+        cand = grams
+
+    # owners confirmed on the exact gram STRING over the candidate
+    # subset only (hash_first) or the full stream (string mode)
+    owners = _docspan_agg(cand, "gram", id_col, min_docs)
+    # per-doc cut SET as one small array — the downstream rebuild is
+    # map-side, so the only word-granular shuffle in the whole plan
+    # is this boilerplate-sized groupBy (collect_set dedups overlap
+    # between adjacent duplicated grams)
+    cut_sets = (
+        cand.join(owners, "gram")
         .filter(F.col(id_col) != F.col("_owner"))
         .select(
             id_col,
@@ -1026,34 +1066,37 @@ def cut_repeated_ngram_spans(
                 F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("widx"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("widx").alias("_cut"))
     )
 
-    words = toks.select(
-        id_col, F.posexplode("_w").alias("_p0", "word")
-    ).select(id_col, (F.col("_p0") + 1).alias("widx"), "word")
-    kept = words.join(cut, [id_col, "widx"], "left_anti")
-
-    before = toks.select(id_col, F.size("_w").alias("n_words_before"))
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words_after"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("widx", "word"))
-                ),
-                lambda s: s["word"],
-            ),
-        ).alias("clean_text"),
+    # MAP-SIDE rebuild (r8): filter each doc's own token array against
+    # its cut set with an index-aware lambda — order preserved by
+    # construction. Replaces the old explode-every-word + anti-join +
+    # collect_list/sort_array reassembly, which shuffled the corpus
+    # twice at word grain and re-sorted every document interpreted.
+    # Docs with no cut set skip the per-word filter entirely; _kept is
+    # materialized in its own projection so size() and concat_ws()
+    # don't re-run the filter (CollapseProject keeps non-cheap
+    # multi-referenced outputs split).
+    kept = F.when(F.col("_cut").isNull(), F.col("_w")).otherwise(
+        F.filter(
+            "_w", lambda x, i: ~F.array_contains(F.col("_cut"), i + 1)
+        )
     )
-    return before.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_words_before",
-        F.coalesce(F.col("n_words_after"), F.lit(0)).alias(
-            "n_words_after"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    return (
+        toks.join(cut_sets, id_col, "left")
+        .select(
+            id_col,
+            F.size("_w").alias("n_words_before"),
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_words_before",
+            F.size("_kept").alias("n_words_after"),
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+        )
     )
 
 
@@ -1063,6 +1106,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard similar pairs via prefix filtering (the
     AllPairs/PPJoin family) — same output contract as
@@ -1087,7 +1131,23 @@ def prefix_filter_jaccard_pairs(
     its OWN shingles (sort_array over collected (freq, shingle)
     structs — grouped, never a global vocabulary window), prefix
     explode + self-join + distinct for candidates, then one
-    verification join carrying the two full shingle arrays."""
+    verification join carrying the two full shingle arrays.
+
+    ``hash_keys`` (default True) is the 100 TB shuffle shape: the
+    whole candidate pipeline — frequency groupBy, frequency join,
+    per-doc canonical sort, prefix self-join — runs on
+    ``xxhash64(shingle)`` 8-byte keys with NO shingle strings in any
+    shuffled row; strings appear only in the final exact verification,
+    which reads the per-doc shingle arrays straight off the ``sh``
+    frame (narrow, never shuffled by key). Token identity for
+    candidate generation becomes the 64-bit hash: a collision can only
+    ADD candidates (killed by exact verification), except in the
+    measure-zero case where TWO distinct shingles SHARED by the same
+    near-threshold pair collide — the ε-recall caveat, P ≲ |pair
+    union|²/2⁶⁴ per pair, zero at any tested scale. Default False
+    would keep byte-identical recall-by-theorem; the ε is documented
+    instead because the string variant's shuffles are the measured
+    sf1 bottleneck (exp 0.84, SCALE_PROBE_r7)."""
     sh = (
         _spread_for_compute(
             df.select(F.col(id_col), F.col(text_col)), id_col
@@ -1097,7 +1157,19 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.size("sh") > 0)
     )
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if hash_keys:
+        # 8-byte shingle ids; xxhash64 is effectively injective here
+        # and array_distinct keeps set semantics under any collision
+        inv = sh.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform("sh", lambda s: F.xxhash64(s))
+                )
+            ).alias("shingle"),
+        )
+    else:
+        inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
 
     ordered = (

@@ -1162,10 +1162,13 @@ def _span_cut_oracle_sql() -> str:
     "corpus-repeated 5-gram is cut from all documents except the "
     "gram's owner (min doc id), keeping repeated boilerplate in "
     "exactly one place; full cleaned corpus rebuilt with before/after "
-    "word counts. Same two gram shuffles as the span detector plus "
-    "one anti-join of the word stream against the cut set and an "
-    "order-preserving grouped reassembly (sort_array over each doc's "
-    "own (idx, word) structs — never a global sort).",
+    "word counts. Hash-first (r8 default): the frequency pass groups "
+    "on xxhash64(gram) — 8-byte shuffle keys, no n-word strings — and "
+    "owners are re-confirmed on the exact gram string over the tiny "
+    "hash-duplicated subset only; then one anti-join of the word "
+    "stream against the cut set and an order-preserving grouped "
+    "reassembly (sort_array over each doc's own (idx, word) structs "
+    "— never a global sort).",
 )
 def e13_span_dedup_rewrite(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.dedup import (
@@ -1210,8 +1213,12 @@ def e13_span_dedup_rewrite(spark, sf_dir):
     "doc indexes only its |r|-ceil(t|r|)+1 globally-rarest shingles "
     "(df-asc canonical order, sorted per-doc with sort_array — no "
     "vocabulary-wide window), candidates self-join on prefix shingles "
-    "only, then exact array_intersect verification. Recall 1.0 by "
-    "theorem — the oracle is the brute shared-shingle join verbatim. "
+    "only, then exact array_intersect verification. Candidate "
+    "generation runs wholly on xxhash64 8-byte shingle ids (r8 "
+    "default — no strings in any candidate shuffle); verification is "
+    "exact on the full string shingle sets. Recall 1.0 by theorem on "
+    "hash identity — the oracle is the brute shared-shingle join "
+    "verbatim (see the operator's ε-collision note). "
     "The exact counterpart to LSH at scale: boilerplate shingles live "
     "in suffixes and never reach the self-join, attacking the same "
     "fan-out ngram_jaccard's max_shingle_docs valve caps lossily.",

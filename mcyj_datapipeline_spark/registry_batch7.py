@@ -428,6 +428,40 @@ def j17_band_join_price_tier(spark, sf_dir):
 # Corpus-trained character-bigram LM score (perplexity-proxy filter)
 # ===========================================================================
 
+def _bigram_count_kernel(batches):
+    """Arrow-batched per-doc character-bigram counter: one row per
+    (doc, distinct bigram CODE) with its instance count. Bigram
+    identity is the codepoint pair a*0x110000+b from the utf-32
+    encoding — bijective, and codepoint (not UTF-16 code unit)
+    granularity is exactly the oracle's substring semantics. All the
+    per-character work is numpy (C speed); the JVM alternatives are
+    interpreted per element — zip_with(concat) over every char pair
+    measured ~7 s per pass at sf1 (and the plan needs two passes),
+    vs well under 1 s for this kernel."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, codes, cnts = [], [], []
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            if t is None or len(t) < 2:
+                continue
+            a = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+            bc = a[:-1].astype(np.int64) * 0x110000 + a[1:]
+            u, c = np.unique(bc, return_counts=True)
+            ids.append(np.full(len(u), doc_id, dtype=np.int64))
+            codes.append(u)
+            cnts.append(c.astype(np.float64))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "g": np.concatenate(codes),
+                    "c": np.concatenate(cnts),
+                }
+            )
+
+
 @register(
     "text_bigram_logprob",
     """
@@ -460,28 +494,22 @@ def text_bigram_logprob(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
-    # Bigrams via one char-split + aligned-slice zip: every step is
-    # O(len). The tempting per-position form —
-    # transform(sequence(1, len-1), i -> substring(t, i, 2)) — is
-    # O(len^2) per document because UTF8String substring re-walks the
-    # string from the start for EVERY position (measured ~2.5s -> ~1s on
-    # the sf0.1 bench for this query).
-    chars = F.split(F.col("t"), "")
-    grams = docs.filter(F.length("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(chars, 1, F.size(chars) - 1),
-                F.slice(chars, 2, F.size(chars) - 1),
-                lambda a, b: F.concat(a, b),
-            )
-        ).alias("g"),
-    )
-    # Per-doc bigram counts feed BOTH the model build and the scoring
-    # join; scoring weights each distinct bigram by its count
-    # (avg over instances == sum(c*lp)/sum(c)).
-    gc = grams.groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # Per-doc bigram counts from ONE vectorized Arrow pass (kernel
+    # above), then everything downstream is declarative and
+    # shuffle-light (r8; the r7 form's groupBy(doc_id, g) Exchange
+    # moved docs x vocab-per-doc string rows — the measured exp-0.87
+    # bottleneck — and every pure-builtin alternative pays the
+    # interpreted higher-order-function tax per CHARACTER):
+    #   * model: groupBy(code) over per-doc counts partial-aggregates
+    #     to <= alphabet^2 rows per partition — broadcastable at any
+    #     corpus size;
+    #   * scoring: broadcast-join per-doc counts to the model
+    #     (map-side), weighted per-doc aggregate partial-aggregates
+    #     to ONE row per doc per partition.
+    # Total shuffle: O(docs + alphabet^2) rows, no strings anywhere
+    # (bigram identity is an 8-byte codepoint-pair code).
+    gc = docs.mapInPandas(
+        _bigram_count_kernel, "doc_id long, g long, c double"
     )
     counts = gc.groupBy("g").agg(F.sum("c").alias("cg"))
     total = counts.agg(F.sum("cg").alias("n"))
