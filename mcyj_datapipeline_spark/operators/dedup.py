@@ -1029,7 +1029,16 @@ def cut_repeated_ngram_spans(
     misassign an owner. Output identical either way."""
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
 
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+    # NULL text pins to an empty token array so the output row keeps
+    # the (n_words_before=0, n_words_after=0, clean_text='') contract
+    # the DuckDB oracle coalesces to — otherwise size(null) -> NULL
+    # leaks into both counts (ADVICE r8).
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_w"),
+    )
     grams = toks.select(
         id_col, F.posexplode(_positional_ngrams(F.col("_w"), n)).alias(
             "_p0", "gram"

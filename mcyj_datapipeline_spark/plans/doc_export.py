@@ -52,6 +52,7 @@ onto a 100 TB corpus as key-partitioned joins.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -118,10 +119,17 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
     file concatenate in size order, not offset order) unsound.
 
     Returns None when ``_metadata`` doesn't resolve (derived or
-    in-memory frames — no file read order exists to recover).
+    in-memory frames — no file read order exists to recover), and
+    also when an Exchange sits between the file scan and this frame:
+    ``_metadata`` still resolves through a repartition, but
+    ``monotonically_increasing_id`` then numbers the post-shuffle
+    partitions, no longer within-split row order, and the stamp would
+    silently pick a wrong last-wins winner (ADVICE r8). Classic
+    sessions analyze eagerly, so a missing ``_metadata`` raises
+    AnalysisException right here; we catch exactly that.
     """
     try:
-        return df.withColumn(
+        stamped = df.withColumn(
             "_ord",
             F.struct(
                 F.col("_metadata.file_path").alias("f"),
@@ -129,8 +137,12 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
                 F.monotonically_increasing_id().alias("r"),
             ),
         )
-    except Exception:
+    except AnalysisException:
         return None
+    plan = stamped._jdf.queryExecution().optimizedPlan().toString()
+    if "Repartition" in plan or "RepartitionByExpression" in plan:
+        return None
+    return stamped
 
 
 def build_doc_export(

@@ -1216,9 +1216,14 @@ def e13_span_dedup_rewrite(spark, sf_dir):
     "only, then exact array_intersect verification. Candidate "
     "generation runs wholly on xxhash64 8-byte shingle ids (r8 "
     "default — no strings in any candidate shuffle); verification is "
-    "exact on the full string shingle sets. Recall 1.0 by theorem on "
-    "hash identity — the oracle is the brute shared-shingle join "
-    "verbatim (see the operator's ε-collision note). "
+    "exact on the full string shingle sets. Recall contract under the "
+    "default hash_keys=True: exact up to 64-bit shingle-id collisions "
+    "(a collision can only ADD a candidate that exact verification "
+    "then scores on true shingle sets — pairs are never dropped, but "
+    "the prefix-theorem recall-1.0 guarantee formally holds on hash "
+    "identity, not string identity; pass hash_keys=False for the "
+    "theorem-exact string form). The oracle is the brute "
+    "shared-shingle join verbatim. "
     "The exact counterpart to LSH at scale: boilerplate shingles live "
     "in suffixes and never reach the self-join, attacking the same "
     "fan-out ngram_jaccard's max_shingle_docs valve caps lossily.",

@@ -894,3 +894,31 @@ def test_repeated_ngram_spans_hash_first_identical_output(spark, sf_dir):
         for r in repeated_ngram_spans(docs, n=5, hash_first=True).collect()
     )
     assert plain == hashed and plain
+
+
+def test_cut_repeated_ngram_spans_null_text_pins_zero(spark):
+    """NULL text must keep the oracle's (0, 0, '') contract — before
+    the ADVICE-r8 fix, size(null) leaked NULL into both word counts."""
+    from mcyj_datapipeline_spark.operators.dedup import (
+        cut_repeated_ngram_spans,
+    )
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail"), (2, "head " + shared), (3, None)],
+        "doc_id long, text string",
+    )
+    for hf in (True, False):
+        out = {
+            r["doc_id"]: (
+                r["n_words_before"],
+                r["n_words_after"],
+                r["clean_text"],
+            )
+            for r in cut_repeated_ngram_spans(
+                docs, n=4, hash_first=hf
+            ).collect()
+        }
+        assert out[3] == (0, 0, "")
+        assert out[1] == (5, 5, shared + " tail")
+        assert out[2] == (5, 1, "head")

@@ -130,3 +130,17 @@ def test_stamp_returns_none_for_in_memory_frames(spark):
     (None) so keyed() falls back instead of mis-resolving."""
     df = spark.createDataFrame([("a",)], "sha256 string")
     assert _stamp_file_read_order(df) is None
+
+
+def test_stamp_returns_none_for_shuffled_scan(spark, tmp_path):
+    """_metadata resolves THROUGH a repartition, but the row counter
+    then numbers post-shuffle partitions, not within-split order — the
+    stamp must decline rather than mint a wrong winner (ADVICE r8)."""
+    shas = [c * 64 for c in "ab"]
+    paths = _write_csvs(tmp_path, n_files=2, rows_per_file=10, shas=shas)
+    info = spark.read.csv(
+        os.path.dirname(paths[0]), header=True, schema=_SCHEMA
+    )
+    assert _stamp_file_read_order(info) is not None
+    assert _stamp_file_read_order(info.repartition(4)) is None
+    assert _stamp_file_read_order(info.repartition(4, "sha256")) is None

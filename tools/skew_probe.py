@@ -284,6 +284,18 @@ def main() -> None:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))
 
+    # the probe's whole point is proving the valves ENGAGE — a run
+    # where the AQE skew split never fired (or salting diverged) must
+    # not be committable as a passing probe (ADVICE r8)
+    failures = []
+    if not join_ab["aqe_skew_split_engaged"]:
+        failures.append("AQE skew split did not engage (skew=true absent)")
+    if not join_ab["salted_equals_plain"]:
+        failures.append("salted_join rows != plain join rows")
+    if failures:
+        print("SKEW PROBE FAILED: " + "; ".join(failures), file=sys.stderr)
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
