@@ -81,8 +81,19 @@ def main() -> None:
         if t in SKEW_COLS:
             print(f"{t}: skewing {SKEW_COLS[t]}")
             tbl = _skew(tbl, SKEW_COLS[t], args.hot_frac)
+        # Small row groups matter for the probe's realism: AQE's skew
+        # split can only cut a skewed reduce partition at MAP-OUTPUT
+        # boundaries, and parquet splits no finer than a row group — a
+        # single-row-group fact file collapses to ONE mapper, making
+        # the hot partition structurally unsplittable however skewed
+        # its bytes (observed r9: isSkewed=true, createSkewPartitionSpecs
+        # =None). A 100 TB fact table has thousands of row groups;
+        # 64k-row groups give this fixture the same many-mapper shape.
         pq.write_table(
-            tbl, os.path.join(args.out, f"{t}.parquet"), compression="zstd"
+            tbl,
+            os.path.join(args.out, f"{t}.parquet"),
+            compression="zstd",
+            row_group_size=64 * 1024,
         )
         print(f"{t}: {tbl.num_rows} rows written")
 

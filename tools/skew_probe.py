@@ -137,7 +137,12 @@ def ab_join(spark, skew_dir: str, reps: int) -> dict:
 
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         df = plain()
-        materialized_count(df)
+        # execute df's OWN QueryExecution: materialized_count builds a
+        # separate one (df.agg(...)), whose finalized adaptive plan
+        # never attaches back to df — reading df's plan after only a
+        # materialized_count captures the pre-execution initial plan
+        # with no skew markers (r9 root cause of a false negative)
+        df.collect()
         res["plain_join_skewvalve_on_sec"] = _timed(
             lambda: materialized_count(plain()), reps
         )
