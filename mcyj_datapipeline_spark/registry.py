@@ -65,11 +65,21 @@ def set_oracle(name: str, sql: str) -> None:
 TEST_SCALE_ONLY: frozenset[str] = frozenset()
 
 
+def load_all() -> None:
+    """Materialize the FULL registry by importing every batch module
+    (``registry_all``) — idempotent, cycle-free (the chain used to sit
+    at this module's bottom; see registry_all's docstring for why that
+    broke under direct ``import registry_batchN`` from tests)."""
+    from mcyj_datapipeline_spark import registry_all  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    load_all()
     return {name: fn for name, (fn, _, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    load_all()
     return {
         name: sql for name, (_, sql, _) in _REGISTRY.items() if sql is not None
     }
@@ -1632,53 +1642,3 @@ def text_quality_score(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
-
-
-# Batch-3 entries register on import (module bottom so ``register`` and the
-# base entries above already exist; batch3 imports back into this module).
-from mcyj_datapipeline_spark import registry_batch3  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch4  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch5  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch6  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch7  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch8  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch9  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch10  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch11  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch12  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch13  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch14  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch15  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch16  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch17  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch18  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch19  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch20  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch21  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch22  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch23  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch24  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch25  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch26  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch27  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch28  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch29  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch30  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch31  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch32  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch33  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch34  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch35  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch36  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch37  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch38  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch39  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch40  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch41  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch42  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch43  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch44  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch45  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch46  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch47  # noqa: E402,F401
-from mcyj_datapipeline_spark import registry_batch48  # noqa: E402,F401

@@ -489,87 +489,28 @@ def _e12_fold_night(docs, lo, hi, digests, clusters, sigs):
     never a doc_id predicate or a re-read of prior text — so a sequence
     of folds screens night N against corpus + nights < N exactly as the
     reference's forever-loop does (run_full_pipeline.py:202-431), at
-    batch-sized cost: only this batch is sketched fresh."""
-    from mcyj_datapipeline_spark.operators.dedup import (
-        connected_components,
-        minhash_lsh_pairs,
-        minhash_lsh_pairs_presketched,
-        minhash_signatures,
+    batch-sized cost: only this batch is sketched fresh.
+
+    Since r9 this delegates to the SHARED fold body
+    (:func:`streaming.dedup_fold.fold_dedup_batch`) that the streaming
+    twin's ``foreachBatch`` also runs — so the E12/E12b DuckDB oracles
+    pin the exact code the stream executes. The only difference from
+    the pre-r9 inline body: batch exclusion by anti-join on the
+    batch's id set instead of the [lo, hi) predicate (equivalent:
+    owners and signatures in state only ever come from docs), and no
+    broadcast hint on the corpus-sized digest screen (AQE broadcasts
+    while small; a hint would pin a 100 TB state table to broadcast).
+    """
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
     )
 
     def in_range(col):
         rng = F.col(col) >= lo
         return rng if hi is None else rng & (F.col(col) < hi)
 
-    in_batch = in_range("doc_id")
-    batch = docs.filter(in_batch).select("doc_id", "text")
-
-    # ---- T1/T6 exact screen: drop batch docs whose content is owned
-    # by a doc OUTSIDE the batch (owner inside the batch = re-delivery
-    # of this same batch -> keep, so a second fold is a no-op) --------
-    batch_sha = batch.withColumn(
-        "content_sha", F.sha2(F.col("text"), 256)
-    )
-    foreign_owned = digests.read().filter(~in_range("owner_id"))
-    survivors = batch_sha.join(
-        F.broadcast(foreign_owned.select("content_sha")),
-        "content_sha",
-        "left_anti",
-    ).select("doc_id", "text")
-
-    # ---- incremental near-dup screens (batch-sized, never corpus^2):
-    # the prior side is the persisted SIGNATURE state (minus this batch,
-    # present in state on a re-fold) — prior text is never re-read ----
-    saved = clusters.read()
-    sig_new = minhash_signatures(survivors).persist()
-    sig_prior = sigs.read().filter(~in_batch)
-    cross = minhash_lsh_pairs_presketched(
-        sig_new, sig_prior, jaccard_threshold=0.8
-    ).select(F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b"))
-    intra = minhash_lsh_pairs(survivors, jaccard_threshold=0.8).select(
-        "id_a", "id_b"
-    )
-
-    # ---- fold: saved map as star edges (self-loops dropped) + pairs -
-    stars = saved.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
-    )
-    folded = connected_components(
-        stars.unionByName(cross).unionByName(intra), "id_a", "id_b"
-    ).withColumnRenamed("cluster_id", "_cl")
-
-    ingested = saved.select("doc_id").unionByName(
-        survivors.select("doc_id")
-    ).distinct()
-    new_map = (
-        ingested.join(
-            folded.withColumnRenamed("doc_id", "_n"),
-            ingested["doc_id"] == F.col("_n"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-
-    # ---- commit: merge map; append only genuinely-new digests -------
-    committed = clusters.update(new_map, ["cluster_id"])
-    new_digests = (
-        batch_sha.groupBy("content_sha")
-        .agg(F.min("doc_id").alias("owner_id"))
-        .join(
-            digests.read().select("content_sha"), "content_sha", "left_anti"
-        )
-    )
-    if new_digests.take(1):
-        digests.update(new_digests, ["owner_id"])
-    # signatures for the batch's ingested docs enter state exactly once
-    # (update merges by key, so a re-fold rewrites identical rows)
-    if sig_new.take(1):
-        sigs.update(sig_new, ["shingles", "signature"])
-    sig_new.unpersist()
-    return committed
+    batch = docs.filter(in_range("doc_id")).select("doc_id", "text")
+    return fold_dedup_batch(batch, digests, clusters, sigs, 0.8)
 
 
 def _e12b_oracle_sql() -> str:
@@ -633,6 +574,79 @@ def e12b_two_night_fold(spark, sf_dir):
     _e12_bootstrap(spark, docs, *state)
     _e12_fold_night(docs, 400, 450, *state)
     committed = _e12_fold_night(docs, 450, None, *state)
+    return committed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("doc_id") < 400, "corpus")
+        .when(F.col("doc_id") < 450, "night1")
+        .otherwise("night2")
+        .alias("status"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "e12c_stream_dedup_fold",
+    _e12b_oracle_sql(),
+    "E12c: e12b's two-night fold as a REAL Structured-Streaming "
+    "query — file source over a landing dir (one parquet per night, "
+    "maxFilesPerTrigger=1 so each night is its own micro-batch), "
+    "foreachBatch folding every batch into the persistent digest/"
+    "cluster/signature ParquetStateTables through the SAME shared "
+    "fold body the batch flagships run, Trigger.AvailableNow + "
+    "checkpoint. The oracle is e12b's from-scratch DuckDB clustering "
+    "verbatim: stream and batch must land the identical state. "
+    "Crash-restart exactly-once (SIGKILL mid-fold, replay on the "
+    "same checkpoint, state equals the clean fold) is proven by "
+    "tests/test_stream_dedup_fold.py — the reference forever-loop's "
+    "re-run idempotency contract (run_full_pipeline.py:202-431).",
+)
+def e12c_stream_dedup_fold(spark, sf_dir):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        open_dedup_state,
+        stream_dedup_fold,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = session_scratch(
+        f"e12c_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # landing files: one parquet per night, mtimes 10 s apart so the
+    # file source's (modTime, path) order delivers night1 first —
+    # ingestion order is semantic (night2 screens against night1's
+    # committed state). Written once per process; re-calls re-use the
+    # landing dir and the checkpoint makes the stream a no-op.
+    landing = os.path.join(root, "landing")
+    if not os.path.isdir(landing):
+        os.makedirs(landing)
+        now = time.time()
+        for i, (lo, hi) in enumerate(((400, 450), (450, None))):
+            cond = F.col("doc_id") >= lo
+            if hi is not None:
+                cond = cond & (F.col("doc_id") < hi)
+            pdf = docs.filter(cond).select("doc_id", "text").toPandas()
+            path = os.path.join(landing, f"night{i + 1}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False), path
+            )
+            t = now - 20 + 10 * i
+            os.utime(path, (t, t))
+    state_root = os.path.join(root, "state")
+    state = open_dedup_state(spark, state_root, num_buckets=8)
+    _e12_bootstrap(spark, docs, *state)
+    stream_dedup_fold(
+        spark,
+        landing,
+        state_root,
+        os.path.join(root, "ckpt"),
+        num_buckets=8,
+    )
+    committed = state[1].read()
     return committed.select(
         "doc_id",
         "cluster_id",

@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from mcyj_datapipeline_spark.io import read_table
 from mcyj_datapipeline_spark.registry import _REGISTRY, register
 
+# The scorecard oracle below composes _REGISTRY entries AT IMPORT TIME;
+# import their registrar modules first so this module is order-safe
+# even under a direct `import registry_batch37` (dedup_exact_hash /
+# text_vocab_oov_rate's registrars load via registry itself or below).
+from mcyj_datapipeline_spark import registry_batch13  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch20  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch32  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch33  # noqa: E402,F401
+
 __all__ = [
     "ts6_autocorrelation",
     "e18_corpus_health_scorecard",

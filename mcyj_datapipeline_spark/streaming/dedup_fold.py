@@ -1,0 +1,257 @@
+"""Streaming twin of the nightly dedup fold (E12/E12b).
+
+The reference's forever-loop (``run_full_pipeline.py:202-431``) is
+"wake up, take whatever landed since last run, screen it against
+everything already ingested, commit, repeat" — and its correctness
+hinges on RE-RUN IDEMPOTENCY: the loop crashes and restarts freely, so
+processing the same batch twice must leave the same state as once.
+The batch form of that contract is proven by the oracle-checked
+``e12_nightly_dedup_fold`` / ``e12b_two_night_fold`` queries; this
+module is the same fold as a real Structured-Streaming query:
+
+    file source over a landing dir → ``foreachBatch(fold)`` against
+    persistent :class:`ParquetStateTable` state, ``Trigger.AvailableNow``.
+
+Why ``foreachBatch`` and not a stateful operator: the fold's state is
+three KEYED RELATIONS (content digests, cluster map, MinHash
+signatures) that the fold reads with joins and rewrites with keyed
+merges — relational state, not per-key timers — and the fold itself is
+a multi-join batch plan (banded LSH self/cross joins + connected
+components). ``foreachBatch`` hands each micro-batch to exactly that
+batch plan, which is the documented Spark pattern for sinks/state the
+engine doesn't natively transactionalize.
+
+Exactly-once story (what the crash-restart test proves): Structured
+Streaming writes ``offsets/N`` BEFORE running batch N and ``commits/N``
+after; a crash between the two re-delivers batch N — same files, same
+``batch_id`` — on restart. The fold is a no-op on re-delivery because
+every state mutation is a keyed upsert of rows derived
+DETERMINISTICALLY from (batch content, state-minus-batch):
+
+* digest screen: a batch doc is dropped only when its content sha is
+  owned OUTSIDE the batch, so shas the crashed attempt already
+  committed don't evict their own batch on replay;
+* the prior-ingested side of the MinHash screen is the signature state
+  MINUS the batch's own ids (anti-join), so a replay screens against
+  exactly what the first attempt saw;
+* the cluster fold re-derives the same connected components (saved
+  star edges the crashed attempt may have already folded lie inside
+  the components the replayed pairs regenerate), and
+  ``ParquetStateTable.update`` merges by key — rewriting identical
+  rows.
+
+A kill can also land BETWEEN the three state commits (clusters →
+digests → signatures); each intermediate state re-folds to the same
+final state, which the SIGKILL test exercises by killing inside the
+fold window at an arbitrary point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.streaming.incremental import ParquetStateTable
+
+
+def open_dedup_state(
+    spark: SparkSession, state_root: str, num_buckets: int | None = 8
+) -> tuple[ParquetStateTable, ParquetStateTable, ParquetStateTable]:
+    """The fold's three state tables under one root. ``num_buckets=8``
+    (default) is the 100 TB merge-on-write shape — partition-pruned
+    rewrites of only the buckets a batch touches; ``None`` selects the
+    versioned layout whose ``_CURRENT`` pointer swap makes each state
+    commit ATOMIC under kill -9 (the layout the crash-restart test
+    uses, and the seam where Delta/Iceberg MERGE slots in at cluster
+    scale)."""
+    digests = ParquetStateTable(
+        spark, f"{state_root}/digests", key="content_sha",
+        num_buckets=num_buckets,
+    )
+    clusters = ParquetStateTable(
+        spark, f"{state_root}/clusters", key="doc_id",
+        num_buckets=num_buckets,
+    )
+    sigs = ParquetStateTable(
+        spark, f"{state_root}/signatures", key="doc_id",
+        num_buckets=num_buckets,
+    )
+    return digests, clusters, sigs
+
+
+def fold_dedup_batch(
+    batch: DataFrame,
+    digests: ParquetStateTable,
+    clusters: ParquetStateTable,
+    sigs: ParquetStateTable,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """ONE fold of a ``(doc_id, text)`` batch into the persistent dedup
+    state; returns the committed cluster map. Shared body of the batch
+    flagships (``e12_nightly_dedup_fold`` / ``e12b_two_night_fold``,
+    which pin it to a DuckDB from-scratch oracle) and the streaming
+    form below.
+
+    Cost is batch-sized, never corpus-sized: only the batch is
+    sha'd/shingled/sketched; the corpus participates through its saved
+    digest/cluster/signature state. The batch's own ids are excluded
+    from every state read (broadcast anti-joins on the batch-sized id
+    set), which is what makes a re-fold of the same batch — the
+    streaming re-delivery case — byte-identical to the first fold even
+    when a crashed attempt already committed part of its state.
+
+    Scale notes: the two anti-joins against state (digest screen,
+    prior-signature exclusion) deliberately carry NO broadcast hint on
+    the state side — state is corpus-sized; AQE broadcasts it while it
+    is small and falls back to shuffle joins keyed on 32-byte
+    shas / 8-byte ids at scale. The batch-id exclusion side IS
+    broadcast: it is batch-sized by contract.
+    """
+    from mcyj_datapipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_presketched,
+        minhash_signatures,
+    )
+
+    batch = batch.select("doc_id", "text")
+    ids = batch.select("doc_id").distinct()
+
+    # ---- exact screen: drop batch docs whose content is owned by a
+    # doc OUTSIDE the batch (an owner inside the batch means this very
+    # batch is being re-delivered -> keep, so the re-fold is a no-op)
+    batch_sha = batch.withColumn(
+        "content_sha", F.sha2(F.col("text"), 256)
+    )
+    digest_state = digests.read()
+    if digest_state is not None:
+        foreign_owned = digest_state.join(
+            F.broadcast(ids.withColumnRenamed("doc_id", "owner_id")),
+            "owner_id",
+            "left_anti",
+        )
+        survivors = batch_sha.join(
+            foreign_owned.select("content_sha"), "content_sha", "left_anti"
+        ).select("doc_id", "text")
+    else:
+        survivors = batch
+
+    # ---- incremental near-dup screens (batch-sized, never corpus^2):
+    # prior side = persisted signature state minus this batch's ids —
+    # prior text is never re-read or re-shingled
+    saved = clusters.read()
+    sig_new = minhash_signatures(survivors).persist()
+    sig_state = sigs.read()
+    pairs_schema = "id_a long, id_b long"
+    if sig_state is not None:
+        sig_prior = sig_state.join(F.broadcast(ids), "doc_id", "left_anti")
+        cross = minhash_lsh_pairs_presketched(
+            sig_new, sig_prior, jaccard_threshold=jaccard_threshold
+        ).select(
+            F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+        )
+    else:
+        cross = batch.sparkSession.createDataFrame([], pairs_schema)
+    intra = minhash_lsh_pairs(
+        survivors, jaccard_threshold=jaccard_threshold
+    ).select("id_a", "id_b")
+
+    # ---- fold: saved map as star edges (self-loops dropped) + pairs
+    if saved is not None:
+        stars = saved.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        prior_ids = saved.select("doc_id")
+    else:
+        stars = batch.sparkSession.createDataFrame([], pairs_schema)
+        prior_ids = batch.sparkSession.createDataFrame([], "doc_id long")
+    folded = connected_components(
+        stars.unionByName(cross).unionByName(intra), "id_a", "id_b"
+    ).withColumnRenamed("cluster_id", "_cl")
+
+    ingested = prior_ids.unionByName(survivors.select("doc_id")).distinct()
+    new_map = ingested.join(
+        folded.withColumnRenamed("doc_id", "_n"),
+        ingested["doc_id"] == F.col("_n"),
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_cl"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+    # ---- commit: merge map; append only genuinely-new digests;
+    # signatures enter state exactly once (keyed merge rewrites
+    # identical rows on a re-fold)
+    committed = clusters.update(new_map, ["cluster_id"])
+    new_digests = batch_sha.groupBy("content_sha").agg(
+        F.min("doc_id").alias("owner_id")
+    )
+    if digest_state is not None:
+        new_digests = new_digests.join(
+            digest_state.select("content_sha"), "content_sha", "left_anti"
+        )
+    if new_digests.take(1):
+        digests.update(new_digests, ["owner_id"])
+    if sig_new.take(1):
+        sigs.update(sig_new, ["shingles", "signature"])
+    sig_new.unpersist()
+    return committed
+
+
+def stream_dedup_fold(
+    spark: SparkSession,
+    landing_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    schema="doc_id long, text string",
+    jaccard_threshold: float = 0.8,
+    max_files_per_trigger: int | None = 1,
+    num_buckets: int | None = None,
+    available_now: bool = True,
+):
+    """The nightly dedup fold as a real Structured-Streaming query:
+    each parquet file landing in ``landing_dir`` is a "night";
+    ``foreachBatch`` folds it into the persistent dedup state with
+    :func:`fold_dedup_batch`. ``Trigger.AvailableNow`` (default)
+    processes everything pending then stops — the reference loop's
+    one-iteration shape; ``available_now=False`` runs the forever-loop
+    itself (continuous trigger, caller stops the query).
+
+    ``num_buckets=None`` (default here, unlike the batch flagships):
+    the versioned state layout commits atomically via an ``os.replace``
+    pointer swap, so a kill -9 at ANY instant leaves each table at a
+    clean pre- or post-commit version and the replayed batch re-folds
+    to the identical final state — proven by
+    ``tests/test_stream_dedup_fold.py``. Pass ``num_buckets=N`` for the
+    partition-pruned bucketed layout on a filesystem/table-format that
+    gives atomic directory commits (the Delta/Iceberg seam).
+
+    Returns the started ``StreamingQuery`` when ``available_now=False``
+    (already-awaited and None otherwise).
+    """
+    digests, clusters, sigs = open_dedup_state(
+        spark, state_root, num_buckets
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # localCheckpoint pins the micro-batch's file-list so the three
+        # state reads inside the fold can't observe the landing dir
+        # mid-batch; eager=False would re-list on every downstream job
+        pinned = batch_df.select("doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        fold_dedup_batch(
+            pinned, digests, clusters, sigs, jaccard_threshold
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer.trigger(availableNow=True).start().awaitTermination()
+        return None
+    return writer.trigger(processingTime="0 seconds").start()

@@ -53,10 +53,12 @@ def test_scorecard_matches_member_signals(spark):
     from the member signal query — composition cannot drift."""
     from pyspark.sql import functions as F
 
-    from mcyj_datapipeline_spark.registry import _REGISTRY
+    from mcyj_datapipeline_spark.registry import _REGISTRY, load_all
     from mcyj_datapipeline_spark.registry_batch37 import (
         e18_corpus_health_scorecard,
     )
+
+    load_all()  # raw _REGISTRY reads below need the full registry
 
     card = {
         r["signal"]: r["value"]

@@ -1,0 +1,232 @@
+"""Streaming twin of the nightly dedup fold: correctness vs the batch
+fold, and crash-restart exactly-once across a real SIGKILL.
+
+The reference's forever-loop (``run_full_pipeline.py:202-431``) crashes
+and restarts freely; its contract is that re-processing a batch leaves
+the same state as processing it once. The streaming form inherits the
+crash window from Structured Streaming's checkpoint protocol: a kill
+between ``offsets/N`` and ``commits/N`` re-delivers batch N — same
+files, same batch_id — on restart, possibly on top of PARTIALLY
+committed state (the fold commits three tables in sequence). The test
+kills inside that window and asserts the drained state is
+row-identical to a clean sequential batch fold of the same nights.
+
+Value-level correctness of the fold body itself (stream == batch ==
+DuckDB from-scratch clustering) is pinned by the oracle-checked
+``e12c_stream_dedup_fold`` registry query; these tests cover the
+process-kill protocol the oracle can't.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+CHILD = os.path.join(os.path.dirname(__file__), "dedup_fold_crash_child.py")
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _text(seed: int, n_words: int = 30) -> str:
+    # deterministic pseudo-random sentence with a doc-unique leading
+    # token: seeds congruent mod len(_WORDS) would otherwise generate
+    # IDENTICAL word sequences (the seed term cancels), silently
+    # turning unrelated docs into exact dups. 30 words so a one-word
+    # near-dup keeps true 3-shingle Jaccard >= 0.8 (26/32).
+    body = " ".join(
+        _WORDS[(seed * 7919 + i * i * 31 + i) % 9973 % len(_WORDS)]
+        for i in range(n_words)
+    )
+    return f"doc{seed} {body}"
+
+
+def _near(text: str, at: int) -> str:
+    w = text.split()
+    w[at] = "zulu"
+    return " ".join(w)
+
+
+def _nights() -> list[list[tuple[int, str]]]:
+    """Three nights with intra-night near-dups, cross-night near-dups,
+    and a cross-night EXACT dup (screened out by the digest state)."""
+    n1 = [(i, _text(i)) for i in range(1, 13)]
+    n1.append((13, _near(_text(1), 3)))          # near-dup of doc 1
+    n2 = [(i, _text(i)) for i in range(21, 33)]
+    n2.append((33, _text(1)))                    # EXACT dup of doc 1
+    n2.append((34, _near(_text(1), 7)))          # near-dup of docs 1/13
+    n2.append((35, _near(_text(21), 2)))         # near-dup of doc 21
+    n3 = [(i, _text(i)) for i in range(41, 53)]
+    n3.append((53, _near(_text(1), 7)))          # EXACT dup of doc 34
+    n3.append((54, _near(_text(41), 5)))         # near-dup of doc 41
+    return [n1, n2, n3]
+
+
+def _write_landing(spark, landing: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(landing)
+    now = time.time()
+    for i, night in enumerate(_nights()):
+        path = os.path.join(landing, f"night{i + 1}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [d for d, _ in night], type=pa.int64()
+                    ),
+                    "text": [t for _, t in night],
+                }
+            ),
+            path,
+        )
+        t = now - 60 + 20 * i
+        os.utime(path, (t, t))
+
+
+def _clean_batch_fold(spark, tmp: str):
+    """The oracle twin: the SAME nights folded sequentially with the
+    plain batch fold into a fresh state."""
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    state = open_dedup_state(spark, tmp, num_buckets=None)
+    for night in _nights():
+        batch = spark.createDataFrame(night, "doc_id long, text string")
+        fold_dedup_batch(batch, *state)
+    return state
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def _spawn(landing: str, state_root: str, ckpt: str) -> subprocess.Popen:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(CHILD)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, CHILD, landing, state_root, ckpt],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        cwd=repo_root,
+    )
+
+
+def _batch_ids(d: str) -> set[int]:
+    if not os.path.isdir(d):
+        return set()
+    return {int(f) for f in os.listdir(d) if f.isdigit()}
+
+
+def _assert_state_equals_clean(spark, state_root: str, tmp_path) -> None:
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        open_dedup_state,
+    )
+
+    digests, clusters, sigs = open_dedup_state(
+        spark, state_root, num_buckets=None
+    )
+    cd, cc, cs = _clean_batch_fold(spark, str(tmp_path / "clean_state"))
+    assert _rows(clusters.read(), ["doc_id", "cluster_id"]) == _rows(
+        cc.read(), ["doc_id", "cluster_id"]
+    )
+    assert _rows(digests.read(), ["content_sha", "owner_id"]) == _rows(
+        cd.read(), ["content_sha", "owner_id"]
+    )
+    assert _rows(sigs.read(), ["doc_id"]) == _rows(cs.read(), ["doc_id"])
+
+
+def test_stream_fold_equals_batch_fold(spark, tmp_path):
+    """No crash: the availableNow stream over three landing files must
+    land exactly the clean sequential batch fold's state, and a second
+    run on the same checkpoint (no new files) must be a no-op."""
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        stream_dedup_fold,
+    )
+
+    landing = str(tmp_path / "landing")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(spark, landing)
+    stream_dedup_fold(
+        spark, landing, state_root, ckpt, num_buckets=None
+    )
+    _assert_state_equals_clean(spark, state_root, tmp_path)
+    # idempotent re-run: checkpoint remembers the processed files
+    stream_dedup_fold(
+        spark, landing, state_root, ckpt, num_buckets=None
+    )
+    _assert_state_equals_clean(spark, state_root, tmp_path)
+
+
+def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
+    spark, tmp_path
+):
+    """SIGKILL the stream inside a fold (offsets/N written, commits/N
+    not), restart on the same checkpoint, drain — the final state must
+    equal the clean batch fold: the replayed batch folded exactly once
+    on top of whatever partial table commits the crash left behind."""
+    landing = str(tmp_path / "landing")
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    offsets_dir = os.path.join(ckpt, "offsets")
+    commits_dir = os.path.join(ckpt, "commits")
+    _write_landing(spark, landing)
+
+    # --- phase 1: run and SIGKILL inside the offset->commit window ---
+    child = _spawn(landing, state_root, ckpt)
+    kill_batch = None
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            if child.poll() is not None:
+                out = child.stdout.read().decode(errors="replace")
+                pytest.fail(
+                    f"child exited rc={child.returncode} before the kill "
+                    f"window was found:\n{out[-2000:]}"
+                )
+            # N >= 1: batch 0 must already be committed, so the restart
+            # also proves committed nights are not re-folded from zero
+            pending = {
+                n
+                for n in _batch_ids(offsets_dir) - _batch_ids(commits_dir)
+                if n >= 1
+            }
+            if pending:
+                kill_batch = min(pending)
+                # let the fold get INTO its state commits sometimes:
+                # a short random-free stagger widens coverage across
+                # the none/clusters/clusters+digests partial states
+                time.sleep(0.5 * (kill_batch % 3))
+                os.kill(child.pid, signal.SIGKILL)
+                break
+            time.sleep(0.05)
+        assert kill_batch is not None, "no kill window found in 240s"
+        child.wait(timeout=30)
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # --- phase 2: restart on the same checkpoint and drain -----------
+    child2 = _spawn(landing, state_root, ckpt)
+    out, _ = child2.communicate(timeout=480)
+    assert child2.returncode == 0, out.decode(errors="replace")[-2000:]
+    assert b"DRAINED" in out
+
+    # every batch now committed
+    assert _batch_ids(commits_dir) >= _batch_ids(offsets_dir)
+
+    # --- the exactly-once assertion -----------------------------------
+    _assert_state_equals_clean(spark, state_root, tmp_path)

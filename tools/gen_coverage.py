@@ -15,6 +15,7 @@ MARK = "## Registered queries (driver-checked)"
 
 
 def main() -> None:
+    registry.load_all()  # raw _REGISTRY reads need the full registry
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
     old = open(path).read()
     head, _, tail = old.partition(MARK)
