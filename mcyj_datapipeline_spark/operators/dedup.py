@@ -915,7 +915,7 @@ def repeated_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
-    hash_first: bool = True,
+    hash_first: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate SPANS: for every document, the merged
     word ranges covered by n-grams that also occur in at least
@@ -942,15 +942,16 @@ def repeated_ngram_spans(
     words) is what makes the semantics shuffle-expressible, and is the
     standard distributed relaxation.
 
-    ``hash_first`` is the 100 TB shuffle shape: the frequency pass
-    groups on xxhash64(gram) — 8-byte shuffle keys instead of n-word
-    strings — and only the HASH-duplicated candidate subset (tiny
-    relative to the corpus) is re-counted on the exact gram string, so
-    a hash collision can never promote a unique gram to duplicated.
-    Output is identical either way; default True since round 8 — the
-    sf1 probe showed the wide-string shuffles dominate at scale, and
-    AQE broadcasts the small hash-dup set so the extra stage is
-    near-free even on small jobs."""
+    ``hash_first`` narrows every candidate-selection shuffle to 8-byte
+    ``xxhash64(gram)`` keys (no n-word strings in the agg shuffle) and
+    re-counts only the hash-duplicated subset on the exact string, so
+    a collision can never promote a unique gram to duplicated — output
+    identical either way. Default False (r9): the A/B at sf0.1 AND sf1
+    measured the string form faster both times (sf1: 12.1 s vs 16.3 s,
+    min of 3) — the extra semi-join + second aggregation pass costs
+    more than the narrower rows save when shuffle is intra-host
+    memcpy. Opt in on a real cluster where shuffle BYTES are the
+    constrained resource (network-bound, 8-byte vs n-word rows)."""
     from pyspark.sql import Window
 
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
@@ -995,7 +996,7 @@ def cut_repeated_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_docs: int = 2,
-    hash_first: bool = True,
+    hash_first: bool = False,
 ) -> DataFrame:
     """Span-level corpus REWRITE: remove every word covered by a
     corpus-duplicated n-gram from all documents except the gram's
@@ -1019,14 +1020,16 @@ def cut_repeated_ngram_spans(
     collected (idx, word) structs — a grouped sort of each doc's own
     words, never a global sort).
 
-    ``hash_first`` (default True — the 100 TB shuffle shape, measured
-    sf1 exp 0.82 for the string form): the cross-doc frequency pass
-    groups on ``xxhash64(gram)`` — 8-byte keys and NO n-word strings
-    in the agg shuffle — then only the hash-duplicated candidate
-    subset (tiny: actual boilerplate plus measure-zero collisions) is
-    re-counted and owner-assigned on the EXACT gram string, so a
-    collision can never promote a unique gram to duplicated or
-    misassign an owner. Output identical either way."""
+    ``hash_first``: the cross-doc frequency pass groups on
+    ``xxhash64(gram)`` — 8-byte keys and NO n-word strings in the agg
+    shuffle — then only the hash-duplicated candidate subset (tiny:
+    actual boilerplate plus measure-zero collisions) is re-counted and
+    owner-assigned on the EXACT gram string, so a collision can never
+    promote a unique gram to duplicated or misassign an owner. Output
+    identical either way. Default False (r9): A/B-measured slower at
+    BOTH sf0.1 and sf1 (sf1: 12.3 s vs 15.2 s, min of 3) — the extra
+    narrow pass only pays where shuffle bytes cross a real network;
+    opt in there."""
     from mcyj_datapipeline_spark.operators.text_analysis import tokens
 
     # NULL text pins to an empty token array so the output row keeps
@@ -1115,7 +1118,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    hash_keys: bool = True,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard similar pairs via prefix filtering (the
     AllPairs/PPJoin family) — same output contract as
@@ -1142,21 +1145,24 @@ def prefix_filter_jaccard_pairs(
     explode + self-join + distinct for candidates, then one
     verification join carrying the two full shingle arrays.
 
-    ``hash_keys`` (default True) is the 100 TB shuffle shape: the
-    whole candidate pipeline — frequency groupBy, frequency join,
-    per-doc canonical sort, prefix self-join — runs on
-    ``xxhash64(shingle)`` 8-byte keys with NO shingle strings in any
-    shuffled row; strings appear only in the final exact verification,
-    which reads the per-doc shingle arrays straight off the ``sh``
-    frame (narrow, never shuffled by key). Token identity for
-    candidate generation becomes the 64-bit hash: a collision can only
-    ADD candidates (killed by exact verification), except in the
+    ``hash_keys`` runs the whole candidate pipeline — frequency
+    groupBy, frequency join, per-doc canonical sort, prefix self-join
+    — on ``xxhash64(shingle)`` 8-byte keys with NO shingle strings in
+    any shuffled row; strings appear only in the final exact
+    verification, which reads the per-doc shingle arrays straight off
+    the ``sh`` frame (narrow, never shuffled by key). Token identity
+    for candidate generation becomes the 64-bit hash: a collision can
+    only ADD candidates (killed by exact verification), except in the
     measure-zero case where TWO distinct shingles SHARED by the same
     near-threshold pair collide — the ε-recall caveat, P ≲ |pair
-    union|²/2⁶⁴ per pair, zero at any tested scale. Default False
-    would keep byte-identical recall-by-theorem; the ε is documented
-    instead because the string variant's shuffles are the measured
-    sf1 bottleneck (exp 0.84, SCALE_PROBE_r7)."""
+    union|²/2⁶⁴ per pair, zero at any tested scale.
+
+    Default False (r9, reverting r8): recall 1.0 BY THEOREM on string
+    identity, and the A/B measured the string form no slower at sf1
+    (24.5 s vs 25.3 s, min of 3) and faster AND far stabler at sf0.1
+    (reps 3.2-5.0 s vs 3.6-10.3 s — the hash variant was the bench's
+    lone unstable flag in r8). The hashed pipeline only pays where
+    shuffle bytes cross a real network; opt in there."""
     sh = (
         _spread_for_compute(
             df.select(F.col(id_col), F.col(text_col)), id_col

@@ -923,8 +923,10 @@ def _repeated_span_oracle_sql() -> str:
     "into otherwise-unique pages). Positional n-grams from one "
     "transform+posexplode, gram frequency in ONE groupBy, semi-join "
     "back, per-doc window merges touching ranges: two gram shuffles "
-    "plus one doc shuffle, no self-join. The 100 TB path hashes grams "
-    "to 8 bytes and bloom-screens singletons before the exact count.",
+    "plus one doc shuffle, no self-join. hash_first=True narrows the "
+    "frequency shuffle to 8-byte gram hashes (exact-string confirm) "
+    "for network-bound clusters — opt-in since r9: A/B-measured "
+    "slower at both sf0.1 and sf1 where shuffle is intra-host memcpy.",
 )
 def dedup_repeated_ngram_spans(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.dedup import (
@@ -1176,13 +1178,14 @@ def _span_cut_oracle_sql() -> str:
     "corpus-repeated 5-gram is cut from all documents except the "
     "gram's owner (min doc id), keeping repeated boilerplate in "
     "exactly one place; full cleaned corpus rebuilt with before/after "
-    "word counts. Hash-first (r8 default): the frequency pass groups "
-    "on xxhash64(gram) — 8-byte shuffle keys, no n-word strings — and "
-    "owners are re-confirmed on the exact gram string over the tiny "
-    "hash-duplicated subset only; then one anti-join of the word "
-    "stream against the cut set and an order-preserving grouped "
-    "reassembly (sort_array over each doc's own (idx, word) structs "
-    "— never a global sort).",
+    "word counts. Plan: positional grams via one transform+posexplode, "
+    "the cross-doc frequency pass as ONE string-keyed groupBy (the "
+    "hash_first=True 8-byte variant with exact-string confirm exists "
+    "for network-bound clusters but A/B-measured SLOWER on this rig "
+    "at both sf0.1 and sf1 — r9 reverted the r8 default); then one "
+    "anti-join of the word stream against the cut set and an order-"
+    "preserving grouped reassembly (sort_array over each doc's own "
+    "(idx, word) structs — never a global sort).",
 )
 def e13_span_dedup_rewrite(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.dedup import (
@@ -1227,17 +1230,13 @@ def e13_span_dedup_rewrite(spark, sf_dir):
     "doc indexes only its |r|-ceil(t|r|)+1 globally-rarest shingles "
     "(df-asc canonical order, sorted per-doc with sort_array — no "
     "vocabulary-wide window), candidates self-join on prefix shingles "
-    "only, then exact array_intersect verification. Candidate "
-    "generation runs wholly on xxhash64 8-byte shingle ids (r8 "
-    "default — no strings in any candidate shuffle); verification is "
-    "exact on the full string shingle sets. Recall contract under the "
-    "default hash_keys=True: exact up to 64-bit shingle-id collisions "
-    "(a collision can only ADD a candidate that exact verification "
-    "then scores on true shingle sets — pairs are never dropped, but "
-    "the prefix-theorem recall-1.0 guarantee formally holds on hash "
-    "identity, not string identity; pass hash_keys=False for the "
-    "theorem-exact string form). The oracle is the brute "
-    "shared-shingle join verbatim. "
+    "only, then exact array_intersect verification. Recall 1.0 by "
+    "theorem on string identity (default hash_keys=False — r9 "
+    "reverted the r8 hash-id default after the A/B measured the "
+    "string form no slower at sf1 and faster+stabler at sf0.1; the "
+    "8-byte xxhash64 candidate pipeline remains opt-in for "
+    "network-bound clusters, recall exact up to 64-bit collisions "
+    "there). The oracle is the brute shared-shingle join verbatim. "
     "The exact counterpart to LSH at scale: boilerplate shingles live "
     "in suffixes and never reach the self-join, attacking the same "
     "fan-out ngram_jaccard's max_shingle_docs valve caps lossily.",
