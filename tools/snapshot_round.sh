@@ -27,6 +27,7 @@ python - <<'EOF'
 import re, sys
 sys.path.insert(0, ".")
 from mcyj_datapipeline_spark import registry
+registry.load_all()  # raw _REGISTRY reads need the full registry (r9)
 text = open("COVERAGE.md").read()
 section = text.split("## Registered queries (driver-checked)", 1)[1]
 section = section.split("\n## ", 1)[0]
