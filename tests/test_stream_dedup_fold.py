@@ -230,3 +230,75 @@ def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
 
     # --- the exactly-once assertion -----------------------------------
     _assert_state_equals_clean(spark, state_root, tmp_path)
+
+
+class _CrashAfter(Exception):
+    pass
+
+
+def test_partial_commit_replay_idempotent(spark, tmp_path):
+    """Deterministic twin of the SIGKILL test: the fold commits THREE
+    tables in sequence (clusters -> digests -> signatures), so a crash
+    leaves one of four states. Enumerate ALL of them — crash before any
+    commit, after 1, after 2, and the no-crash control — re-fold the
+    same batch, finish the remaining nights, and require the final
+    state to equal the clean sequential fold. The SIGKILL test samples
+    one kill point per run; this pins every partial-commit state."""
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    nights = _nights()
+
+    def night_df(i):
+        return spark.createDataFrame(nights[i], "doc_id long, text string")
+
+    cd, cc, cs = _clean_batch_fold(spark, str(tmp_path / "clean"))
+
+    for crash_after in (0, 1, 2, 3):
+        state = open_dedup_state(
+            spark, str(tmp_path / f"s{crash_after}"), num_buckets=None
+        )
+        fold_dedup_batch(night_df(0), *state)
+
+        # wrap the commit sequence: raise once `crash_after` table
+        # commits have gone through (0 = before any commit)
+        commits = {"n": 0}
+        originals = [t.update for t in state]
+
+        def crashing(orig):
+            def _u(updates, columns):
+                if commits["n"] >= crash_after:
+                    raise _CrashAfter()
+                commits["n"] += 1
+                return orig(updates, columns)
+
+            return _u
+
+        for t, orig in zip(state, originals):
+            t.update = crashing(orig)
+        try:
+            fold_dedup_batch(night_df(1), *state)
+            assert crash_after >= 3, "expected a crash"
+        except _CrashAfter:
+            assert crash_after < 3
+        finally:
+            for t, orig in zip(state, originals):
+                t.update = orig
+
+        # the replay (same batch, same state) and the remaining night
+        fold_dedup_batch(night_df(1), *state)
+        fold_dedup_batch(night_df(2), *state)
+
+        assert _rows(state[1].read(), ["doc_id", "cluster_id"]) == _rows(
+            cc.read(), ["doc_id", "cluster_id"]
+        ), f"clusters diverged at crash_after={crash_after}"
+        assert _rows(
+            state[0].read(), ["content_sha", "owner_id"]
+        ) == _rows(cd.read(), ["content_sha", "owner_id"]), (
+            f"digests diverged at crash_after={crash_after}"
+        )
+        assert _rows(state[2].read(), ["doc_id"]) == _rows(
+            cs.read(), ["doc_id"]
+        ), f"signatures diverged at crash_after={crash_after}"
