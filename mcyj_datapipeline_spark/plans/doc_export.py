@@ -120,14 +120,21 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
 
     Returns None when ``_metadata`` doesn't resolve (derived or
     in-memory frames — no file read order exists to recover), and
-    also when an Exchange sits between the file scan and this frame:
-    ``_metadata`` still resolves through a repartition, but
-    ``monotonically_increasing_id`` then numbers the post-shuffle
-    partitions, no longer within-split row order, and the stamp would
-    silently pick a wrong last-wins winner (ADVICE r8). Classic
-    sessions analyze eagerly, so a missing ``_metadata`` raises
+    also when ANYTHING that can move or reorder rows sits between the
+    file scan and this frame: ``_metadata`` still resolves through a
+    repartition, sort, or sample, but ``monotonically_increasing_id``
+    then numbers post-shuffle/post-sort partitions, no longer
+    within-split row order, and the stamp would silently pick a wrong
+    last-wins winner (ADVICE r8 named Repartition; the r9 review
+    generalized it). The guard is a WHITELIST over the optimized
+    logical plan — only Project/Filter/Relation preserve both the
+    partition↔split mapping and within-partition order, so any other
+    node declines the stamp rather than guessing. Classic sessions
+    analyze eagerly, so a missing ``_metadata`` raises
     AnalysisException right here; we catch exactly that.
     """
+    import re
+
     try:
         stamped = df.withColumn(
             "_ord",
@@ -140,7 +147,11 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
     except AnalysisException:
         return None
     plan = stamped._jdf.queryExecution().optimizedPlan().toString()
-    if "Repartition" in plan or "RepartitionByExpression" in plan:
+    nodes = {
+        m.group(1)
+        for m in re.finditer(r"^[\s:+-]*([A-Za-z]+)", plan, re.M)
+    }
+    if nodes - {"Project", "Filter", "Relation"}:
         return None
     return stamped
 

@@ -69,7 +69,15 @@ def load_all() -> None:
     """Materialize the FULL registry by importing every batch module
     (``registry_all``) — idempotent, cycle-free (the chain used to sit
     at this module's bottom; see registry_all's docstring for why that
-    broke under direct ``import registry_batchN`` from tests)."""
+    broke under direct ``import registry_batchN`` from tests).
+
+    RAW ``_REGISTRY`` READS REQUIRE CALLING THIS FIRST — enforced by
+    tests/test_registry_import_order.py's lint sweep. (A lazy dict
+    that self-loads on read was tried and reverted in r9: register()'s
+    duplicate guard and the batch modules' import-time oracle
+    composition both read the dict mid-import, and triggering the
+    chain from inside a partially-initialized batch module recreates
+    the exact circular-import failure this split removed.)"""
     from mcyj_datapipeline_spark import registry_all  # noqa: F401
 
 

@@ -423,23 +423,16 @@ def _e12_state(spark, sf_dir, tag):
     against the stored (shingles, signature) relation."""
     import os
 
-    from mcyj_datapipeline_spark.streaming.incremental import (
-        ParquetStateTable,
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        open_dedup_state,
     )
 
     root = session_scratch(
         f"{tag}_state_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    digests = ParquetStateTable(
-        spark, f"{root}/digests", key="content_sha", num_buckets=8
-    )
-    clusters = ParquetStateTable(
-        spark, f"{root}/clusters", key="doc_id", num_buckets=8
-    )
-    sigs = ParquetStateTable(
-        spark, f"{root}/signatures", key="doc_id", num_buckets=8
-    )
-    return digests, clusters, sigs
+    # one constructor for batch flagships AND the streaming twin, so
+    # the "stream and batch run the same state" invariant can't split
+    return open_dedup_state(spark, root, num_buckets=8)
 
 
 def _e12_bootstrap(spark, docs, digests, clusters, sigs, corpus_hi: int = 400):

@@ -63,7 +63,34 @@ def open_dedup_state(
     versioned layout whose ``_CURRENT`` pointer swap makes each state
     commit ATOMIC under kill -9 (the layout the crash-restart test
     uses, and the seam where Delta/Iceberg MERGE slots in at cluster
-    scale)."""
+    scale).
+
+    The chosen layout is recorded in ``{state_root}/_LAYOUT`` on first
+    open and ENFORCED on every later open (r9 review): the two layouts
+    store under different subpaths, so re-opening bootstrapped state
+    with the other layout would silently read None everywhere and fold
+    into a fresh empty state — the corpus screens would never run.
+    """
+    import os
+
+    marker = os.path.join(state_root, "_LAYOUT")
+    want = "versioned" if num_buckets is None else f"bucketed:{num_buckets}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+        if have != want:
+            raise ValueError(
+                f"dedup state at {state_root!r} was created with layout "
+                f"{have!r} but is being opened as {want!r} — the layouts "
+                "are disjoint on disk, so this open would silently see "
+                "EMPTY state. Pass the original num_buckets."
+            )
+    else:
+        os.makedirs(state_root, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(want)
+        os.replace(tmp, marker)
     digests = ParquetStateTable(
         spark, f"{state_root}/digests", key="content_sha",
         num_buckets=num_buckets,
@@ -117,13 +144,41 @@ def fold_dedup_batch(
     batch = batch.select("doc_id", "text")
     ids = batch.select("doc_id").distinct()
 
+    # Loud-failure guard (r9 review): a cluster map that knows docs
+    # OUTSIDE this batch while the digest or signature table is absent
+    # is a corrupt/partial bootstrap — folding through it would
+    # silently skip the exact and near-dup screens against those prior
+    # docs and diverge from the oracle with no error anywhere. (A map
+    # whose every doc is IN the batch is the benign first-fold replay
+    # state: there is genuinely nothing prior to screen against.)
+    saved = clusters.read()
+    digest_state = digests.read()
+    sig_state = sigs.read()
+    if saved is not None and (digest_state is None or sig_state is None):
+        foreign = saved.join(F.broadcast(ids), "doc_id", "left_anti")
+        if foreign.take(1):
+            missing = [
+                name
+                for name, st in (
+                    ("digests", digest_state),
+                    ("signatures", sig_state),
+                )
+                if st is None
+            ]
+            raise ValueError(
+                "dedup fold state is inconsistent: cluster map holds "
+                "docs outside this batch but these state tables are "
+                f"missing: {missing} — refusing to fold (the exact/"
+                "near-dup screens against prior docs would be "
+                "silently skipped). Re-bootstrap the state."
+            )
+
     # ---- exact screen: drop batch docs whose content is owned by a
     # doc OUTSIDE the batch (an owner inside the batch means this very
     # batch is being re-delivered -> keep, so the re-fold is a no-op)
     batch_sha = batch.withColumn(
         "content_sha", F.sha2(F.col("text"), 256)
     )
-    digest_state = digests.read()
     if digest_state is not None:
         foreign_owned = digest_state.join(
             F.broadcast(ids.withColumnRenamed("doc_id", "owner_id")),
@@ -139,9 +194,7 @@ def fold_dedup_batch(
     # ---- incremental near-dup screens (batch-sized, never corpus^2):
     # prior side = persisted signature state minus this batch's ids —
     # prior text is never re-read or re-shingled
-    saved = clusters.read()
     sig_new = minhash_signatures(survivors).persist()
-    sig_state = sigs.read()
     pairs_schema = "id_a long, id_b long"
     if sig_state is not None:
         sig_prior = sig_state.join(F.broadcast(ids), "doc_id", "left_anti")
@@ -206,7 +259,7 @@ def stream_dedup_fold(
     schema="doc_id long, text string",
     jaccard_threshold: float = 0.8,
     max_files_per_trigger: int | None = 1,
-    num_buckets: int | None = None,
+    num_buckets: int | None = 8,
     available_now: bool = True,
 ):
     """The nightly dedup fold as a real Structured-Streaming query:
@@ -217,14 +270,16 @@ def stream_dedup_fold(
     one-iteration shape; ``available_now=False`` runs the forever-loop
     itself (continuous trigger, caller stops the query).
 
-    ``num_buckets=None`` (default here, unlike the batch flagships):
-    the versioned state layout commits atomically via an ``os.replace``
-    pointer swap, so a kill -9 at ANY instant leaves each table at a
-    clean pre- or post-commit version and the replayed batch re-folds
-    to the identical final state — proven by
-    ``tests/test_stream_dedup_fold.py``. Pass ``num_buckets=N`` for the
-    partition-pruned bucketed layout on a filesystem/table-format that
-    gives atomic directory commits (the Delta/Iceberg seam).
+    ``num_buckets`` defaults to 8 — the same bucketed merge-on-write
+    layout as :func:`open_dedup_state`, so bootstrap-then-stream with
+    both defaults shares one state (the r9 review found the old
+    mismatched defaults silently opened a second, empty layout; the
+    ``_LAYOUT`` marker now also makes any mismatch raise). Pass
+    ``num_buckets=None`` for the versioned layout, whose ``os.replace``
+    pointer swap commits each table ATOMICALLY under kill -9 — the
+    layout the crash-restart tests use; the bucketed layout's dynamic
+    partition overwrite is only as atomic as the filesystem/table
+    format underneath (the Delta/Iceberg seam).
 
     Returns the started ``StreamingQuery`` when ``available_now=False``
     (already-awaited and None otherwise).

@@ -144,3 +144,25 @@ def test_stamp_returns_none_for_shuffled_scan(spark, tmp_path):
     assert _stamp_file_read_order(info) is not None
     assert _stamp_file_read_order(info.repartition(4)) is None
     assert _stamp_file_read_order(info.repartition(4, "sha256")) is None
+
+
+def test_stamp_declines_any_reordering_node(spark, tmp_path):
+    """The r9 review generalized the ADVICE-r8 finding: repartition is
+    not the only order-destroying node _metadata survives — sort and
+    sample also reorder/move rows. The whitelist guard must decline
+    them all while still stamping plain projected/filtered scans."""
+    shas = [c * 64 for c in "ab"]
+    paths = _write_csvs(tmp_path, n_files=2, rows_per_file=10, shas=shas)
+    info = spark.read.csv(
+        os.path.dirname(paths[0]), header=True, schema=_SCHEMA
+    )
+    assert _stamp_file_read_order(info) is not None
+    assert (
+        _stamp_file_read_order(info.filter(F.col("sha256") != ""))
+        is not None
+    )
+    assert _stamp_file_read_order(info.select("sha256", "agency_id")) is not None
+    assert _stamp_file_read_order(info.orderBy("date")) is None
+    assert _stamp_file_read_order(info.sample(0.5, seed=1)) is None
+    assert _stamp_file_read_order(info.sortWithinPartitions("date")) is None
+    assert _stamp_file_read_order(info.limit(5)) is None

@@ -62,3 +62,37 @@ def test_direct_batch_import_then_full_registry(first):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_raw_registry_reads_always_pair_with_load_all():
+    """Lint sweep: every file outside the registry modules that reads
+    ``_REGISTRY`` directly must also reference ``load_all`` — the lazy
+    registry split (r9) means a raw read without it silently sees a
+    partial registry. (A self-loading dict was tried and reverted: the
+    batch modules themselves read the dict mid-import, and triggering
+    the import chain from inside a partially-initialized module is the
+    exact circular failure the split removed.)"""
+    import re
+
+    offenders = []
+    for root, _dirs, files in os.walk(REPO):
+        if any(
+            part in root
+            for part in (".git", "spark-warehouse", "testdata", "evidence")
+        ):
+            continue
+        for fn in files:
+            if not (fn.endswith(".py") or fn.endswith(".sh")):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, REPO)
+            if rel.startswith("mcyj_datapipeline_spark" + os.sep) or rel in (
+                "tests/test_registry_import_order.py",
+            ):
+                continue  # registry internals manage the dict itself
+            text = open(path, errors="replace").read()
+            if re.search(r"_REGISTRY\b", text) and "load_all" not in text:
+                offenders.append(rel)
+    assert not offenders, (
+        f"raw _REGISTRY reads without load_all(): {offenders}"
+    )

@@ -45,29 +45,35 @@ SLEEP_MS = 60  # per-row UDF sleep: ≥ 8×60 = 480 ms per task/batch
 EXPECTED = PAGES * PAGE_SIZE
 
 
-def _spawn(ckpt: str, target: str, timeout_s: int) -> subprocess.Popen:
+def _spawn(
+    ckpt: str, target: str, timeout_s: int, log_path: str
+) -> subprocess.Popen:
+    # child output goes to a FILE, not a pipe: the parent polls without
+    # draining, and a chatty Spark boot can fill a 64 KB pipe buffer
+    # and deadlock the child before the kill window appears (r9 review)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(CHILD)))
     env = dict(os.environ)
     env.pop("REST_PAGES_TRACE", None)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.Popen(
-        [
-            sys.executable,
-            CHILD,
-            ckpt,
-            target,
-            str(PAGES),
-            str(PAGE_SIZE),
-            str(PAGES_PER_BATCH),
-            str(SLEEP_MS),
-            str(EXPECTED),
-            str(timeout_s),
-        ],
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(CHILD))),
-    )
+    with open(log_path, "wb") as logf:
+        return subprocess.Popen(
+            [
+                sys.executable,
+                CHILD,
+                ckpt,
+                target,
+                str(PAGES),
+                str(PAGE_SIZE),
+                str(PAGES_PER_BATCH),
+                str(SLEEP_MS),
+                str(EXPECTED),
+                str(timeout_s),
+            ],
+            env=env,
+            stdout=logf,
+            stderr=subprocess.STDOUT,
+            cwd=repo_root,
+        )
 
 
 def _batch_ids(d: str) -> set[int]:
@@ -83,13 +89,14 @@ def test_sigkill_mid_batch_then_restart_is_exactly_once(tmp_path):
     commits_dir = os.path.join(ckpt, "commits")
 
     # --- phase 1: run and SIGKILL inside the offset->commit window ----
-    child = _spawn(ckpt, target, timeout_s=300)
+    log1 = str(tmp_path / "child1.log")
+    child = _spawn(ckpt, target, timeout_s=300, log_path=log1)
     kill_batch = None
     deadline = time.time() + 120
     try:
         while time.time() < deadline:
             if child.poll() is not None:
-                out = child.stdout.read().decode(errors="replace")
+                out = open(log1, errors="replace").read()
                 pytest.fail(
                     f"child exited rc={child.returncode} before the kill "
                     f"window was found:\n{out[-2000:]}"
@@ -123,11 +130,12 @@ def test_sigkill_mid_batch_then_restart_is_exactly_once(tmp_path):
     assert rows_at_crash < EXPECTED, "feed finished before the crash"
 
     # --- phase 2: restart the identical query on the same checkpoint --
-    child2 = _spawn(ckpt, target, timeout_s=240)
-    out2, _ = child2.communicate(timeout=300)
+    log2 = str(tmp_path / "child2.log")
+    child2 = _spawn(ckpt, target, timeout_s=240, log_path=log2)
+    child2.wait(timeout=300)
+    out2 = open(log2, errors="replace").read()
     assert child2.returncode == 0, (
-        f"restarted child rc={child2.returncode}:\n"
-        f"{out2.decode(errors='replace')[-2000:]}"
+        f"restarted child rc={child2.returncode}:\n{out2[-2000:]}"
     )
 
     # --- exactly-once: every page exactly once, no dupes, no losses ---
@@ -173,13 +181,14 @@ def test_sigkill_after_sink_commit_before_engine_commit(tmp_path):
 
     os.environ["JSONL_ATOMIC_POST_COMMIT_DELAY_MS"] = "1500"
     try:
-        child = _spawn(ckpt, target, timeout_s=300)
+        log1 = str(tmp_path / "child1.log")
+        child = _spawn(ckpt, target, timeout_s=300, log_path=log1)
         kill_epoch = None
         deadline = time.time() + 120
         try:
             while time.time() < deadline:
                 if child.poll() is not None:
-                    out = child.stdout.read().decode(errors="replace")
+                    out = open(log1, errors="replace").read()
                     pytest.fail(
                         f"child exited rc={child.returncode} early:\n"
                         f"{out[-2000:]}"
@@ -222,9 +231,11 @@ def test_sigkill_after_sink_commit_before_engine_commit(tmp_path):
     assert rows_at_crash > 0
 
     # restart WITHOUT the delay; the engine replays batch kill_epoch
-    child2 = _spawn(ckpt, target, timeout_s=240)
-    out2, _ = child2.communicate(timeout=300)
-    assert child2.returncode == 0, out2.decode(errors="replace")[-2000:]
+    log2 = str(tmp_path / "child2.log")
+    child2 = _spawn(ckpt, target, timeout_s=240, log_path=log2)
+    child2.wait(timeout=300)
+    out2 = open(log2, errors="replace").read()
+    assert child2.returncode == 0, out2[-2000:]
 
     manifest = json.load(open(mp))
     assert manifest["rows"] == EXPECTED

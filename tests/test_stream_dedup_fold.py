@@ -111,17 +111,23 @@ def _rows(df, cols):
     return sorted(map(tuple, df.select(*cols).collect()))
 
 
-def _spawn(landing: str, state_root: str, ckpt: str) -> subprocess.Popen:
+def _spawn(
+    landing: str, state_root: str, ckpt: str, log_path: str
+) -> subprocess.Popen:
+    # child output goes to a FILE, not a pipe: the parent polls without
+    # draining, and a chatty Spark boot can fill a 64 KB pipe buffer
+    # and deadlock the child before the kill window appears (r9 review)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(CHILD)))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.Popen(
-        [sys.executable, CHILD, landing, state_root, ckpt],
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        cwd=repo_root,
-    )
+    with open(log_path, "wb") as logf:
+        return subprocess.Popen(
+            [sys.executable, CHILD, landing, state_root, ckpt],
+            env=env,
+            stdout=logf,
+            stderr=subprocess.STDOUT,
+            cwd=repo_root,
+        )
 
 
 def _batch_ids(d: str) -> set[int]:
@@ -186,13 +192,14 @@ def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
     _write_landing(spark, landing)
 
     # --- phase 1: run and SIGKILL inside the offset->commit window ---
-    child = _spawn(landing, state_root, ckpt)
+    log1 = str(tmp_path / "child1.log")
+    child = _spawn(landing, state_root, ckpt, log1)
     kill_batch = None
     deadline = time.time() + 240
     try:
         while time.time() < deadline:
             if child.poll() is not None:
-                out = child.stdout.read().decode(errors="replace")
+                out = open(log1, errors="replace").read()
                 pytest.fail(
                     f"child exited rc={child.returncode} before the kill "
                     f"window was found:\n{out[-2000:]}"
@@ -220,10 +227,12 @@ def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
             child.kill()
 
     # --- phase 2: restart on the same checkpoint and drain -----------
-    child2 = _spawn(landing, state_root, ckpt)
-    out, _ = child2.communicate(timeout=480)
-    assert child2.returncode == 0, out.decode(errors="replace")[-2000:]
-    assert b"DRAINED" in out
+    log2 = str(tmp_path / "child2.log")
+    child2 = _spawn(landing, state_root, ckpt, log2)
+    child2.wait(timeout=480)
+    out = open(log2, errors="replace").read()
+    assert child2.returncode == 0, out[-2000:]
+    assert "DRAINED" in out
 
     # every batch now committed
     assert _batch_ids(commits_dir) >= _batch_ids(offsets_dir)
