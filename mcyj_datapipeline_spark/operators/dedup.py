@@ -69,11 +69,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def hash_shingle_array(sh: Column) -> Column:
+    """Distinct hashes (mod MINHASH_PRIME) of an ALREADY-MATERIALIZED
+    shingle-string array — the seam that lets one persisted
+    :func:`word_shingles` relation feed both the exact string spine
+    and the MinHash spine without re-shingling (r10, the
+    dedup_minhash_eval two-pass cut). ``array_distinct`` AFTER hashing:
+    the input strings are distinct, but a 60-bit collision would
+    otherwise leave duplicate hashes and skew set sizes."""
+    return F.array_distinct(
+        F.transform(sh, lambda s: hash60(s) % MINHASH_PRIME)
+    )
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct shingle hashes reduced mod MINHASH_PRIME."""
-    return F.array_distinct(
-        F.transform(word_shingles(text, n), lambda s: hash60(s) % MINHASH_PRIME)
-    )
+    return hash_shingle_array(word_shingles(text, n))
 
 
 def minhash_signature(hashes: Column) -> Column:
@@ -101,7 +112,11 @@ def _spread_for_compute(df: DataFrame, key: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document (id, shingle-hash set, MinHash signature).
 
@@ -112,13 +127,27 @@ def minhash_signatures(
     :func:`minhash_signature`, kept for composability), the aggregation
     partial-aggregates map-side, and the shingles are hashed exactly
     once. Docs with no shingles disappear at the explode, matching the
-    old ``size > 0`` filter."""
-    ex = _spread_for_compute(
-        df.select(F.col(id_col), F.col(text_col)), id_col
-    ).select(
-        F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
-    )
+    old ``size > 0`` filter.
+
+    ``shingles_df`` (r10): an optional pre-materialized
+    ``(id_col, sh)`` relation of :func:`word_shingles` string arrays;
+    when given, the string shingling is SKIPPED and only the (cheap)
+    hash transform runs here — the seam that lets one persisted
+    shingle relation feed this spine and the exact-Jaccard spine in
+    the same job (``dedup_minhash_eval``) without two full text
+    passes. Semantics identical: the hash set is
+    ``array_distinct(hash60(s) % P)`` either way."""
+    if shingles_df is not None:
+        hashed = shingles_df.select(
+            F.col(id_col), hash_shingle_array(F.col("sh")).alias("_hs")
+        )
+    else:
+        hashed = _spread_for_compute(
+            df.select(F.col(id_col), F.col(text_col)), id_col
+        ).select(
+            F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_hs")
+        )
+    ex = hashed.select(F.col(id_col), F.explode("_hs").alias("h"))
     return ex.groupBy(id_col).agg(
         F.collect_list("h").alias("shingles"),
         F.array(
@@ -159,6 +188,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -177,8 +207,15 @@ def minhash_lsh_pairs(
     The signature relation is persisted: it feeds the self-join twice
     plus the verification join twice, and recomputing the md5-per-
     shingle subtree 4× dominates runtime otherwise (at cluster scale
-    you would materialize signatures to a table for the same reason)."""
-    sigs = minhash_signatures(df, text_col, id_col, n).persist()
+    you would materialize signatures to a table for the same reason).
+
+    ``shingles_df``: optional pre-materialized ``(id_col, sh)`` string
+    -shingle relation, forwarded to :func:`minhash_signatures` — lets
+    a caller that ALSO needs the string shingles (the eval queries)
+    shingle the corpus exactly once."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, shingles_df=shingles_df
+    ).persist()
     bands = lsh_bands(sigs, id_col)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_key").agg(
@@ -230,6 +267,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_docs: int | None = None,
     metric: str = "jaccard",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shared-shingle inverted
     index: explode shingles, self-join on shingle (pairs sharing ≥1
@@ -254,12 +292,23 @@ def ngram_jaccard_pairs(
     much of the SMALLER document sits inside the larger — the right
     signal for subset duplication (an abstract inside a paper, a quote
     inside an article), where Jaccard stays low because the union is
-    dominated by the larger document."""
+    dominated by the larger document.
+
+    ``shingles_df``: optional pre-materialized ``(id_col, sh)``
+    relation of :func:`word_shingles` arrays (already size>0-filtered)
+    — callers running BOTH this exact spine and the MinHash spine
+    (``dedup_minhash_eval``) persist one shingle relation and pass it
+    to both, halving the text passes."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric: {metric!r}")
-    sh = _spread_for_compute(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    if shingles_df is not None:
+        sh = shingles_df.select(F.col(id_col), F.col("sh"))
+    else:
+        sh = _spread_for_compute(
+            df.select(F.col(id_col), F.col(text_col)), id_col
+        ).select(
+            F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+        ).filter(F.size("sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_shingle_docs is not None:
@@ -1014,11 +1063,12 @@ def cut_repeated_ngram_spans(
 
     Plan: the positional-gram + frequency stages of
     :func:`repeated_ngram_spans`, plus a per-gram min(doc) owner
-    aggregate, an explode of each foreign dup hit into its covered
-    word indexes, and ONE anti-join of the word stream against the cut
-    set before an order-preserving per-doc reassembly (sort_array over
-    collected (idx, word) structs — a grouped sort of each doc's own
-    words, never a global sort).
+    aggregate; each foreign dup hit then contributes its START
+    position only (r10 — the covered range is ``[pos, pos+n-1]`` by
+    construction, so exploding the n covered word indexes per hit
+    just multiplied the cut shuffle by n), one groupBy collects the
+    per-doc sorted start array, and the rebuild filters each doc's own
+    token array map-side with a range-membership lambda.
 
     ``hash_first``: the cross-doc frequency pass groups on
     ``xxhash64(gram)`` — 8-byte keys and NO n-word strings in the agg
@@ -1065,25 +1115,24 @@ def cut_repeated_ngram_spans(
     # owners confirmed on the exact gram STRING over the candidate
     # subset only (hash_first) or the full stream (string mode)
     owners = _docspan_agg(cand, "gram", id_col, min_docs)
-    # per-doc cut SET as one small array — the downstream rebuild is
-    # map-side, so the only word-granular shuffle in the whole plan
-    # is this boilerplate-sized groupBy (collect_set dedups overlap
-    # between adjacent duplicated grams)
+    # per-doc cut SPANS as one small sorted start array (r10): a hit at
+    # position p cuts exactly [p, p+n-1], so the start position alone
+    # carries the whole range — the cut shuffle moves ONE row per
+    # foreign hit instead of the n exploded word indexes (the word-
+    # grain term behind e13's 0.75 scale exponent), and the per-word
+    # membership test below scans starts (<= the old distinct-covered-
+    # word set by construction: each distinct start covers >= 1 new
+    # word). collect_set: the same (doc,pos) can reach here once per
+    # plan, dedup is free at agg grain.
     cut_sets = (
         cand.join(owners, "gram")
         .filter(F.col(id_col) != F.col("_owner"))
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
-            ).alias("widx"),
-        )
         .groupBy(id_col)
-        .agg(F.collect_set("widx").alias("_cut"))
+        .agg(F.sort_array(F.collect_set("pos")).alias("_cut"))
     )
 
     # MAP-SIDE rebuild (r8): filter each doc's own token array against
-    # its cut set with an index-aware lambda — order preserved by
+    # its cut spans with an index-aware lambda — order preserved by
     # construction. Replaces the old explode-every-word + anti-join +
     # collect_list/sort_array reassembly, which shuffled the corpus
     # twice at word grain and re-sorted every document interpreted.
@@ -1093,7 +1142,11 @@ def cut_repeated_ngram_spans(
     # multi-referenced outputs split).
     kept = F.when(F.col("_cut").isNull(), F.col("_w")).otherwise(
         F.filter(
-            "_w", lambda x, i: ~F.array_contains(F.col("_cut"), i + 1)
+            "_w",
+            lambda x, i: ~F.exists(
+                F.col("_cut"),
+                lambda p: (p <= i + 1) & (i + 1 <= p + (n - 1)),
+            ),
         )
     )
     return (
@@ -1119,6 +1172,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hash_keys: bool = False,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard similar pairs via prefix filtering (the
     AllPairs/PPJoin family) — same output contract as
@@ -1162,7 +1216,17 @@ def prefix_filter_jaccard_pairs(
     (24.5 s vs 25.3 s, min of 3) and faster AND far stabler at sf0.1
     (reps 3.2-5.0 s vs 3.6-10.3 s — the hash variant was the bench's
     lone unstable flag in r8). The hashed pipeline only pays where
-    shuffle bytes cross a real network; opt in there."""
+    shuffle bytes cross a real network; opt in there.
+
+    ``persist_intermediates`` (r10, default True): pins the shingle
+    relation (read 3x: inverted index + both verification sides) and
+    the prefix relation (read 2x: both self-join sides). The r8/r9
+    default flip-flop on ``hash_keys`` was never resolved by
+    measurement because the UNPINNED recompute churn dominated the
+    variance being A/B'd (warm spread 2.8-6.7 s at sf0.1); with the
+    pins the per-rep work is the plan, not 3x the shingling —
+    decision data in ``tools/ab_prefix_filter.py`` output, SCALE.md
+    r10 note."""
     sh = (
         _spread_for_compute(
             df.select(F.col(id_col), F.col(text_col)), id_col
@@ -1172,6 +1236,14 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.size("sh") > 0)
     )
+    if persist_intermediates:
+        # the shingle relation feeds the inverted index AND both sides
+        # of the verification join — same rationale (and default) as
+        # minhash_lsh_pairs' persisted signature relation: without the
+        # pin the per-shingle string work runs 3x, and the recompute
+        # churn (not the plan) was the source of the r8/r9 bench
+        # variance on this query (tools/ab_prefix_filter.py, r10)
+        sh = sh.persist()
     if hash_keys:
         # 8-byte shingle ids; xxhash64 is effectively injective here
         # and array_distinct keeps set semantics under any collision
@@ -1206,6 +1278,12 @@ def prefix_filter_jaccard_pairs(
             )
         ).alias("shingle"),
     )
+    if persist_intermediates:
+        # both sides of the candidate self-join read this relation;
+        # without the pin the df-groupBy + per-doc canonical sort runs
+        # twice (ReuseExchange only dedups up to the last shuffle, not
+        # the explode/sort work above it)
+        prefixes = prefixes.persist()
     cands = (
         prefixes.alias("x")
         .join(prefixes.alias("y"), "shingle")

@@ -133,8 +133,6 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
     analyze eagerly, so a missing ``_metadata`` raises
     AnalysisException right here; we catch exactly that.
     """
-    import re
-
     try:
         stamped = df.withColumn(
             "_ord",
@@ -147,13 +145,28 @@ def _stamp_file_read_order(df: DataFrame) -> DataFrame | None:
     except AnalysisException:
         return None
     plan = stamped._jdf.queryExecution().optimizedPlan().toString()
-    nodes = {
-        m.group(1)
-        for m in re.finditer(r"^[\s:+-]*([A-Za-z]+)", plan, re.M)
-    }
-    if nodes - {"Project", "Filter", "Relation"}:
+    if not _plan_is_order_preserving_scan(plan):
         return None
     return stamped
+
+
+def _plan_is_order_preserving_scan(plan: str) -> bool:
+    """True iff every node of the printed optimized plan is on the
+    order-preserving whitelist. Captured with ``\\w+`` so digit-bearing
+    node names survive whole — a DataSource-v2 scan prints
+    ``RelationV2``, which the old ``[A-Za-z]+`` truncated to
+    ``RelationV`` and thereby declined into the fail-closed fallback
+    (ADVICE r9; note Spark 4's DSv2 file scans currently don't resolve
+    ``_metadata`` at all, so they decline earlier — this keeps the
+    whitelist honest for when they do). A v2 leaf is still a plain
+    file scan: same partition↔split mapping and within-partition
+    order as ``Relation``."""
+    import re
+
+    nodes = {
+        m.group(1) for m in re.finditer(r"^[\s:+-]*(\w+)", plan, re.M)
+    }
+    return not (nodes - {"Project", "Filter", "Relation", "RelationV2"})
 
 
 def build_doc_export(

@@ -393,12 +393,15 @@ def _e12_oracle_sql() -> str:
     "digest state (32-byte shas, never text; drop only when the owner "
     "is OUTSIDE the batch, which makes re-runs idempotent) -> "
     "incremental MinHash screening (new x corpus banded join + "
-    "intra-batch pairs, never corpus x corpus) -> CC fold over "
-    "(saved-cluster star edges + new pairs) -> commit the merged map "
-    "and new digests into bucketed ParquetStateTables (partition-"
-    "pruned merge-on-write). Per-ingest cost is batch-sized; the "
-    "corpus is touched only through its saved digest/cluster state. "
-    "Output: every ingested doc with its cluster id and provenance.",
+    "intra-batch pairs, never corpus x corpus) -> CC fold over the "
+    "star edges of only the TOUCHED saved components (semi-joined "
+    "down to clusters adjacent to the batch/new pairs) + new pairs "
+    "-> commit only those rows into bucketed ParquetStateTables "
+    "(partition-pruned merge-on-write; untouched buckets' files stay "
+    "byte-identical). Per-ingest cost — sketch and commit — is "
+    "batch-adjacent; the corpus is touched only through its saved "
+    "digest/cluster/signature state. Output: every ingested doc with "
+    "its cluster id and provenance.",
 )
 def e12_nightly_dedup_fold(spark, sf_dir):
     state = _e12_state(spark, sf_dir, "e12")
@@ -614,21 +617,32 @@ def e12c_stream_dedup_fold(spark, sf_dir):
     # ingestion order is semantic (night2 screens against night1's
     # committed state). Written once per process; re-calls re-use the
     # landing dir and the checkpoint makes the stream a no-op.
+    # crash-safe bootstrap (ADVICE r9): the nights are staged into a
+    # temp dir and os.rename'd into place as ONE atomic publish — a
+    # crash mid-write leaves only the stage dir, never a partial
+    # `landing` that a later call (guarded by isdir) would treat as
+    # complete and fold fewer nights from.
     landing = os.path.join(root, "landing")
     if not os.path.isdir(landing):
-        os.makedirs(landing)
+        stage = landing + ".stage"
+        if os.path.isdir(stage):
+            import shutil
+
+            shutil.rmtree(stage)
+        os.makedirs(stage)
         now = time.time()
         for i, (lo, hi) in enumerate(((400, 450), (450, None))):
             cond = F.col("doc_id") >= lo
             if hi is not None:
                 cond = cond & (F.col("doc_id") < hi)
             pdf = docs.filter(cond).select("doc_id", "text").toPandas()
-            path = os.path.join(landing, f"night{i + 1}.parquet")
+            path = os.path.join(stage, f"night{i + 1}.parquet")
             pq.write_table(
                 pa.Table.from_pandas(pdf, preserve_index=False), path
             )
             t = now - 20 + 10 * i
             os.utime(path, (t, t))
+        os.rename(stage, landing)
     state_root = os.path.join(root, "state")
     state = open_dedup_state(spark, state_root, num_buckets=8)
     _e12_bootstrap(spark, docs, *state)

@@ -329,12 +329,30 @@ def _exact_pairs_sql(threshold: float) -> str:
     "on a sampled slice to re-tune banding after a corpus shift.",
 )
 def dedup_minhash_eval(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.partitioning import (
+        spread_for_compute,
+    )
+
     docs = _t(spark, sf_dir, "documents")
+    # ONE persisted shingle relation feeds BOTH spines (r10): the eval
+    # necessarily pays two full pair pipelines — that is its job — but
+    # the dominant shared cost, string-shingling the corpus, happens
+    # exactly once; the exact spine reads the string arrays, the
+    # MinHash spine hashes the same arrays (identical semantics to
+    # shingling from text — pinned by the unchanged oracle).
+    sh = (
+        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
     exact = D.ngram_jaccard_pairs(
-        docs, threshold=_EVAL_THRESHOLD
+        docs, threshold=_EVAL_THRESHOLD, shingles_df=sh
     ).select("id_a", "id_b")
     lsh = D.minhash_lsh_pairs(
-        docs, jaccard_threshold=_EVAL_THRESHOLD
+        docs, jaccard_threshold=_EVAL_THRESHOLD, shingles_df=sh
     ).select("id_a", "id_b")
     exact = exact.localCheckpoint(eager=False)
     lsh = lsh.localCheckpoint(eager=False)

@@ -220,17 +220,20 @@ def text_ngram_novelty(spark, sf_dir):
     # No join back onto the posting list: a df=1 shingle has exactly
     # one owner, so min(struct(doc,lang)) riding the df aggregate IS
     # the owner — per-doc novel counts then come from the tiny
-    # unique-shingle relation, and the posting list shuffles ONCE
-    # (for df) instead of twice (df + re-join).
+    # unique-shingle relation. And no doc-grain aggregate at all
+    # (r10): word_shingles is distinct by construction, so
+    # n_shingles IS the array size, computed map-side per document —
+    # the exploded posting stream shuffles ONCE (for df) and the
+    # corpus is shingled ONCE (persisted doc-grain arrays feed both
+    # the size projection and the explode).
     docs = _t(spark, sf_dir, "documents")
-    inv = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
+    sh = docs.select(
+        "doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("sh")
+    ).persist()
+    totals = sh.filter(F.size("sh") > 0).select(
+        "doc_id", "lang", F.size("sh").alias("n_shingles")
     )
-    totals = inv.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
+    inv = sh.select("doc_id", "lang", F.explode("sh").alias("shingle"))
     dfagg = inv.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
         F.min(F.struct("doc_id", "lang")).alias("owner"),

@@ -119,20 +119,43 @@ def fold_dedup_batch(
     which pin it to a DuckDB from-scratch oracle) and the streaming
     form below.
 
-    Cost is batch-sized, never corpus-sized: only the batch is
-    sha'd/shingled/sketched; the corpus participates through its saved
-    digest/cluster/signature state. The batch's own ids are excluded
-    from every state read (broadcast anti-joins on the batch-sized id
-    set), which is what makes a re-fold of the same batch — the
-    streaming re-delivery case — byte-identical to the first fold even
-    when a crashed attempt already committed part of its state.
+    Cost — sketch AND commit — is batch-adjacent, never corpus-sized:
+    only the batch is sha'd/shingled/sketched; the corpus participates
+    through its saved digest/cluster/signature state; and (since r10)
+    the cluster COMMIT folds only the components the batch actually
+    touches. The saved map is a star forest (every doc points at its
+    component-minimum root), so any component a new pair can merge is
+    one whose saved ``cluster_id`` is held by a pair endpoint — one
+    adjacency level suffices. The fold semi-joins the saved map down to
+    those components, runs connected components over (that slice's star
+    edges + the new pairs), and merges only those rows; untouched
+    components' state rows — and, in the bucketed layout, the parquet
+    files of buckets holding no touched row — are not rewritten
+    (pinned by ``tests/test_stream_dedup_fold.py``'s byte-identical
+    inventory test). At 100 TB this is the difference between a
+    nightly full rewrite of an id-grain table and a merge proportional
+    to the batch's blast radius.
+
+    Null-text contract (r10): ``text`` is pinned to ``''`` via
+    ``coalesce`` BEFORE hashing — ``sha2(NULL)`` is NULL, and a NULL
+    digest key can never equi-match in the keyed digest merge, so
+    un-pinned null rows would accumulate duplicate NULL-key digest
+    state on every re-fold. Pinned, null-text docs are exact
+    duplicates of the empty document and of each other.
+
+    The batch's own ids are excluded from every state read (broadcast
+    anti-joins on the batch-sized id set), which is what makes a
+    re-fold of the same batch — the streaming re-delivery case —
+    byte-identical to the first fold even when a crashed attempt
+    already committed part of its state.
 
     Scale notes: the two anti-joins against state (digest screen,
     prior-signature exclusion) deliberately carry NO broadcast hint on
     the state side — state is corpus-sized; AQE broadcasts it while it
     is small and falls back to shuffle joins keyed on 32-byte
     shas / 8-byte ids at scale. The batch-id exclusion side IS
-    broadcast: it is batch-sized by contract.
+    broadcast: it is batch-sized by contract — as are the touched-id
+    and touched-cluster-id sets driving the commit's semi-joins.
     """
     from mcyj_datapipeline_spark.operators.dedup import (
         connected_components,
@@ -141,37 +164,65 @@ def fold_dedup_batch(
         minhash_signatures,
     )
 
-    batch = batch.select("doc_id", "text")
+    batch = batch.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     ids = batch.select("doc_id").distinct()
 
-    # Loud-failure guard (r9 review): a cluster map that knows docs
-    # OUTSIDE this batch while the digest or signature table is absent
-    # is a corrupt/partial bootstrap — folding through it would
-    # silently skip the exact and near-dup screens against those prior
-    # docs and diverge from the oracle with no error anywhere. (A map
-    # whose every doc is IN the batch is the benign first-fold replay
-    # state: there is genuinely nothing prior to screen against.)
+    # Loud-failure guards (r9 review, tightened r10): a cluster map
+    # that knows docs OUTSIDE this batch while the digest or signature
+    # table is absent — or readable but EMPTY, the same corruption one
+    # crash-shape away — is a corrupt/partial bootstrap: folding
+    # through it would silently skip the exact and near-dup screens
+    # against those prior docs and diverge from the oracle with no
+    # error anywhere. (A map whose every doc is IN the batch is the
+    # benign first-fold replay state: there is genuinely nothing prior
+    # to screen against.) The CONVERSE is equally corrupt (ADVICE r9):
+    # digest/signature state holding foreign-owned rows while the
+    # cluster map is absent would fold those prior docs OUT of the
+    # committed map with no error. Commit order (clusters → digests →
+    # signatures, each atomic in the versioned layout) means no clean
+    # crash produces either state.
     saved = clusters.read()
     digest_state = digests.read()
     sig_state = sigs.read()
-    if saved is not None and (digest_state is None or sig_state is None):
+    if saved is not None:
         foreign = saved.join(F.broadcast(ids), "doc_id", "left_anti")
         if foreign.take(1):
-            missing = [
+            bad = [
                 name
                 for name, st in (
                     ("digests", digest_state),
                     ("signatures", sig_state),
                 )
-                if st is None
+                if st is None or not st.take(1)
             ]
-            raise ValueError(
-                "dedup fold state is inconsistent: cluster map holds "
-                "docs outside this batch but these state tables are "
-                f"missing: {missing} — refusing to fold (the exact/"
-                "near-dup screens against prior docs would be "
-                "silently skipped). Re-bootstrap the state."
-            )
+            if bad:
+                raise ValueError(
+                    "dedup fold state is inconsistent: cluster map "
+                    "holds docs outside this batch but these state "
+                    f"tables are missing or empty: {bad} — refusing "
+                    "to fold (the exact/near-dup screens against "
+                    "prior docs would be silently skipped). "
+                    "Re-bootstrap the state."
+                )
+    else:
+        for name, st, key in (
+            ("digests", digest_state, "owner_id"),
+            ("signatures", sig_state, "doc_id"),
+        ):
+            if st is not None and st.join(
+                F.broadcast(ids.withColumnRenamed("doc_id", key)),
+                key,
+                "left_anti",
+            ).take(1):
+                raise ValueError(
+                    f"dedup fold state is inconsistent: {name} state "
+                    "holds rows owned outside this batch but the "
+                    "cluster map is absent — folding would silently "
+                    "drop those prior docs from the committed map. "
+                    "Re-bootstrap the state."
+                )
 
     # ---- exact screen: drop batch docs whose content is owned by a
     # doc OUTSIDE the batch (an owner inside the batch means this very
@@ -209,23 +260,55 @@ def fold_dedup_batch(
         survivors, jaccard_threshold=jaccard_threshold
     ).select("id_a", "id_b")
 
-    # ---- fold: saved map as star edges (self-loops dropped) + pairs
+    # ---- fold: TOUCHED components only (r10). The saved map is a star
+    # forest whose root is the component minimum, so one adjacency
+    # level finds every component a new pair can reach: the components
+    # whose saved cluster_id is held by a pair endpoint (or a batch
+    # survivor — the re-delivery case where a crashed attempt already
+    # committed the doc's row). CC then runs over that slice's star
+    # edges plus the new pairs — pairs-adjacent work, never the corpus
+    # — and the commit merges only those rows, so untouched components
+    # (and, bucketed, the parquet files of buckets holding none of
+    # them) are not rewritten. Label stability is inductive: the slice
+    # carries ALL members of each touched component, so the new label
+    # is the min over the merged component's full membership — exactly
+    # what from-scratch CC (the e12/e12b/e12c oracle) assigns.
+    # persisted: the pair relation feeds the touched-id/touched-cluster
+    # semi-joins AND the CC fold — without the pin, the banded LSH
+    # candidate generation would re-run for each consumer
+    new_pairs = cross.unionByName(intra).persist()
     if saved is not None:
-        stars = saved.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        touched_ids = (
+            survivors.select("doc_id")
+            .unionByName(new_pairs.select(F.col("id_a").alias("doc_id")))
+            .unionByName(new_pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        touched_clusters = (
+            saved.join(F.broadcast(touched_ids), "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        saved_slice = saved.join(
+            F.broadcast(touched_clusters), "cluster_id", "left_semi"
+        )
+        stars = saved_slice.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(
             F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
         )
-        prior_ids = saved.select("doc_id")
+        slice_ids = saved_slice.select("doc_id")
     else:
         stars = batch.sparkSession.createDataFrame([], pairs_schema)
-        prior_ids = batch.sparkSession.createDataFrame([], "doc_id long")
+        slice_ids = batch.sparkSession.createDataFrame([], "doc_id long")
     folded = connected_components(
-        stars.unionByName(cross).unionByName(intra), "id_a", "id_b"
+        stars.unionByName(new_pairs), "id_a", "id_b"
     ).withColumnRenamed("cluster_id", "_cl")
 
-    ingested = prior_ids.unionByName(survivors.select("doc_id")).distinct()
-    new_map = ingested.join(
+    scope = slice_ids.unionByName(survivors.select("doc_id")).distinct()
+    new_map = scope.join(
         folded.withColumnRenamed("doc_id", "_n"),
-        ingested["doc_id"] == F.col("_n"),
+        scope["doc_id"] == F.col("_n"),
         "left",
     ).select(
         "doc_id",
@@ -248,6 +331,7 @@ def fold_dedup_batch(
     if sig_new.take(1):
         sigs.update(sig_new, ["shingles", "signature"])
     sig_new.unpersist()
+    new_pairs.unpersist()
     return committed
 
 

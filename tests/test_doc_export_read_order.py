@@ -166,3 +166,48 @@ def test_stamp_declines_any_reordering_node(spark, tmp_path):
     assert _stamp_file_read_order(info.sample(0.5, seed=1)) is None
     assert _stamp_file_read_order(info.sortWithinPartitions("date")) is None
     assert _stamp_file_read_order(info.limit(5)) is None
+
+
+def test_whitelist_accepts_datasource_v2_node_names(spark, tmp_path):
+    """A DSv2 file scan prints ``RelationV2`` in the optimized plan;
+    the old ``[A-Za-z]+`` capture truncated it to ``RelationV`` and
+    silently declined EVERY v2 plan into the coalesce(1) fallback
+    (ADVICE r9). The whitelist check must capture digit-bearing node
+    names whole and accept a pure Project/Filter/RelationV2 plan —
+    exercised directly on a REAL v2 optimized plan string (Spark 4's
+    v2 scans don't resolve ``_metadata`` yet, so the stamp itself
+    still declines earlier for them; fail-closed either way)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mcyj_datapipeline_spark.plans.doc_export import (
+        _plan_is_order_preserving_scan,
+    )
+
+    p = str(tmp_path / "v2src")
+    os.makedirs(p)
+    pq.write_table(
+        pa.table({"sha256": ["a" * 64, "b" * 64], "agency_id": [1, 2]}),
+        os.path.join(p, "part0.parquet"),
+    )
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(p).select("sha256").filter(
+            F.col("sha256") != ""
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "RelationV2" in plan, f"fixture not v2:\n{plan}"
+        assert _plan_is_order_preserving_scan(plan)
+        sorted_plan = (
+            df.orderBy("sha256")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert not _plan_is_order_preserving_scan(sorted_plan)
+        # v2 scans still decline at the _metadata resolution (no stamp
+        # basis exists) — fail-closed, never a wrong stamp
+        assert _stamp_file_read_order(spark.read.parquet(p)) is None
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)

@@ -86,7 +86,19 @@ def test_raw_registry_reads_always_pair_with_load_all():
                 continue
             path = os.path.join(root, fn)
             rel = os.path.relpath(path, REPO)
-            if rel.startswith("mcyj_datapipeline_spark" + os.sep) or rel in (
+            # Only the registry modules THEMSELVES manage the dict;
+            # the rest of the package (plans/, operators/, streaming/)
+            # must pair raw reads with load_all like any other caller
+            # (ADVICE r9: the old whole-package exemption would let a
+            # partial-registry read slide in unlinted).
+            base = os.path.basename(rel)
+            is_registry_module = rel.startswith(
+                "mcyj_datapipeline_spark" + os.sep
+            ) and (
+                base in ("registry.py", "registry_all.py")
+                or re.fullmatch(r"registry_batch\w*\.py", base)
+            )
+            if is_registry_module or rel in (
                 "tests/test_registry_import_order.py",
             ):
                 continue  # registry internals manage the dict itself

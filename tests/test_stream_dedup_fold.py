@@ -241,6 +241,204 @@ def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
     _assert_state_equals_clean(spark, state_root, tmp_path)
 
 
+def _inventory(data_dir: str) -> dict[str, tuple]:
+    """relpath -> (size, mtime_ns, md5) for every data file."""
+    import hashlib
+
+    inv = {}
+    for root, _dirs, files in os.walk(data_dir):
+        for fn in files:
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            inv[os.path.relpath(p, data_dir)] = (
+                st.st_size,
+                st.st_mtime_ns,
+                digest,
+            )
+    return inv
+
+
+def test_untouched_buckets_byte_identical_across_fold(spark, tmp_path):
+    """The r10 touched-component commit contract: folding a night that
+    touches none of the saved components must leave every cluster-map
+    bucket holding only untouched docs BYTE-IDENTICAL on disk (same
+    files, sizes, mtimes, content) — the nightly commit is proportional
+    to the batch's blast radius, not the corpus. Night 3 of the shared
+    fixture touches only its own docs (53's exact-dup screen drops the
+    one cross-night link), so its write set is exactly the buckets its
+    surviving ids hash into."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    n_buckets = 64
+    nights = _nights()
+    state = open_dedup_state(
+        spark, str(tmp_path / "state"), num_buckets=n_buckets
+    )
+    for night in nights[:2]:
+        fold_dedup_batch(
+            spark.createDataFrame(night, "doc_id long, text string"),
+            *state,
+        )
+    clusters_data = os.path.join(str(tmp_path / "state"), "clusters", "data")
+    before = _inventory(clusters_data)
+
+    fold_dedup_batch(
+        spark.createDataFrame(nights[2], "doc_id long, text string"),
+        *state,
+    )
+    after = _inventory(clusters_data)
+
+    # expected touched docs: night-3 survivors (53 is an exact dup of
+    # 34, screened out) — none of them joins a saved component, so the
+    # write set is exactly their buckets
+    survivors = [d for d, _ in nights[2] if d != 53]
+    touched_buckets = {
+        r[0]
+        for r in spark.createDataFrame(
+            [(d,) for d in survivors], "doc_id long"
+        )
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .collect()
+    }
+    def bucket_of(rel: str) -> int | None:
+        head = rel.split(os.sep)[0]
+        return (
+            int(head.split("=")[1]) if head.startswith("_bucket=") else None
+        )
+
+    all_buckets = {
+        b for b in (bucket_of(rel) for rel in before) if b is not None
+    }
+    untouched = all_buckets - touched_buckets
+    assert untouched, "fixture degenerate: every bucket touched"
+    for rel, meta in before.items():
+        b = bucket_of(rel)
+        if b is not None and b in untouched:
+            assert after.get(rel) == meta, (
+                f"untouched bucket {b} was rewritten: {rel}"
+            )
+
+    # and the map is still semantically right: equal to the clean
+    # versioned-layout fold of the same nights
+    cd, cc, cs = _clean_batch_fold(spark, str(tmp_path / "clean"))
+    assert _rows(state[1].read(), ["doc_id", "cluster_id"]) == _rows(
+        cc.read(), ["doc_id", "cluster_id"]
+    )
+
+
+def test_empty_but_present_state_table_trips_guard(spark, tmp_path):
+    """An existing-but-EMPTY digest or signature table beside a cluster
+    map that knows foreign docs is the same corruption as a missing
+    table (one crash-shape away) and must refuse to fold (VERDICT r9
+    low #3)."""
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    nights = _nights()
+    state = open_dedup_state(
+        spark, str(tmp_path / "state"), num_buckets=None
+    )
+    fold_dedup_batch(
+        spark.createDataFrame(nights[0], "doc_id long, text string"),
+        *state,
+    )
+    digests, clusters, sigs = state
+    # corrupt: truncate the digest table to zero rows (an empty frame
+    # built fresh — limit(0) over the table's own files would make the
+    # overwrite read what it is deleting)
+    digests.write_initial(
+        spark.createDataFrame([], "content_sha string, owner_id long")
+    )
+    assert digests.read() is not None and not digests.read().take(1)
+    with pytest.raises(ValueError, match="missing or empty"):
+        fold_dedup_batch(
+            spark.createDataFrame(nights[1], "doc_id long, text string"),
+            *state,
+        )
+
+
+def test_foreign_state_rows_without_cluster_map_trips_guard(
+    spark, tmp_path
+):
+    """The converse guard (ADVICE r9): digest/signature state holding
+    rows owned OUTSIDE the batch while the cluster map is absent means
+    a fold would silently drop those prior docs from the committed
+    map — refuse instead."""
+    import shutil
+
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    nights = _nights()
+    state = open_dedup_state(
+        spark, str(tmp_path / "state"), num_buckets=None
+    )
+    fold_dedup_batch(
+        spark.createDataFrame(nights[0], "doc_id long, text string"),
+        *state,
+    )
+    digests, clusters, sigs = state
+    shutil.rmtree(clusters.path)
+    assert clusters.read() is None
+    with pytest.raises(ValueError, match="cluster map is absent"):
+        fold_dedup_batch(
+            spark.createDataFrame(nights[1], "doc_id long, text string"),
+            *state,
+        )
+
+
+def test_null_text_fold_and_replay_pins_digest_state(spark, tmp_path):
+    """Null-text contract (VERDICT r9 low #4): null text is pinned to
+    '' before hashing, so null-text docs are exact dups of each other
+    (one digest row, min-id owner) and a REPLAY of the same batch adds
+    no duplicate digest rows — the un-pinned form accumulated
+    NULL-key digest rows on every re-fold because sha2(NULL) is NULL
+    and never equi-matches in the keyed merge."""
+    from mcyj_datapipeline_spark.streaming.dedup_fold import (
+        fold_dedup_batch,
+        open_dedup_state,
+    )
+
+    state = open_dedup_state(
+        spark, str(tmp_path / "state"), num_buckets=None
+    )
+    batch = spark.createDataFrame(
+        [(1, _text(1)), (2, None), (3, None)], "doc_id long, text string"
+    )
+    fold_dedup_batch(batch, *state)
+    digests, clusters, sigs = state
+
+    def snap():
+        return (
+            _rows(digests.read(), ["content_sha", "owner_id"]),
+            _rows(clusters.read(), ["doc_id", "cluster_id"]),
+        )
+
+    first = snap()
+    dig, cl = first
+    # no NULL digest keys; the two null-text docs share ONE digest row
+    # owned by the min id (doc 3 stays in the map — an IN-batch exact
+    # dup is kept, same as the batch flagships' oracle semantics)
+    assert all(sha is not None for sha, _ in dig)
+    assert len(dig) == 2  # doc1's sha + the empty-text sha
+    assert (2 in {o for _, o in dig})
+    assert {d for d, _ in cl} == {1, 2, 3}
+    # replay: byte-identical state, no accumulated rows
+    fold_dedup_batch(batch, *state)
+    assert snap() == first
+
+
 class _CrashAfter(Exception):
     pass
 
