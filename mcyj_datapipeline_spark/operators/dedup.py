@@ -1193,11 +1193,36 @@ def prefix_filter_jaccard_pairs(
     inverted index (its ``max_shingle_docs`` valve) mostly live in
     SUFFIXES here and never reach the self-join.
 
-    Plan: shingle frequency (one groupBy), per-doc canonical sort of
-    its OWN shingles (sort_array over collected (freq, shingle)
-    structs — grouped, never a global vocabulary window), prefix
-    explode + self-join + distinct for candidates, then one
-    verification join carrying the two full shingle arrays.
+    Candidates pass two further EXACT prunes before the distinct
+    (r10, the PPJoin ladder — both recall 1.0 by theorem, measured
+    409k -> 125k candidates at sf0.1 for 256 true pairs):
+
+    * LENGTH filter: ``J(x,y) <= min(|x|,|y|)/max(|x|,|y|)``, so any
+      pair whose set sizes differ by more than ``1/t`` is dead on
+      arrival;
+    * POSITIONAL filter: a prefix match at (1-based) canonical
+      positions ``(i, j)`` bounds the overlap at
+      ``1 + min(|x|-i, |y|-j)`` (every later shared token lies after
+      both positions in the SAME global order), which must reach the
+      required overlap ``ceil(t/(1+t) * (|x|+|y|))``.
+
+    Plan (r10, one persisted relation): shingle-explode the corpus
+    ONCE, shingle frequency (one groupBy), join frequencies back and
+    collect each doc's canonical-sorted token array (sort_array over
+    (freq, shingle) structs — grouped, never a global vocabulary
+    window) into ``ordered`` — the single persisted relation that
+    feeds BOTH the prefix explode and the verification joins. The
+    freq join carries no hint: AQE broadcasts the vocab while it is
+    small (re-shingling the narrow side is cheaper than an exchange
+    there) and falls back to a shuffle join at corpus-scale vocab,
+    where the groupBy and join exchanges share one shingle-keyed
+    shuffle (ReuseExchange) — either way the text is scanned, split,
+    and shingled a bounded number of times with nothing doc-grain
+    materialized except ``ordered``. The r9 two-persist shape
+    (shingle arrays + prefix rows pinned separately) spent more wall
+    time WRITING its two caches than the whole query now takes —
+    single-session A/B at sf0.1: 5.05 s -> 2.03 s min, warm spread
+    4.4 s -> 0.3 s, row-identical output (SCALE.md r10 note).
 
     ``hash_keys`` runs the whole candidate pipeline — frequency
     groupBy, frequency join, per-doc canonical sort, prefix self-join
@@ -1218,35 +1243,35 @@ def prefix_filter_jaccard_pairs(
     lone unstable flag in r8). The hashed pipeline only pays where
     shuffle bytes cross a real network; opt in there.
 
-    ``persist_intermediates`` (r10, default True): pins the shingle
-    relation (read 3x: inverted index + both verification sides) and
-    the prefix relation (read 2x: both self-join sides). The r8/r9
+    ``persist_intermediates`` (r10, default True): pins ``ordered``
+    (string path; read 3x — prefix explode + both verification
+    sides) or the shingle/prefix relations (hash path). The r8/r9
     default flip-flop on ``hash_keys`` was never resolved by
     measurement because the UNPINNED recompute churn dominated the
-    variance being A/B'd (warm spread 2.8-6.7 s at sf0.1); with the
-    pins the per-rep work is the plan, not 3x the shingling —
-    decision data in ``tools/ab_prefix_filter.py`` output, SCALE.md
-    r10 note."""
-    sh = (
-        _spread_for_compute(
-            df.select(F.col(id_col), F.col(text_col)), id_col
-        )
-        .select(
-            F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-    )
-    if persist_intermediates:
-        # the shingle relation feeds the inverted index AND both sides
-        # of the verification join — same rationale (and default) as
-        # minhash_lsh_pairs' persisted signature relation: without the
-        # pin the per-shingle string work runs 3x, and the recompute
-        # churn (not the plan) was the source of the r8/r9 bench
-        # variance on this query (tools/ab_prefix_filter.py, r10)
-        sh = sh.persist()
+    variance being A/B'd (warm spread 2.8-6.7 s at sf0.1); decision
+    data in ``tools/ab_prefix_filter.py`` output, SCALE.md r10
+    note."""
+    t = threshold
     if hash_keys:
-        # 8-byte shingle ids; xxhash64 is effectively injective here
-        # and array_distinct keeps set semantics under any collision
+        # Opt-in network-cluster shape, unchanged structure from r9
+        # (candidate pipeline entirely on 8-byte xxhash64 ids, NO
+        # shingle strings in any keyed shuffle; strings appear only
+        # in the final exact verification, read off the narrow
+        # ``sh`` frame) — plus the r10 length/positional prunes.
+        # xxhash64 is effectively injective here and array_distinct
+        # keeps set semantics under any collision.
+        sh = (
+            _spread_for_compute(
+                df.select(F.col(id_col), F.col(text_col)), id_col
+            )
+            .select(
+                F.col(id_col),
+                word_shingles(F.col(text_col), n).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+        )
+        if persist_intermediates:
+            sh = sh.persist()
         inv = sh.select(
             F.col(id_col),
             F.explode(
@@ -1255,39 +1280,105 @@ def prefix_filter_jaccard_pairs(
                 )
             ).alias("shingle"),
         )
-    else:
-        inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-
-    ordered = (
-        inv.join(freq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("_df", "shingle"))
-            ).alias("_ord")
-        )
-    )
-    sz = F.size("_ord")
-    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
-    prefixes = ordered.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.slice("_ord", 1, plen), lambda s: s["shingle"]
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ordered = (
+            inv.join(freq, "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_df", "shingle"))
+                ).alias("_ord")
             )
-        ).alias("shingle"),
+            .select(
+                F.col(id_col),
+                F.transform("_ord", lambda s: s["shingle"]).alias("_toks"),
+            )
+        )
+        verify_src = sh.select(
+            F.col(id_col), F.col("sh").alias("_toks")
+        )
+    else:
+        # Default string path (r10 single-persist shape): explode
+        # once, frequency once, collect the canonical-sorted token
+        # array once — ``ordered`` then feeds prefixes AND both
+        # verification sides (array_intersect is order-blind).
+        ex = _spread_for_compute(
+            df.select(F.col(id_col), F.col(text_col)), id_col
+        ).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ordered = (
+            ex.join(freq, "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_df", "shingle"))
+                    ),
+                    lambda s: s["shingle"],
+                ).alias("_toks")
+            )
+        )
+        verify_src = None  # ordered IS the verification source
+    ordered = ordered.select(
+        F.col(id_col), "_toks", F.size("_toks").alias("_sz")
     )
     if persist_intermediates:
-        # both sides of the candidate self-join read this relation;
-        # without the pin the df-groupBy + per-doc canonical sort runs
-        # twice (ReuseExchange only dedups up to the last shuffle, not
-        # the explode/sort work above it)
-        prefixes = prefixes.persist()
+        # one pinned relation, three readers (prefix explode + both
+        # verification joins): the r9 two-persist shape spent more
+        # time writing its caches than the query now takes
+        ordered = ordered.persist()
+    if verify_src is None:
+        verify_src = ordered.select(F.col(id_col), "_toks")
+
+    plen = (
+        F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        "_sz",
+        F.explode(
+            F.transform(
+                F.slice("_toks", 1, plen),
+                lambda s, i: F.struct(
+                    s.alias("shingle"), (i + 1).alias("_pos")
+                ),
+            )
+        ).alias("ps"),
+    ).select(
+        F.col(id_col),
+        "_sz",
+        F.col("ps.shingle").alias("shingle"),
+        F.col("ps._pos").alias("_pos"),
+    )
+    # required overlap for J >= t: o/(|x|+|y|-o) >= t  <=>
+    # o >= t/(1+t) * (|x|+|y|)
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("x._sz") + F.col("y._sz"))
+    )
     cands = (
         prefixes.alias("x")
         .join(prefixes.alias("y"), "shingle")
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        # length filter: J <= min/max of the set sizes
+        .filter(
+            F.least("x._sz", "y._sz")
+            >= F.lit(t) * F.greatest("x._sz", "y._sz")
+        )
+        # positional filter: overlap <= 1 + tokens after this match
+        # on the shorter remaining side (same global order both docs)
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("x._sz") - F.col("x._pos"),
+                    F.col("y._sz") - F.col("y._pos"),
+                )
+            )
+            >= alpha
+        )
         .select(
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
@@ -1296,11 +1387,15 @@ def prefix_filter_jaccard_pairs(
     )
     verified = (
         cands.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa")),
+            verify_src.select(
+                F.col(id_col).alias("id_a"), F.col("_toks").alias("_sa")
+            ),
             "id_a",
         )
         .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb")),
+            verify_src.select(
+                F.col(id_col).alias("id_b"), F.col("_toks").alias("_sb")
+            ),
             "id_b",
         )
         .select(

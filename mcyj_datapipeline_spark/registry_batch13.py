@@ -1237,16 +1237,21 @@ def e13_span_dedup_rewrite(spark, sf_dir):
     "doc indexes only its |r|-ceil(t|r|)+1 globally-rarest shingles "
     "(df-asc canonical order, sorted per-doc with sort_array — no "
     "vocabulary-wide window), candidates self-join on prefix shingles "
-    "only, then exact array_intersect verification. Recall 1.0 by "
-    "theorem on string identity (default hash_keys=False — r9 "
-    "reverted the r8 hash-id default after the A/B measured the "
-    "string form no slower at sf1 and faster+stabler at sf0.1; the "
-    "8-byte xxhash64 candidate pipeline remains opt-in for "
-    "network-bound clusters, recall exact up to 64-bit collisions "
-    "there). The oracle is the brute shared-shingle join verbatim. "
-    "The exact counterpart to LSH at scale: boilerplate shingles live "
-    "in suffixes and never reach the self-join, attacking the same "
-    "fan-out ngram_jaccard's max_shingle_docs valve caps lossily.",
+    "and pass the PPJoin length + positional prunes (r10, both exact "
+    "by theorem: 409k -> 125k candidates at sf0.1 for 256 true "
+    "pairs), then exact array_intersect verification off ONE "
+    "persisted canonical-token relation (the r9 two-persist shape "
+    "spent more time writing caches than the query now takes: 3.25 "
+    "-> 2.05 s at sf0.1, 24.6 -> ~5.4 s normalized at sf1). Recall "
+    "1.0 by theorem on string identity (default hash_keys=False — "
+    "ratified r10 by bench-regime A/B, strings 1.7-1.9x faster "
+    "single-host; the 8-byte xxhash64 candidate pipeline remains "
+    "opt-in for network-bound clusters, recall exact up to 64-bit "
+    "collisions there). The oracle is the brute shared-shingle join "
+    "verbatim. The exact counterpart to LSH at scale: boilerplate "
+    "shingles live in suffixes and never reach the self-join, "
+    "attacking the same fan-out ngram_jaccard's max_shingle_docs "
+    "valve caps lossily.",
 )
 def dedup_prefix_filter_jaccard(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.dedup import (

@@ -804,6 +804,45 @@ def test_prefix_filter_jaccard_equals_bruteforce_with_fewer_candidates(
     assert got == exact and exact, got ^ exact
 
 
+def test_prefix_filter_filters_never_drop_true_pairs(spark):
+    """The r10 length/positional prunes are exact by theorem — fuzz
+    it: random near-dup-rich corpora at thresholds that exercise the
+    ``ceil`` edges of both the prefix length and the required-overlap
+    bound (alpha) must produce EXACTLY the brute-force pair set, for
+    the string path and the opt-in hash path alike."""
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(120)]
+    for seed in range(3):
+        rng.seed(seed)
+        rows = []
+        base = [rng.choice(vocab) for _ in range(24)]
+        for i in range(40):
+            words = list(base)
+            # mutate a seed-dependent number of positions so pair
+            # similarities spread across every threshold bucket
+            for _ in range(rng.randrange(0, 20)):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rng.shuffle(words)
+            rows.append((i, " ".join(words)))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        for t in (0.3, 0.5, 0.75):
+            brute = {
+                (r["id_a"], r["id_b"], r["jaccard"])
+                for r in D.ngram_jaccard_pairs(df, threshold=t).collect()
+            }
+            for hk in (False, True):
+                got = {
+                    (r["id_a"], r["id_b"], r["jaccard"])
+                    for r in D.prefix_filter_jaccard_pairs(
+                        df, threshold=t, hash_keys=hk
+                    ).collect()
+                }
+                assert got == brute, (
+                    f"seed={seed} t={t} hash_keys={hk}: "
+                    f"{got ^ brute}"
+                )
+
+
 def test_prefix_filter_skips_boilerplate_candidate_blowup(spark):
     """The scale claim: a boilerplate header shared by every doc makes
     the FULL inverted index generate all C(n,2) candidate pairs, while
