@@ -1067,8 +1067,10 @@ def cut_repeated_ngram_spans(
     position only (r10 — the covered range is ``[pos, pos+n-1]`` by
     construction, so exploding the n covered word indexes per hit
     just multiplied the cut shuffle by n), one groupBy collects the
-    per-doc sorted start array, and the rebuild filters each doc's own
-    token array map-side with a range-membership lambda.
+    per-doc sorted start array, and the rebuild reassembles each
+    doc's own token array map-side as the concatenation of the GAP
+    slices between cut spans (O(#starts) lambdas + O(#words) copy
+    per doc — never a per-word × per-start membership scan).
 
     ``hash_first``: the cross-doc frequency pass groups on
     ``xxhash64(gram)`` — 8-byte keys and NO n-word strings in the agg
@@ -1092,6 +1094,7 @@ def cut_repeated_ngram_spans(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_w"),
     )
+
     grams = toks.select(
         id_col, F.posexplode(_positional_ngrams(F.col("_w"), n)).alias(
             "_p0", "gram"
@@ -1103,7 +1106,13 @@ def cut_repeated_ngram_spans(
         # agg shuffle carries (8-byte hash, min/max id partials)
         # instead of n-word strings; dup_h is boilerplate-sized, so
         # AQE turns the semi-join into a broadcast — the gram stream
-        # itself is never shuffled for candidate selection.
+        # itself is never shuffled for candidate selection. (A
+        # no-string rolling-hash front end was built and measured in
+        # r10 and REJECTED: chained per-window hash lambdas run in
+        # the interpreted HOF path — xxhash64 chain 4.5 s vs 3.9 s
+        # string build at sf1, a bitwise rot-xor chain 34.6 s —
+        # concat_ws is simply the cheapest per-window primitive
+        # Spark has here.)
         grams_h = grams.withColumn("_gh", F.xxhash64("gram"))
         dup_h = _docspan_agg(grams_h, "_gh", id_col, min_docs).select(
             "_gh"
@@ -1131,23 +1140,45 @@ def cut_repeated_ngram_spans(
         .agg(F.sort_array(F.collect_set("pos")).alias("_cut"))
     )
 
-    # MAP-SIDE rebuild (r8): filter each doc's own token array against
-    # its cut spans with an index-aware lambda — order preserved by
-    # construction. Replaces the old explode-every-word + anti-join +
-    # collect_list/sort_array reassembly, which shuffled the corpus
-    # twice at word grain and re-sorted every document interpreted.
-    # Docs with no cut set skip the per-word filter entirely; _kept is
-    # materialized in its own projection so size() and concat_ws()
-    # don't re-run the filter (CollapseProject keeps non-cheap
-    # multi-referenced outputs split).
-    kept = F.when(F.col("_cut").isNull(), F.col("_w")).otherwise(
-        F.filter(
-            "_w",
-            lambda x, i: ~F.exists(
-                F.col("_cut"),
-                lambda p: (p <= i + 1) & (i + 1 <= p + (n - 1)),
+    # MAP-SIDE rebuild as GAP SLICES (r10): the surviving text is the
+    # concatenation of the word ranges BETWEEN cut spans — the head
+    # gap [1, p_1-1] plus, for each start p with successor q (the
+    # last start's successor coalesced to W+1), the gap
+    # [p+n, q-1]. Overlapping/adjacent spans clamp to empty gaps
+    # (greatest(len, 0)), so no explicit interval merging is needed,
+    # and order is preserved by construction. Cost per cut doc is
+    # O(#starts) lambda evaluations + O(#words) array copying —
+    # replacing the r10-interim per-word exists() scan, whose
+    # starts-array lambda ran #words × #starts times per doc and
+    # inverted the span-shuffle saving at sf1 (measured: the nested
+    # HOF was the query's biggest single cost at scale). Docs with no
+    # cut set skip the rebuild entirely; _kept is materialized in its
+    # own projection so size() and concat_ws() don't re-run it
+    # (CollapseProject keeps non-cheap multi-referenced outputs
+    # split).
+    W = F.size("_w")
+    succ = F.zip_with(
+        "_cut",
+        F.slice(F.col("_cut"), 2, F.greatest(F.size("_cut") - 1, F.lit(0))),
+        lambda p, q: F.struct(
+            p.alias("p"), F.coalesce(q, W + 1).alias("q")
+        ),
+    )
+    gaps = F.flatten(
+        F.transform(
+            succ,
+            lambda s: F.slice(
+                F.col("_w"),
+                s["p"] + n,
+                F.greatest(s["q"] - (s["p"] + n), F.lit(0)),
             ),
         )
+    )
+    head = F.slice(
+        F.col("_w"), 1, F.greatest(F.element_at("_cut", 1) - 1, F.lit(0))
+    )
+    kept = F.when(F.col("_cut").isNull(), F.col("_w")).otherwise(
+        F.concat(head, gaps)
     )
     return (
         toks.join(cut_sets, id_col, "left")
