@@ -1364,8 +1364,13 @@ def prefix_filter_jaccard_pairs(
     if verify_src is None:
         verify_src = ordered.select(F.col(id_col), "_toks")
 
+    # same 1e-9 slack as the prunes below: ceil(t*|r|) landing an ulp
+    # above an exact integer would shorten the prefix by one and
+    # break the recall theorem from the indexing side
     plen = (
-        F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+        F.col("_sz")
+        - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9))
+        + 1
     ).cast("int")
     prefixes = ordered.select(
         F.col(id_col),
@@ -1385,9 +1390,15 @@ def prefix_filter_jaccard_pairs(
         F.col("ps._pos").alias("_pos"),
     )
     # required overlap for J >= t: o/(|x|+|y|-o) >= t  <=>
-    # o >= t/(1+t) * (|x|+|y|)
+    # o >= t/(1+t) * (|x|+|y|). The 1e-9 slack keeps both prunes
+    # conservative at exact-integer boundaries: t/(1+t) and t*|y| are
+    # DOUBLE arithmetic, and a product that lands an ulp above an
+    # exact rational boundary would otherwise ceil/compare one step
+    # too high and prune a pair the (also-double) verification keeps
+    # — recall 1.0 must not hinge on rounding direction.
     alpha = F.ceil(
         F.lit(t / (1.0 + t)) * (F.col("x._sz") + F.col("y._sz"))
+        - F.lit(1e-9)
     )
     cands = (
         prefixes.alias("x")
@@ -1396,7 +1407,7 @@ def prefix_filter_jaccard_pairs(
         # length filter: J <= min/max of the set sizes
         .filter(
             F.least("x._sz", "y._sz")
-            >= F.lit(t) * F.greatest("x._sz", "y._sz")
+            >= F.lit(t) * F.greatest("x._sz", "y._sz") - F.lit(1e-9)
         )
         # positional filter: overlap <= 1 + tokens after this match
         # on the shorter remaining side (same global order both docs)
