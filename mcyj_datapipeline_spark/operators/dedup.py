@@ -136,18 +136,30 @@ def minhash_signatures(
     shingle relation feed this spine and the exact-Jaccard spine in
     the same job (``dedup_minhash_eval``) without two full text
     passes. Semantics identical: the hash set is
-    ``array_distinct(hash60(s) % P)`` either way."""
+    ``array_distinct(hash60(s) % P)`` either way.
+
+    The hash array MUST stay inline inside the explode (r10
+    regression fix): naming it in its own projection turns the
+    generator child into a plain attribute, which lets Spark's
+    InferFiltersFromGenerate rule add a ``size(_hs) > 0`` filter
+    that constraint propagation then pushes below the repartition —
+    RE-EVALUATING the whole shingle+hash expression a second time
+    pre-shuffle (measured 4.4x on this function, and it rippled into
+    every LSH-spine query in BENCH: lsh_pairs 0.94→2.26 s at sf0.1).
+    The rule skips non-attribute generator children, so the inline
+    form evaluates the expression exactly once."""
     if shingles_df is not None:
-        hashed = shingles_df.select(
-            F.col(id_col), hash_shingle_array(F.col("sh")).alias("_hs")
+        ex = shingles_df.select(
+            F.col(id_col),
+            F.explode(hash_shingle_array(F.col("sh"))).alias("h"),
         )
     else:
-        hashed = _spread_for_compute(
+        ex = _spread_for_compute(
             df.select(F.col(id_col), F.col(text_col)), id_col
         ).select(
-            F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_hs")
+            F.col(id_col),
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
         )
-    ex = hashed.select(F.col(id_col), F.explode("_hs").alias("h"))
     return ex.groupBy(id_col).agg(
         F.collect_list("h").alias("shingles"),
         F.array(
