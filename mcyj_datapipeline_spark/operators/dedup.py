@@ -132,11 +132,14 @@ def minhash_signatures(
     ``shingles_df`` (r10): an optional pre-materialized
     ``(id_col, sh)`` relation of :func:`word_shingles` string arrays;
     when given, the string shingling is SKIPPED and only the (cheap)
-    hash transform runs here — the seam that lets one persisted
-    shingle relation feed this spine and the exact-Jaccard spine in
-    the same job (``dedup_minhash_eval``) without two full text
-    passes. Semantics identical: the hash set is
-    ``array_distinct(hash60(s) % P)`` either way.
+    hash transform runs here. Semantics identical: the hash set is
+    ``array_distinct(hash60(s) % P)`` either way. Measured caveat
+    before reaching for it (r10): DataFrame-CACHING a corpus-sized
+    string-array relation to share it costs more than re-shingling
+    from text on this engine (cache write 15 s vs ~4 s/pass at sf1),
+    so the seam pays only when the shingle relation is already
+    materialized for other reasons (a table, a checkpoint) — the
+    eval job that motivated it went back to independent text passes.
 
     The hash array MUST stay inline inside the explode (r10
     regression fix): naming it in its own projection turns the
@@ -307,10 +310,12 @@ def ngram_jaccard_pairs(
     dominated by the larger document.
 
     ``shingles_df``: optional pre-materialized ``(id_col, sh)``
-    relation of :func:`word_shingles` arrays (already size>0-filtered)
-    — callers running BOTH this exact spine and the MinHash spine
-    (``dedup_minhash_eval``) persist one shingle relation and pass it
-    to both, halving the text passes."""
+    relation of :func:`word_shingles` arrays (already
+    size>0-filtered). Measured caveat (r10): DataFrame-caching a
+    corpus-sized string-array relation to share it costs more than
+    re-shingling from text (15 s cache write vs ~4 s/pass at sf1) —
+    pass one only when it is already materialized for other
+    reasons."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric: {metric!r}")
     if shingles_df is not None:
@@ -1216,6 +1221,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     hash_keys: bool = False,
     persist_intermediates: bool = True,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similar pairs via prefix filtering (the
     AllPairs/PPJoin family) — same output contract as
@@ -1293,8 +1299,21 @@ def prefix_filter_jaccard_pairs(
     measurement because the UNPINNED recompute churn dominated the
     variance being A/B'd (warm spread 2.8-6.7 s at sf0.1); decision
     data in ``tools/ab_prefix_filter.py`` output, SCALE.md r10
-    note."""
+    note.
+
+    ``shingles_df``: optional pre-materialized ``(id_col, sh)``
+    relation of :func:`word_shingles` arrays (size>0-filtered and
+    persisted by the CALLER — the explode below infers a size()
+    filter on it, which is cheap off a cache and a recompute
+    otherwise). Lets a job that also runs the MinHash spine over the
+    same shingle definition (``dedup_minhash_eval``) shingle the
+    corpus exactly once. String path only."""
     t = threshold
+    if shingles_df is not None and hash_keys:
+        raise ValueError(
+            "shingles_df is a string-path seam; the hash_keys "
+            "pipeline builds its own shingle relation"
+        )
     if hash_keys:
         # Opt-in network-cluster shape, unchanged structure from r9
         # (candidate pipeline entirely on 8-byte xxhash64 ids, NO
@@ -1345,12 +1364,19 @@ def prefix_filter_jaccard_pairs(
         # once, frequency once, collect the canonical-sorted token
         # array once — ``ordered`` then feeds prefixes AND both
         # verification sides (array_intersect is order-blind).
-        ex = _spread_for_compute(
-            df.select(F.col(id_col), F.col(text_col)), id_col
-        ).select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-        )
+        if shingles_df is not None:
+            ex = shingles_df.select(
+                F.col(id_col), F.explode("sh").alias("shingle")
+            )
+        else:
+            ex = _spread_for_compute(
+                df.select(F.col(id_col), F.col(text_col)), id_col
+            ).select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col(text_col), n)).alias(
+                    "shingle"
+                ),
+            )
         freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         ordered = (
             ex.join(freq, "shingle")

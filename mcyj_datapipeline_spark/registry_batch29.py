@@ -329,30 +329,24 @@ def _exact_pairs_sql(threshold: float) -> str:
     "on a sampled slice to re-tune banding after a corpus shift.",
 )
 def dedup_minhash_eval(spark, sf_dir):
-    from mcyj_datapipeline_spark.operators.partitioning import (
-        spread_for_compute,
-    )
-
     docs = _t(spark, sf_dir, "documents")
-    # ONE persisted shingle relation feeds BOTH spines (r10): the eval
-    # necessarily pays two full pair pipelines — that is its job — but
-    # the dominant shared cost, string-shingling the corpus, happens
-    # exactly once; the exact spine reads the string arrays, the
-    # MinHash spine hashes the same arrays (identical semantics to
-    # shingling from text — pinned by the unchanged oracle).
-    sh = (
-        spread_for_compute(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    exact = D.ngram_jaccard_pairs(
-        docs, threshold=_EVAL_THRESHOLD, shingles_df=sh
+    # Exact spine via PREFIX FILTERING (r10) — same output as the
+    # brute shared-shingle join by theorem (its own oracle-proven
+    # query pins that), but the inverted index holds only each doc's
+    # |r|-ceil(0.8|r|)+1 rarest shingles, so the self-join fan-out
+    # that made this the bench's heaviest sf1 query never forms.
+    # Each spine shingles from text INDEPENDENTLY — the r10-interim
+    # "share one persisted shingle relation" shape was measured and
+    # REVERSED: caching 2.6M string arrays costs 15 s at sf1 while a
+    # full re-shingle text pass costs ~4 s, so the share was a
+    # pessimization (20.3 s benched with share vs 6.5 s without,
+    # min-of-3 single session). DataFrame-caching wide string-array
+    # columns is how you LOSE time on this engine.
+    exact = D.prefix_filter_jaccard_pairs(
+        docs, threshold=_EVAL_THRESHOLD
     ).select("id_a", "id_b")
     lsh = D.minhash_lsh_pairs(
-        docs, jaccard_threshold=_EVAL_THRESHOLD, shingles_df=sh
+        docs, jaccard_threshold=_EVAL_THRESHOLD
     ).select("id_a", "id_b")
     exact = exact.localCheckpoint(eager=False)
     lsh = lsh.localCheckpoint(eager=False)

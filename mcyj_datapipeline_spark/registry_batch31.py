@@ -220,20 +220,23 @@ def text_ngram_novelty(spark, sf_dir):
     # No join back onto the posting list: a df=1 shingle has exactly
     # one owner, so min(struct(doc,lang)) riding the df aggregate IS
     # the owner — per-doc novel counts then come from the tiny
-    # unique-shingle relation. And no doc-grain aggregate at all
-    # (r10): word_shingles is distinct by construction, so
-    # n_shingles IS the array size, computed map-side per document —
-    # the exploded posting stream shuffles ONCE (for df) and the
-    # corpus is shingled ONCE (persisted doc-grain arrays feed both
-    # the size projection and the explode).
+    # unique-shingle relation. ONE explode feeds both the totals
+    # groupBy and the df groupBy (back to the r9 shape — the
+    # r10-interim persisted-shingle-array variant was measured and
+    # reversed: caching 2.6M string arrays costs ~15 s at sf1, and a
+    # no-persist size()-based variant triples the text passes via
+    # the inferred size() filter under the attribute explode; this
+    # shape shingles once and was the fastest of the three at sf1,
+    # 17.2 vs 17.4 vs 55.4 s min-of-3).
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("sh")
-    ).persist()
-    totals = sh.filter(F.size("sh") > 0).select(
-        "doc_id", "lang", F.size("sh").alias("n_shingles")
+    inv = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle"),
     )
-    inv = sh.select("doc_id", "lang", F.explode("sh").alias("shingle"))
+    totals = inv.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
     dfagg = inv.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
         F.min(F.struct("doc_id", "lang")).alias("owner"),
