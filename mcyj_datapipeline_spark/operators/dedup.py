@@ -21,6 +21,8 @@ DuckDB-SQL oracle twin in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,55 @@ from mcyj_datapipeline_spark.operators.hashing import (
     MINHASH_PRIME,
     hash60,
 )
+
+# --- cache lifecycle seam (r11) ---------------------------------------
+# Several operators here pin an intermediate relation (signatures, the
+# canonical token relation) because the plan they RETURN reads it two
+# or three times; the pin is what makes one materialization cheap. But
+# the returned frame is lazy, so the operator cannot know when the
+# caller is done — a long-lived session composing many pipelines used
+# to accumulate pinned blocks until LRU eviction (VERDICT r10 #3).
+# ``released_after()`` scopes the lifecycle explicitly: every persist
+# an operator takes inside the scope is registered, and scope exit
+# unpersists them all — after the caller has materialized what it
+# needs. Outside any scope, behavior is unchanged (caller owns the
+# cache, ``spark.catalog.clearCache()`` between rounds as bench.py
+# does).
+_PIN_SCOPES: list[list[DataFrame]] = []
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """``persist()`` that registers in the innermost
+    :func:`released_after` scope (no-op registration outside one)."""
+    out = df.persist()
+    if _PIN_SCOPES:
+        _PIN_SCOPES[-1].append(out)
+    return out
+
+
+@contextlib.contextmanager
+def released_after():
+    """Bound the cache lifetime of dedup-operator intermediates::
+
+        with dedup.released_after():
+            pairs = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.8)
+            hits = pairs.collect()        # pinned relations serve 3 reads
+        # scope exit: every relation pinned inside is unpersisted
+
+    Materialize INSIDE the block — the pins are gone after it. Scopes
+    nest; each operator registers with the innermost one. Unpersist is
+    non-blocking and exception-safe (runs even if the block raises)."""
+    pins: list[DataFrame] = []
+    _PIN_SCOPES.append(pins)
+    try:
+        yield
+    finally:
+        _PIN_SCOPES.pop()
+        for p in pins:
+            try:
+                p.unpersist(False)
+            except Exception:  # session already stopped, etc.
+                pass
 
 
 def exact_dedup_winners(
@@ -223,14 +274,16 @@ def minhash_lsh_pairs(
     plus the verification join twice, and recomputing the md5-per-
     shingle subtree 4× dominates runtime otherwise (at cluster scale
     you would materialize signatures to a table for the same reason).
+    Wrap call + materialization in :func:`released_after` to drop the
+    pin on scope exit; outside a scope the caller owns the cache.
 
     ``shingles_df``: optional pre-materialized ``(id_col, sh)`` string
     -shingle relation, forwarded to :func:`minhash_signatures` — lets
     a caller that ALSO needs the string shingles (the eval queries)
     shingle the corpus exactly once."""
-    sigs = minhash_signatures(
-        df, text_col, id_col, n, shingles_df=shingles_df
-    ).persist()
+    sigs = _pin(
+        minhash_signatures(df, text_col, id_col, n, shingles_df=shingles_df)
+    )
     bands = lsh_bands(sigs, id_col)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "band_key").agg(
@@ -455,9 +508,11 @@ def simhash_near_pairs(
     fold the 60 bit votes over it — one md5 pass per token total.
     Persisted: the chunk explode and both sides of the self-join would
     otherwise re-inline (CollapseProject) the 60-fold signature
-    expression several times over. (The cache lives until the session
-    clears it — long-lived drivers screening many batches should
-    ``spark.catalog.clearCache()`` between rounds, as bench.py does.)"""
+    expression several times over. (Pin lifecycle: wrap in
+    :func:`released_after` to drop it on scope exit; otherwise it
+    lives until the session clears it — long-lived drivers screening
+    many batches should ``spark.catalog.clearCache()`` between
+    rounds, as bench.py does.)"""
     n_chunks = max_hamming + 1
     if not 1 <= n_chunks <= 30:
         raise ValueError(
@@ -472,7 +527,7 @@ def simhash_near_pairs(
         width = base + (1 if c < extra else 0)
         spans.append((shift, width))
         shift += width
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = _pin(simhash_signatures(df, text_col, id_col))
     chunks = sigs.select(
         id_col,
         "sig",
@@ -713,8 +768,8 @@ def minhash_lsh_pairs_incremental(
     key) — and only the new batch is sketched fresh. ``max_bucket_size``
     caps boilerplate buckets as in :func:`minhash_lsh_pairs`, measured
     on the existing side (the accumulating one)."""
-    sig_new = minhash_signatures(new_df, text_col, id_col, n).persist()
-    sig_old = minhash_signatures(existing_df, text_col, id_col, n).persist()
+    sig_new = _pin(minhash_signatures(new_df, text_col, id_col, n))
+    sig_old = _pin(minhash_signatures(existing_df, text_col, id_col, n))
     return minhash_lsh_pairs_presketched(
         sig_new, sig_old, id_col, jaccard_threshold, max_bucket_size
     )
@@ -1292,9 +1347,14 @@ def prefix_filter_jaccard_pairs(
     lone unstable flag in r8). The hashed pipeline only pays where
     shuffle bytes cross a real network; opt in there.
 
-    ``persist_intermediates`` (r10, default True): pins ``ordered``
-    (string path; read 3x — prefix explode + both verification
-    sides) or the shingle/prefix relations (hash path). The r8/r9
+    ``persist_intermediates`` (r10, default True): string path pins
+    ``ordered`` (read 3x — prefix explode + both verification
+    sides); hash path pins the string-shingle relation ``sh`` (read
+    by the inverted index and both verification sides) AND
+    ``ordered`` (read by the prefix explode). Pin lifecycle: wrap
+    the call + materialization in :func:`released_after` to have
+    them dropped on scope exit; outside a scope the caller owns the
+    cache (``spark.catalog.clearCache()``). The r8/r9
     default flip-flop on ``hash_keys`` was never resolved by
     measurement because the UNPINNED recompute churn dominated the
     variance being A/B'd (warm spread 2.8-6.7 s at sf0.1); decision
@@ -1333,7 +1393,7 @@ def prefix_filter_jaccard_pairs(
             .filter(F.size("sh") > 0)
         )
         if persist_intermediates:
-            sh = sh.persist()
+            sh = _pin(sh)
         inv = sh.select(
             F.col(id_col),
             F.explode(
@@ -1398,7 +1458,7 @@ def prefix_filter_jaccard_pairs(
         # one pinned relation, three readers (prefix explode + both
         # verification joins): the r9 two-persist shape spent more
         # time writing its caches than the query now takes
-        ordered = ordered.persist()
+        ordered = _pin(ordered)
     if verify_src is None:
         verify_src = ordered.select(F.col(id_col), "_toks")
 

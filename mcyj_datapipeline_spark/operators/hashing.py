@@ -40,3 +40,19 @@ def hash60(col: Column) -> Column:
 def hash60_sql(expr: str) -> str:
     """DuckDB rendering of :func:`hash60` for oracle queries."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def count_hash60_in_plan(plan: str) -> int:
+    """How many times the :func:`hash60` subtree appears in an
+    optimized-plan string — the repo-owned anchor for plan-shape
+    regression pins (tests must not count bare ``md5`` tokens, which
+    couples them to unrelated uses of md5 and to Catalyst's
+    rendering). Owned HERE so a change to the hash60 implementation
+    updates the marker in the same commit."""
+    import re
+
+    # conv(substring(md5(...), 1, 15), 16, 10) — match the stable
+    # head of the subtree; arguments/casts render differently across
+    # Spark versions but the function nesting is the construction
+    # itself.
+    return len(re.findall(r"conv\(substring\(md5\(", plan))

@@ -811,8 +811,19 @@ def test_minhash_signatures_hash_expression_evaluates_once(spark):
     filter that constraint propagation pushes below the repartition —
     re-evaluating the whole shingle+hash subtree a second time
     pre-shuffle (measured 4.4x on minhash_signatures, rippling into
-    every LSH-spine bench query). The md5/conv hash subtree must
-    appear exactly once in the optimized plan."""
+    every LSH-spine bench query). The hash60 subtree must appear
+    exactly once in the optimized plan.
+
+    Coupling note: the anchor is the repo-owned
+    :func:`hashing.count_hash60_in_plan` marker (the
+    conv(substring(md5(...))) construction), NOT a bare ``md5`` token
+    count — so a hash60 implementation change updates the marker in
+    the same commit, and unrelated md5 uses or Catalyst rendering
+    drift can't fail this spuriously."""
+    from mcyj_datapipeline_spark.operators.hashing import (
+        count_hash60_in_plan,
+    )
+
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
     )
@@ -822,7 +833,7 @@ def test_minhash_signatures_hash_expression_evaluates_once(spark):
         .optimizedPlan()
         .toString()
     )
-    assert plan.count("md5") == 1, plan
+    assert count_hash60_in_plan(plan) == 1, plan
 
 
 def test_prefix_filter_filters_never_drop_true_pairs(spark):
