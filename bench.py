@@ -89,19 +89,51 @@ def _release_pinned_blocks(spark) -> None:
 # across four settled JVMs); see SCALE.md drift note
 CALIB_REF_SEC: float | None = 0.24
 
+# --- Dual probes (round 11, VERDICT r10 #2) ---------------------------
+# The r10 driver bench showed ~40 untouched queries reading 1.4-2.5x
+# slow while the calibration factor read near-1: whatever contended
+# the host hit sustained 32-way query work but not the short min-of-5
+# probe windows, so drift normalization under-corrected. Two probes
+# now run per batch JVM:
+#   parallel — the original 32-partition probe (ref CALIB_REF_SEC;
+#     this is what `value_normalized` continues to use, because the
+#     query mix is itself 32-way parallel and the r8-r10 normalized
+#     series is pinned to it);
+#   serial   — a 1-partition probe (ref below, derived on the r11
+#     booking host so the two factors agree on an uncontended host:
+#     parallel factor 0.24/0.3024 = 0.794 x serial min 0.2300 =
+#     0.183; fresh-JVM medians of min-of-5, 3 JVMs).
+# A contended host slows the oversubscribed parallel probe MORE than
+# the serial one (co-tenant load steals cores; a single thread usually
+# still gets one), so factor_serial/factor_parallel drifting >20%
+# apart flags the window: `calib_divergent` rides the machine line and
+# the round's per-query numbers should be read with suspicion rather
+# than booked as regressions.
+CALIB_SERIAL_REF_SEC: float | None = 0.183
 
-def _calibrate(spark) -> float:
-    """Min-of-5 timing of the fixed CPU probe in THIS JVM."""
+
+def _probe(spark, n: int, parts: int) -> float:
+    """Min-of-5 timing of a fixed spark.range CPU probe in THIS JVM."""
     from pyspark.sql import functions as F
 
     reps = []
     for _ in range(5):
         start = time.monotonic()
-        spark.range(0, 1 << 30, 1, 32).agg(
+        spark.range(0, n, 1, parts).agg(
             F.bit_xor(F.xxhash64("id"))
         ).collect()
         reps.append(time.monotonic() - start)
     return round(min(reps), 4)
+
+
+def _calibrate(spark) -> float:
+    """32-way parallel probe (the r8-r10 normalization series)."""
+    return _probe(spark, 1 << 30, 32)
+
+
+def _calibrate_serial(spark) -> float:
+    """1-partition probe — the contention sensor (r11)."""
+    return _probe(spark, 1 << 26, 1)
 
 
 HEADLINE = [
@@ -253,7 +285,12 @@ def run_batch(names: list[str], sf_dir: str) -> dict:
     # calibration AFTER warmup (codegen/JIT settled), BEFORE the timed
     # loop — measures this JVM's host-speed for drift normalization
     calib_sec = _calibrate(spark)
-    print(f"# calib: {calib_sec:.4f}s (ref {CALIB_REF_SEC})", file=sys.stderr)
+    calib_serial_sec = _calibrate_serial(spark)
+    print(
+        f"# calib: parallel {calib_sec:.4f}s (ref {CALIB_REF_SEC}) "
+        f"serial {calib_serial_sec:.4f}s (ref {CALIB_SERIAL_REF_SEC})",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     pass1: dict[str, float] = {}
@@ -324,6 +361,7 @@ def run_batch(names: list[str], sf_dir: str) -> dict:
         "queries_rep_gc_ms": all_gc,
         "warm_reps": warm_reps,
         "calib_sec": calib_sec,
+        "calib_serial_sec": calib_serial_sec,
     }
 
 
@@ -404,11 +442,35 @@ def main() -> None:
     # queries to the pinned reference host-speed (per-batch, because
     # the hypervisor's speed can move within one bench run).
     calib_secs = [p["calib_sec"] for p in parts]
+    calib_serial_secs = [p.get("calib_serial_sec") for p in parts]
     normalized: dict[str, float] = {}
     for p in parts:
         factor = CALIB_REF_SEC / p["calib_sec"] if CALIB_REF_SEC else 1.0
         for qname, v in p["queries"].items():
             normalized[qname] = round(v * factor, 3)
+
+    # Probe divergence (r11, VERDICT r10 #2): on an uncontended host
+    # the two factors agree by construction of the serial ref; a
+    # contended window slows the 32-way probe more than the 1-thread
+    # one, so per-batch divergence beyond 20% flags the round's
+    # numbers as host-suspect (the r10 failure mode: untouched
+    # queries reading 1.4-2.5x slow while calibration read near-1).
+    calib_divergence: list[float] = []
+    for p in parts:
+        cs = p.get("calib_serial_sec")
+        if not (cs and CALIB_REF_SEC and CALIB_SERIAL_REF_SEC):
+            continue
+        f_par = CALIB_REF_SEC / p["calib_sec"]
+        f_ser = CALIB_SERIAL_REF_SEC / cs
+        calib_divergence.append(round(f_ser / f_par - 1.0, 4))
+    calib_divergent = any(abs(d) > 0.20 for d in calib_divergence)
+    if calib_divergent:
+        print(
+            "# CALIB DIVERGENT: serial/parallel factors per batch "
+            f"differ {calib_divergence} — host window contended, "
+            "treat per-query deltas as suspect",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -461,7 +523,11 @@ def main() -> None:
                 )[len(calib_secs) // 2],
                 4,
             ),
+            "serial_ref_sec": CALIB_SERIAL_REF_SEC,
+            "serial_batch_sec": calib_serial_secs,
+            "divergence": calib_divergence,
         },
+        "calib_divergent": calib_divergent,
         "value_normalized": round(sum(normalized.values()), 3),
     }
     detail = dict(
