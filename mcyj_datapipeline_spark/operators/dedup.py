@@ -21,8 +21,6 @@ DuckDB-SQL oracle twin in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
-import contextlib
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,54 +32,15 @@ from mcyj_datapipeline_spark.operators.hashing import (
     hash60,
 )
 
-# --- cache lifecycle seam (r11) ---------------------------------------
-# Several operators here pin an intermediate relation (signatures, the
-# canonical token relation) because the plan they RETURN reads it two
-# or three times; the pin is what makes one materialization cheap. But
-# the returned frame is lazy, so the operator cannot know when the
-# caller is done — a long-lived session composing many pipelines used
-# to accumulate pinned blocks until LRU eviction (VERDICT r10 #3).
-# ``released_after()`` scopes the lifecycle explicitly: every persist
-# an operator takes inside the scope is registered, and scope exit
-# unpersists them all — after the caller has materialized what it
-# needs. Outside any scope, behavior is unchanged (caller owns the
-# cache, ``spark.catalog.clearCache()`` between rounds as bench.py
-# does).
-_PIN_SCOPES: list[list[DataFrame]] = []
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    """``persist()`` that registers in the innermost
-    :func:`released_after` scope (no-op registration outside one)."""
-    out = df.persist()
-    if _PIN_SCOPES:
-        _PIN_SCOPES[-1].append(out)
-    return out
-
-
-@contextlib.contextmanager
-def released_after():
-    """Bound the cache lifetime of dedup-operator intermediates::
-
-        with dedup.released_after():
-            pairs = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.8)
-            hits = pairs.collect()        # pinned relations serve 3 reads
-        # scope exit: every relation pinned inside is unpersisted
-
-    Materialize INSIDE the block — the pins are gone after it. Scopes
-    nest; each operator registers with the innermost one. Unpersist is
-    non-blocking and exception-safe (runs even if the block raises)."""
-    pins: list[DataFrame] = []
-    _PIN_SCOPES.append(pins)
-    try:
-        yield
-    finally:
-        _PIN_SCOPES.pop()
-        for p in pins:
-            try:
-                p.unpersist(False)
-            except Exception:  # session already stopped, etc.
-                pass
+# Cache lifecycle seam (r11): operators here pin intermediates their
+# returned plan reads 2-4x; `released_after()` bounds the pins' life
+# to a caller scope. Shared with the other pinning operators —
+# implementation and rationale live in operators/caching.py;
+# re-exported here because the dedup family is the primary user.
+from mcyj_datapipeline_spark.operators.caching import (  # noqa: F401
+    pin as _pin,
+    released_after,
+)
 
 
 def exact_dedup_winners(

@@ -461,6 +461,7 @@ def pack_training_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     stream_col: str = "lang",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: documents are laid end-to-end
     per stream (language) in deterministic ``id_col`` order and cut into
@@ -485,10 +486,19 @@ def pack_training_sequences(
     """
     from pyspark.sql import Window
 
+    # ``n_tokens_col``: pre-counted tokens (r11) — lets a pipeline
+    # that already made its one pass over the text (e8's quality +
+    # sha + token-count projection) pack WITHOUT re-reading text.
+    # Must equal token_count(text) for the closed-form oracle to hold.
+    n_expr = (
+        F.col(n_tokens_col)
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     toks = docs.select(
         F.col(stream_col).alias("stream"),
         F.col(id_col),
-        token_count(F.col(text_col)).alias("n"),
+        n_expr.alias("n"),
     ).filter(F.col("n") > 0)
     w = (
         Window.partitionBy("stream")

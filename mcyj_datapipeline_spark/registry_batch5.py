@@ -655,8 +655,8 @@ def _e8_oracle_sql() -> str:
 )
 def e8_curation_pipeline(spark, sf_dir):
     from mcyj_datapipeline_spark.functions import urls as U
+    from mcyj_datapipeline_spark.operators.caching import pin
     from mcyj_datapipeline_spark.operators.sampling import split_assign
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
 
@@ -666,13 +666,28 @@ def e8_curation_pipeline(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    quality_kept = (
+    # ONE pass over the text (r11 stagewise profile, SCALE.md): the
+    # quality gate, the content digest, and the token count all come
+    # out of the same projection, so everything downstream — content
+    # dedup, split, packing, rollup — is narrow (ids, a 64-char sha,
+    # a long). The r10 shape re-derived a text-carrying quality_kept
+    # on two consumer branches (the semi-join's left side re-ran the
+    # quality regex + url groupBy: cum-profile jump 0.89->1.40 s at
+    # sf0.1). Pinning the NARROW relation costs ~50 bytes/doc — at
+    # 100 TB this is "materialize the cleaned-metadata table once",
+    # not a corpus-sized string cache (the r10 novelty lesson).
+    quality_kept = pin(
         docs.join(url_winners, "doc_id", "left_semi")
         .filter(TA.quality_score(F.col("text")) >= 0.5)
-        .select("doc_id", "lang", "text")
+        .select(
+            "doc_id",
+            "lang",
+            F.sha2("text", 256).alias("_sha"),
+            TA.token_count(F.col("text")).alias("_n_tokens"),
+        )
     )
     content_winners = (
-        quality_kept.groupBy(F.sha2("text", 256).alias("_sha"))
+        quality_kept.groupBy("_sha")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -686,6 +701,7 @@ def e8_curation_pipeline(spark, sf_dir):
         ),
         seq_len=128,
         stream_col="stream_key",
+        n_tokens_col="_n_tokens",
     )
     return (
         pieces.withColumn("split", F.split("stream", "\\|")[0])
