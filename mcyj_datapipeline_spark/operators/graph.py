@@ -123,6 +123,124 @@ def pagerank(
     return ranks
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    tol: float = 1e-6,
+    max_iterations: int = 40,
+    damping: float = 0.85,
+    check_every: int = 1,
+    weight: str | None = None,
+    relative: bool = False,
+) -> tuple[DataFrame, int, float]:
+    """PageRank iterated to a fixed point instead of a fixed count:
+    stop when ``max_v |rank_i(v) - rank_{i-1}(v)| < tol`` (L-inf
+    residual, the standard stopping rule), bounded by
+    ``max_iterations``. Returns ``(ranks, iterations_run, delta)``.
+
+    ``relative=True`` scales tol by the uniform mass ``1/N`` —
+    ranks are O(1/N), so an ABSOLUTE L-inf tol silently tightens as
+    the graph grows (at 1e9 nodes, tol=1e-6 is 1000x the typical
+    rank and stops immediately; at 1e3 nodes it's 1000x below and
+    grinds). Relative tol makes "converged" mean the same thing at
+    every corpus size; the invariance is property-tested on a
+    duplicated graph (same iterations at 2x the nodes).
+
+    Same per-round shape as :func:`pagerank` (one hash join + one
+    groupBy against the pre-weighted cached edge list). The residual
+    check adds, every ``check_every`` rounds, one narrow join of the
+    current ranks against the previous checkpoint plus a max-agg — a
+    driver action, so each checked round materializes via a lazy
+    ``localCheckpoint`` and later rounds read its blocks instead of
+    recomputing (total executed work stays one pass per round).
+    ``check_every > 1`` amortizes the check's scheduler round-trip on
+    clusters where driver latency dominates. Its residual is then the
+    K-ROUND block delta — about ``(1-d^k)/(1-d)`` times the
+    single-round one — so the loop runs a handful of extra rounds
+    before that larger delta crosses tol (k=3, d=0.85, tol=1e-6
+    measured +7 rounds on the test graph), buying k× fewer driver
+    actions; the extra rounds only tighten the answer.
+
+    Convergence guarantee: the damped update is a contraction with
+    factor ``damping`` in L1, so the residual shrinks geometrically
+    and the loop terminates for any tol > 0; iterations needed ~=
+    log(tol)/log(damping) from a uniform start (measured table in
+    SCALE.md r11 — the sf0.1 purchase graph hits absolute 1e-4/1e-5/
+    1e-6 in 15/29/43 rounds). Oracle-pinned fixed-iteration queries
+    keep using :func:`pagerank`; this variant is for production
+    convergence, where "3 iterations" is a benchmark contract, not
+    an answer.
+    """
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("_ew"))
+    e = edges.select(*cols).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)), 0, 0.0
+
+    if weight is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        w_expr = F.lit(1.0) / F.col("deg")
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("_ew").alias("deg"))
+        w_expr = F.col("_ew") / F.col("deg")
+    weighted = (
+        e.join(outdeg, "src")
+        .select("src", "dst", w_expr.alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+
+    base = 1.0 / n
+    eff_tol = tol * base if relative else tol
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(base)).localCheckpoint(
+        eager=False
+    )
+    iterations_run = 0
+    delta = float("inf")
+    while iterations_run < max_iterations:
+        prev = ranks
+        for _ in range(min(check_every, max_iterations - iterations_run)):
+            contribs = (
+                weighted.join(ranks, weighted["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
+            )
+            ranks = nodes.join(
+                contribs, nodes["node"] == contribs["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            iterations_run += 1
+        # checkpoint so the residual action doesn't leave the next
+        # round recomputing this one, then one narrow join + max-agg
+        ranks = ranks.localCheckpoint(eager=False)
+        delta = (
+            ranks.alias("a")
+            .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
+            .agg(
+                F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        if delta is not None and delta < eff_tol:
+            break
+    return ranks, iterations_run, float(delta or 0.0)
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

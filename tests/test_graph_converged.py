@@ -1,0 +1,188 @@
+"""Compensating tests for the rows-only g1b_pagerank_converged
+(tolerance stopping is not SQL-expressible — batch 49 docstring).
+
+The contraction argument these tests verify: the damped update is a
+contraction with factor d in L1, so once the L-inf residual is below
+tol the remaining distance to the true fixed point is bounded by
+tol * d / (1 - d). A fixed-N run with N large enough that its own
+residual is far below tol stands in for the fixed point.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.operators.graph import (
+    pagerank,
+    pagerank_converged,
+)
+
+TOL = 1e-6
+DAMPING = 0.85
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # a graph with real structure: a hub, a chain, a cycle, mirrored
+    # so the walk is stochastic (same densification as g1)
+    pairs = (
+        [(0, i) for i in range(1, 8)]          # hub fan-out
+        + [(i, i + 1) for i in range(1, 7)]    # chain
+        + [(8, 9), (9, 10), (10, 8)]           # cycle
+        + [(3, 8), (7, 0)]
+    )
+    both = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, ["src", "dst"])
+
+
+def test_converged_matches_fixed_point(spark, edges):
+    ranks, its, delta = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, damping=DAMPING
+    )
+    assert delta < TOL
+    assert 0 < its < 100
+    truth = pagerank(edges, iterations=120, damping=DAMPING)
+    bound = TOL * DAMPING / (1 - DAMPING)
+    worst = (
+        ranks.alias("a")
+        .join(truth.alias("b"), F.col("a.node") == F.col("b.node"))
+        .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert worst <= bound, (worst, bound)
+    # same node set, ranks sum to ~1 (stochastic mirrored graph)
+    assert ranks.count() == truth.count()
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_stop_is_minimal(spark, edges):
+    """Running one round fewer must leave the residual ABOVE tol —
+    i.e. the loop stopped at the first qualifying round, not late."""
+    _, its, _ = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, damping=DAMPING
+    )
+    r_prev = pagerank(edges, iterations=its - 1, damping=DAMPING)
+    r_prev2 = pagerank(edges, iterations=its - 2, damping=DAMPING)
+    resid_before = (
+        r_prev.alias("a")
+        .join(r_prev2.alias("b"), F.col("a.node") == F.col("b.node"))
+        .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert resid_before >= TOL, (its, resid_before)
+
+
+def test_residual_decays_geometrically(spark, edges):
+    """The early exit is sound because the residual contracts; check
+    it actually shrinks by ~damping per round on this graph."""
+    deltas = []
+    prev = None
+    for n in (2, 4, 6, 8):
+        r = pagerank(edges, iterations=n, damping=DAMPING)
+        if prev is not None:
+            d = (
+                r.alias("a")
+                .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
+                .agg(
+                    F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            deltas.append(d)
+        prev = r
+    assert deltas[0] > deltas[1] > deltas[2] > 0
+
+
+def test_check_every_amortization_same_answer(spark, edges):
+    """check_every=3 measures the 3-round block residual — about
+    (1-d^3)/(1-d) = 2.57x the single-round one — so it legitimately
+    runs extra rounds past the minimal stop (log(2.57)/log(1/d) ~ 6,
+    rounded up to a block boundary); the extra rounds only tighten
+    the answer. Bound the overshoot and check the result is at least
+    as converged."""
+    import math
+
+    r1, its1, d1 = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, check_every=1
+    )
+    r3, its3, d3 = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, check_every=3
+    )
+    assert d3 < TOL
+    block_inflation = (1 - DAMPING**3) / (1 - DAMPING)
+    max_extra = math.log(block_inflation) / math.log(1 / DAMPING) + 3
+    assert its1 <= its3 <= its1 + max_extra, (its1, its3)
+    assert its3 % 3 == 0  # stops only at block boundaries
+    # more rounds => at least as close to the fixed point: compare
+    # both to a long fixed run
+    truth = pagerank(edges, iterations=120, damping=DAMPING)
+
+    def dist(r):
+        return (
+            r.alias("a")
+            .join(truth.alias("b"), F.col("a.node") == F.col("b.node"))
+            .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+
+    assert dist(r3) <= dist(r1) + 1e-12
+
+
+def test_relative_tol_is_scale_invariant(spark, edges):
+    """Doubling the graph (two disjoint copies) halves every rank, so
+    an ABSOLUTE tol stops earlier on the bigger graph, while
+    relative=True (tol scaled by uniform mass 1/N) needs the same
+    number of rounds — "converged" means the same thing at every
+    corpus size."""
+    off = 1000
+    doubled = edges.union(
+        edges.select(
+            (F.col("src") + off).alias("src"),
+            (F.col("dst") + off).alias("dst"),
+        )
+    )
+    _, its_small, _ = pagerank_converged(
+        edges, tol=1e-3, max_iterations=100, relative=True
+    )
+    _, its_big, _ = pagerank_converged(
+        doubled, tol=1e-3, max_iterations=100, relative=True
+    )
+    assert its_small == its_big
+    _, its_small_abs, _ = pagerank_converged(
+        edges, tol=1e-5, max_iterations=100
+    )
+    _, its_big_abs, _ = pagerank_converged(
+        doubled, tol=1e-5, max_iterations=100
+    )
+    assert its_big_abs < its_small_abs  # absolute tol drifts with N
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    ranks, its, delta = pagerank_converged(empty, tol=TOL)
+    assert ranks.count() == 0 and its == 0 and delta == 0.0
+
+
+def test_registry_query_shape(spark, sf_dir):
+    import math
+
+    from mcyj_datapipeline_spark import registry
+
+    df = registry.queries()["g1b_pagerank_converged"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and set(df.columns) == {
+        "node",
+        "rank",
+        "iterations",
+        "residual_decade",
+    }
+    its = rows[0]["iterations"]
+    assert 1 <= its <= 60 and its % 3 == 0  # block-boundary stop
+    # stopped below the RELATIVE tol 0.5/N (decade is sf-dependent:
+    # -3 at sf0.001's 160 nodes, -5 at sf0.1's 16k)
+    n_nodes = len(rows)
+    assert rows[0]["residual_decade"] <= math.floor(
+        math.log10(0.5 / n_nodes)
+    )
