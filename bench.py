@@ -456,6 +456,7 @@ def main() -> None:
     # numbers as host-suspect (the r10 failure mode: untouched
     # queries reading 1.4-2.5x slow while calibration read near-1).
     calib_divergence: list[float] = []
+    normalized_serial: dict[str, float] = {}
     for p in parts:
         cs = p.get("calib_serial_sec")
         if not (cs and CALIB_REF_SEC and CALIB_SERIAL_REF_SEC):
@@ -463,6 +464,8 @@ def main() -> None:
         f_par = CALIB_REF_SEC / p["calib_sec"]
         f_ser = CALIB_SERIAL_REF_SEC / cs
         calib_divergence.append(round(f_ser / f_par - 1.0, 4))
+        for qname, v in p["queries"].items():
+            normalized_serial[qname] = round(v * f_ser, 3)
     calib_divergent = any(abs(d) > 0.20 for d in calib_divergence)
     if calib_divergent:
         print(
@@ -533,6 +536,11 @@ def main() -> None:
     detail = dict(
         machine_line,
         queries_normalized=normalized,
+        # serial-probe normalization, detail-only: the A/B record the
+        # divergence flag summarizes (parallel stays the headline
+        # series — the query mix is itself 32-way parallel)
+        queries_normalized_serial=normalized_serial,
+        value_normalized_serial=round(sum(normalized_serial.values()), 3),
         **merged,
         warm_reps=warm_reps,
         batch_size=batch_size,
