@@ -172,6 +172,13 @@ def pagerank_converged(
     convergence, where "3 iterations" is a benchmark contract, not
     an answer.
     """
+    if check_every < 1:
+        # a zero-round "block" would measure delta between identical
+        # frames (0.0 < any tol) and return the uniform start as
+        # "converged" — refuse instead of silently not iterating
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if tol <= 0:
+        raise ValueError(f"tol must be > 0, got {tol}")
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
         cols.append(F.col(weight).cast("double").alias("_ew"))

@@ -109,6 +109,19 @@ def test_scopes_nest_independently(spark, corpus):
     assert _persisted_ids(spark) - before == set()
 
 
+def test_e8_pipeline_pin_scoped(spark, sf_dir):
+    """The shared seam covers non-dedup pinning operators too: e8's
+    narrow quality_kept pin (registry_batch5) registers in the same
+    scope stack and is released on exit."""
+    from mcyj_datapipeline_spark import registry
+
+    before = _persisted_ids(spark)
+    with D.released_after():
+        registry.queries()["e8_curation_pipeline"](spark, sf_dir).collect()
+        assert len(_persisted_ids(spark) - before) >= 1
+    assert _persisted_ids(spark) - before == set()
+
+
 def test_outside_scope_caller_owns_cache(spark, corpus):
     """Documented legacy behavior is unchanged: with no scope active,
     pins outlive materialization (so a driver composing a pipeline

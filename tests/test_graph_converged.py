@@ -165,6 +165,13 @@ def test_empty_graph(spark):
     assert ranks.count() == 0 and its == 0 and delta == 0.0
 
 
+def test_invalid_params_refused(spark, edges):
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank_converged(edges, check_every=0)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank_converged(edges, tol=0.0)
+
+
 def test_registry_query_shape(spark, sf_dir):
     import math
 
