@@ -133,11 +133,25 @@ def pagerank_converged(
     check_every: int = 1,
     weight: str | None = None,
     relative: bool = False,
+    start_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, int, float]:
     """PageRank iterated to a fixed point instead of a fixed count:
     stop when ``max_v |rank_i(v) - rank_{i-1}(v)| < tol`` (L-inf
     residual, the standard stopping rule), bounded by
     ``max_iterations``. Returns ``(ranks, iterations_run, delta)``.
+
+    ``start_ranks`` (``(node, rank)``) warm-starts the iteration —
+    the incremental-maintenance seam: after a small edge delta,
+    yesterday's converged ranks are already near today's fixed
+    point, and the contraction converges from ANY start, so
+    reconvergence needs ~log(||start - fixed||/tol)/log(1/d) rounds
+    instead of the full from-uniform count (measured: 24 cold vs 3
+    warm rounds after a 2% edge delta, at sf0.001/0.01/0.1 alike —
+    SCALE.md r11). Nodes absent
+    from ``start_ranks`` (newly appeared) begin at the uniform mass;
+    stale nodes (no longer in the graph) are ignored. The fixed
+    point is start-independent, so warm and cold agree to within the
+    tol-derived bound — property-tested.
 
     ``relative=True`` scales tol by the uniform mass ``1/N`` —
     ranks are O(1/N), so an ABSOLUTE L-inf tol silently tightens as
@@ -209,9 +223,25 @@ def pagerank_converged(
     base = 1.0 / n
     eff_tol = tol * base if relative else tol
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(base)).localCheckpoint(
-        eager=False
-    )
+    if start_ranks is not None:
+        ranks = (
+            nodes.join(
+                start_ranks.select(
+                    F.col("node"), F.col("rank").alias("_r0")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("_r0", F.lit(base)).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        ranks = nodes.withColumn("rank", F.lit(base)).localCheckpoint(
+            eager=False
+        )
     iterations_run = 0
     delta = float("inf")
     while iterations_run < max_iterations:

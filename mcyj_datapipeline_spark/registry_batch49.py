@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from mcyj_datapipeline_spark.io import read_table
 from mcyj_datapipeline_spark.registry import register
 
-__all__ = ["g1b_pagerank_converged"]
+__all__ = ["g1b_pagerank_converged", "g1c_pagerank_warm_restart"]
 
 
 def _t(spark, sf_dir, name):
@@ -103,5 +103,62 @@ def g1b_pagerank_converged(spark, sf_dir):
         node_str.alias("node"),
         F.round("rank", 6).alias("rank"),
         F.lit(its).alias("iterations"),
+        F.lit(decade).alias("residual_decade"),
+    ).orderBy("node")
+
+
+@register(
+    "g1c_pagerank_warm_restart",
+    None,  # two data-dependent iteration counts → rows-only + tests
+    "Incremental PageRank maintenance: converge on yesterday's graph "
+    "(the purchase graph minus a deterministic ~2% of edges, "
+    "hash-selected), then WARM-RESTART from those ranks on today's "
+    "full graph instead of re-iterating from uniform. The contraction "
+    "converges from any start, and yesterday's fixed point is already "
+    "near today's, so reconvergence takes ~log(delta)/log(1/d) rounds "
+    "— measured 24 cold vs 3 warm at every sf (SCALE.md r11). This is "
+    "the nightly-graph-refresh shape: at 100 TB the edge scan "
+    "dominates and the iteration count is the knob that matters. "
+    "cold/warm round counts ride every row so the driver hash pins "
+    "the speedup, not just the ranks; compensating tests "
+    "(tests/test_graph_converged.py) prove warm lands on the same "
+    "fixed point as a cold run of today's graph.",
+)
+def g1c_pagerank_warm_restart(spark, sf_dir):
+    import math
+
+    from mcyj_datapipeline_spark.operators.graph import pagerank_converged
+
+    edges_today = _purchase_edges(spark, sf_dir)
+    # "yesterday": drop a deterministic ~2% of edges (hash of the
+    # endpoint pair — same subset at every partitioning and engine)
+    edges_yday = edges_today.filter(
+        F.pmod(F.xxhash64("src", "dst"), F.lit(50)) != 0
+    )
+    yday_ranks, cold_its, _ = pagerank_converged(
+        edges_yday,
+        tol=0.5,
+        relative=True,
+        max_iterations=60,
+        check_every=3,
+    )
+    ranks, warm_its, delta = pagerank_converged(
+        edges_today,
+        tol=0.5,
+        relative=True,
+        max_iterations=60,
+        check_every=3,
+        start_ranks=yday_ranks,
+    )
+    decade = math.floor(math.log10(delta)) if delta > 0 else 0
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.shiftright("node", 1)),
+    ).otherwise(F.concat(F.lit("s"), F.shiftright("node", 1)))
+    return ranks.select(
+        node_str.alias("node"),
+        F.round("rank", 6).alias("rank"),
+        F.lit(cold_its).alias("cold_iterations"),
+        F.lit(warm_its).alias("warm_iterations"),
         F.lit(decade).alias("residual_decade"),
     ).orderBy("node")

@@ -172,6 +172,69 @@ def test_invalid_params_refused(spark, edges):
         pagerank_converged(edges, tol=0.0)
 
 
+def test_warm_restart_same_fixed_point(spark, edges):
+    """Start-independence: warm-starting from a PERTURBED graph's
+    converged ranks must land on the same fixed point as a cold run.
+    (No round-count assertion here: on a 36-edge toy graph one
+    removed edge moves the fixed point as far as uniform is, so round
+    reduction is a property of SMALL RELATIVE perturbations — that's
+    what the next test and the sf-scale g1c measurements pin.)"""
+    perturbed = edges.filter(
+        ~((F.col("src") == 3) & (F.col("dst") == 8))
+    )
+    old_ranks, _, _ = pagerank_converged(
+        perturbed, tol=TOL, max_iterations=100
+    )
+    cold, cold_its, _ = pagerank_converged(
+        edges, tol=TOL, max_iterations=100
+    )
+    warm, warm_its, d_warm = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, start_ranks=old_ranks
+    )
+    assert d_warm < TOL and warm_its < 100
+    bound = 2 * TOL * DAMPING / (1 - DAMPING)  # both within tol*d/(1-d)
+    worst = (
+        warm.alias("a")
+        .join(cold.alias("b"), F.col("a.node") == F.col("b.node"))
+        .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert worst <= bound, (worst, bound)
+
+
+def test_warm_restart_near_fixed_point_is_fast(spark, edges):
+    """The round-reduction mechanism itself, isolated from
+    perturbation size: starting AT the fixed point must reconverge in
+    a handful of rounds vs the cold count (residual starts at the
+    convergence floor, not at the uniform-start distance)."""
+    cold, cold_its, _ = pagerank_converged(
+        edges, tol=TOL, max_iterations=100
+    )
+    _, warm_its, d = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, start_ranks=cold
+    )
+    assert d < TOL
+    assert warm_its <= max(3, cold_its // 4), (warm_its, cold_its)
+
+
+def test_warm_restart_new_nodes_get_uniform_start(spark, edges):
+    """Nodes missing from start_ranks (newly appeared) begin at the
+    uniform mass and still converge — no nulls, full node set."""
+    partial = pagerank(edges, iterations=5).filter(F.col("node") < 5)
+    ranks, its, delta = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, start_ranks=partial
+    )
+    assert delta < TOL
+    n_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    assert ranks.count() == n_nodes
+    assert ranks.filter(F.col("rank").isNull()).count() == 0
+
+
 def test_registry_query_shape(spark, sf_dir):
     import math
 
