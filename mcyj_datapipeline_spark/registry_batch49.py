@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from mcyj_datapipeline_spark.io import read_table
 from mcyj_datapipeline_spark.registry import register
 
-__all__ = ["g1b_pagerank_converged", "g1c_pagerank_warm_restart"]
+__all__ = [
+    "g1b_pagerank_converged",
+    "g1c_pagerank_warm_restart",
+    "g3b_label_propagation_converged",
+]
 
 
 def _t(spark, sf_dir, name):
@@ -161,4 +165,46 @@ def g1c_pagerank_warm_restart(spark, sf_dir):
         F.lit(cold_its).alias("cold_iterations"),
         F.lit(warm_its).alias("warm_iterations"),
         F.lit(decade).alias("residual_decade"),
+    ).orderBy("node")
+
+
+@register(
+    "g3b_label_propagation_converged",
+    None,  # data-dependent iteration count → rows-only + tests
+    "Label propagation run until LABELS STOP CHANGING instead of "
+    "g3's oracle-pinned 3 rounds — LPA's natural stopping rule (the "
+    "deterministic synchronous variant reaches a fixed point or a "
+    "2-cycle; max_iterations=30 bounds the cycle case and the "
+    "changed-count column says which happened, 0 = fixed point). "
+    "Unlike PageRank's float residual the stop decision is an "
+    "INTEGER label-flip count — exact at every partitioning, no "
+    "tolerance to pick. Same per-round cost as g3 (one hash join + "
+    "vote groupBy + argmax groupBy on the cached edges); the check "
+    "adds one narrow self-join count per check_every=3 block. "
+    "iterations/changed ride every row so the driver hash pins the "
+    "convergence behavior. Compensating tests: the converged labels "
+    "equal fixed-N label_propagation at N=iterations_run, flip count "
+    "monotonically hits 0, and re-running one more round is a "
+    "no-op (tests/test_graph_converged.py).",
+)
+def g3b_label_propagation_converged(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    labels, its, changed = label_propagation_converged(
+        _purchase_edges(spark, sf_dir), max_iterations=30, check_every=3
+    )
+
+    def _render(col):
+        return F.when(
+            F.col(col) % 2 == 0,
+            F.concat(F.lit("c"), F.shiftright(col, 1)),
+        ).otherwise(F.concat(F.lit("s"), F.shiftright(col, 1)))
+
+    return labels.select(
+        _render("node").alias("node"),
+        _render("label").alias("label"),
+        F.lit(its).alias("iterations"),
+        F.lit(changed).alias("changed_at_stop"),
     ).orderBy("node")

@@ -256,3 +256,71 @@ def test_registry_query_shape(spark, sf_dir):
     assert rows[0]["residual_decade"] <= math.floor(
         math.log10(0.5 / n_nodes)
     )
+
+
+def test_lpa_converged_equals_fixed_at_stop(spark, edges):
+    """Converged LPA must equal the fixed-count operator run for
+    exactly iterations_run rounds (same update rule, same start), the
+    flip count at stop must be 0 (fixed point on this graph), and one
+    more round must be a no-op."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation,
+        label_propagation_converged,
+    )
+
+    labels, its, changed = label_propagation_converged(
+        edges, max_iterations=50
+    )
+    assert changed == 0 and 0 < its < 50
+    fixed = label_propagation(edges, iterations=its)
+    diff = (
+        labels.alias("a")
+        .join(fixed.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.label") != F.col("b.label"))
+        .count()
+    )
+    assert diff == 0
+    one_more = label_propagation(edges, iterations=its + 1)
+    diff2 = (
+        labels.alias("a")
+        .join(one_more.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.label") != F.col("b.label"))
+        .count()
+    )
+    assert diff2 == 0  # fixed point: extra rounds change nothing
+
+
+def test_lpa_converged_check_every_same_labels(spark, edges):
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    l1, its1, c1 = label_propagation_converged(edges, max_iterations=50)
+    l3, its3, c3 = label_propagation_converged(
+        edges, max_iterations=50, check_every=3
+    )
+    assert c1 == 0 and c3 == 0
+    assert its1 <= its3 <= its1 + 3  # block-boundary overshoot only
+    diff = (
+        l1.alias("a")
+        .join(l3.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.label") != F.col("b.label"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_lpa_registry_query_shape(spark, sf_dir):
+    from mcyj_datapipeline_spark import registry
+
+    df = registry.queries()["g3b_label_propagation_converged"](
+        spark, sf_dir
+    )
+    rows = df.limit(3).collect()
+    assert rows and set(df.columns) == {
+        "node",
+        "label",
+        "iterations",
+        "changed_at_stop",
+    }
+    assert rows[0]["iterations"] % 3 == 0 or rows[0]["iterations"] == 30
