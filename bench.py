@@ -450,11 +450,18 @@ def main() -> None:
             normalized[qname] = round(v * factor, 3)
 
     # Probe divergence (r11, VERDICT r10 #2): on an uncontended host
-    # the two factors agree by construction of the serial ref; a
-    # contended window slows the 32-way probe more than the 1-thread
-    # one, so per-batch divergence beyond 20% flags the round's
-    # numbers as host-suspect (the r10 failure mode: untouched
-    # queries reading 1.4-2.5x slow while calibration read near-1).
+    # the two factors agree by construction of the serial ref. The
+    # flag is DIRECTION-AWARE:
+    #   positive (serial factor > parallel factor) = the 32-way probe
+    #     slowed more than the 1-thread one — the r10 contention
+    #     signature (co-tenant load steals cores; one thread still
+    #     gets a core) — flagged at +20%;
+    #   negative = the single thread slowed relative to the parallel
+    #     probe, which quiet-host A/B showed is ordinary turbo/
+    #     frequency jitter (r11 two-run baseline: -19%..+5% across 8
+    #     batches with per-query numbers agreeing run-to-run) — only
+    #     noted, at -30%, never flagged, or every bench would cry
+    #     wolf and the flag would stop meaning "contended".
     calib_divergence: list[float] = []
     normalized_serial: dict[str, float] = {}
     for p in parts:
@@ -466,12 +473,18 @@ def main() -> None:
         calib_divergence.append(round(f_ser / f_par - 1.0, 4))
         for qname, v in p["queries"].items():
             normalized_serial[qname] = round(v * f_ser, 3)
-    calib_divergent = any(abs(d) > 0.20 for d in calib_divergence)
+    calib_divergent = any(d > 0.20 for d in calib_divergence)
     if calib_divergent:
         print(
-            "# CALIB DIVERGENT: serial/parallel factors per batch "
-            f"differ {calib_divergence} — host window contended, "
-            "treat per-query deltas as suspect",
+            "# CALIB DIVERGENT: parallel probe slowed vs serial "
+            f"({calib_divergence}) — host window contended, treat "
+            "per-query deltas as suspect",
+            file=sys.stderr,
+        )
+    elif any(d < -0.30 for d in calib_divergence):
+        print(
+            "# calib note: single-thread probe slow vs parallel "
+            f"({calib_divergence}) — frequency jitter, not contention",
             file=sys.stderr,
         )
 
