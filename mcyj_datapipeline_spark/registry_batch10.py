@@ -278,10 +278,14 @@ def sql24_important_value_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("value"))
     )
-    # Persist the grouped relation: both the threshold aggregate and the
+    # Pin the grouped relation: both the threshold aggregate and the
     # final filter consume it; without this the fact scan+shuffle runs
     # twice. At scale per_part is |parts| rows — safely cacheable.
-    per_part = per_part.persist()
+    # (pin, not bare persist: a caller composing in released_after()
+    # gets the lifecycle bounded; bench/driver clearCache otherwise.)
+    from mcyj_datapipeline_spark.operators.caching import pin
+
+    per_part = pin(per_part)
     threshold = per_part.agg(
         (F.sum("value") * F.lit(0.001)).alias("thr")
     )

@@ -75,10 +75,12 @@ def sk_hll_daily_uniques_rollup(spark, sf_dir):
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("daily_uniques_exact"),
     )
-    # persist: the day-grain sketch frame (KB per row) feeds BOTH the
+    # pin: the day-grain sketch frame (KB per row) feeds BOTH the
     # per-day estimates and the total union — without it the events scan
-    # + sketch build runs twice.
-    daily = daily.persist()
+    # + sketch build runs twice. (Scope-aware via operators.caching.)
+    from mcyj_datapipeline_spark.operators.caching import pin
+
+    daily = pin(daily)
     # total = union of the DAILY sketches (not a second scan of events):
     # this is the merge the pattern exists for. A one-row aggregate
     # broadcast-joined back — not a global window; the whole day-grain
