@@ -24,31 +24,50 @@ persistent-RDD table that no pins survive a scope.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame
 
-_PIN_SCOPES: list[list[DataFrame]] = []
+# Scope stacks are PER-THREAD (ADVICE r11): submitting jobs from
+# multiple driver threads is a standard Spark pattern, and a
+# process-global stack would let thread B's pin() register into
+# thread A's innermost released_after() scope — A's scope exit would
+# then unpersist a cache B is still reading mid-query. threading.local
+# gives each driver thread its own (initially empty) stack; a thread
+# that never opens a scope keeps the historical caller-owns-the-cache
+# behavior.
+_TLS = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    stack = getattr(_TLS, "scopes", None)
+    if stack is None:
+        stack = _TLS.scopes = []
+    return stack
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """``persist()`` that registers in the innermost
+    """``persist()`` that registers in this THREAD's innermost
     :func:`released_after` scope (plain persist outside one)."""
     out = df.persist()
-    if _PIN_SCOPES:
-        _PIN_SCOPES[-1].append(out)
+    stack = _scopes()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
 @contextlib.contextmanager
 def released_after():
-    """Unpersist every :func:`pin` taken inside the block on exit —
-    non-blocking and exception-safe. Materialize INSIDE the block."""
+    """Unpersist every :func:`pin` taken inside the block ON THIS
+    THREAD on exit — non-blocking and exception-safe. Materialize
+    INSIDE the block."""
+    stack = _scopes()
     pins: list[DataFrame] = []
-    _PIN_SCOPES.append(pins)
+    stack.append(pins)
     try:
         yield
     finally:
-        _PIN_SCOPES.pop()
+        stack.pop()
         for p in pins:
             try:
                 p.unpersist(False)

@@ -193,6 +193,14 @@ def pagerank_converged(
         raise ValueError(f"check_every must be >= 1, got {check_every}")
     if tol <= 0:
         raise ValueError(f"tol must be > 0, got {tol}")
+    if max_iterations < 1:
+        # zero iterations never enters the loop, so delta stays
+        # float('inf') — a value callers feed to math (g1b log10s the
+        # delta) — and the "converged" tuple lies. Refuse like the
+        # other parameter guards.
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
         cols.append(F.col(weight).cast("double").alias("_ew"))
@@ -246,7 +254,8 @@ def pagerank_converged(
     delta = float("inf")
     while iterations_run < max_iterations:
         prev = ranks
-        for _ in range(min(check_every, max_iterations - iterations_run)):
+        block = min(check_every, max_iterations - iterations_run)
+        for inner in range(block):
             contribs = (
                 weighted.join(ranks, weighted["src"] == ranks["node"])
                 .groupBy("dst")
@@ -262,6 +271,14 @@ def pagerank_converged(
                 ).alias("rank"),
             )
             iterations_run += 1
+            # truncate lineage INSIDE the block too: a large
+            # check_every (20-40) otherwise grows the unresolved plan
+            # linearly until the block-end checkpoint, same analysis/
+            # codegen blow-up the fixed-count pagerank bounds with
+            # checkpoint_every=5 (ADVICE r11). Skip the final inner
+            # round — the block-end checkpoint below covers it.
+            if (inner + 1) % 5 == 0 and inner + 1 < block:
+                ranks = ranks.localCheckpoint(eager=False)
         # checkpoint so the residual action doesn't leave the next
         # round recomputing this one, then one narrow join + max-agg
         ranks = ranks.localCheckpoint(eager=False)
@@ -601,9 +618,24 @@ def label_propagation_converged(
     checks, same amortization trade as :func:`pagerank_converged`.
     Per-round cost is identical to the fixed-count operator: one
     join + vote groupBy + argmax groupBy on the cached edge list.
+
+    2-cycle safety: the block check compares labels k rounds apart,
+    and for EVEN k the two states of a period-2 oscillation compare
+    equal — a bipartite-ish graph would be misreported as a fixed
+    point (ADVICE r11). So a zero block-delta at k > 1 is confirmed
+    against the block's second-to-last round (one extra narrow
+    join + count, only at a candidate stop): equal there too means a
+    genuine fixed point (one synchronous round is deterministic, so
+    labels(i) == labels(i-1) is absorbing); unequal means the cycle —
+    the loop keeps going and the returned ``changed`` is the
+    single-round flip count, honoring the "0 = fixed point" contract.
     """
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if max_iterations < 1:
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .repartition("src")
@@ -615,11 +647,21 @@ def label_propagation_converged(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
+    def _flips(a: DataFrame, b: DataFrame) -> int:
+        return (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.node") == F.col("b.node"))
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+
     iterations_run = 0
     changed = -1
     while iterations_run < max_iterations:
         prev = labels
+        second_last = labels
         for _ in range(min(check_every, max_iterations - iterations_run)):
+            second_last = labels
             votes = (
                 e.join(labels, e["src"] == labels["node"])
                 .groupBy(e["dst"].alias("node"), "label")
@@ -638,12 +680,13 @@ def label_propagation_converged(
                 .localCheckpoint(eager=False)
             )
             iterations_run += 1
-        changed = (
-            labels.alias("a")
-            .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
-            .filter(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
+        changed = _flips(labels, prev)
         if changed == 0:
-            break
+            if second_last is prev:
+                break  # k==1: the block delta IS the one-round delta
+            # confirm vs the block's last single round — a 2-cycle at
+            # even k aliases to 0 across the block (see docstring)
+            changed = _flips(labels, second_last)
+            if changed == 0:
+                break
     return labels, iterations_run, changed

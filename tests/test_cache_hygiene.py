@@ -133,3 +133,54 @@ def test_outside_scope_caller_owns_cache(spark, corpus):
     assert leaked  # the pin intentionally survives — caller-owned
     spark.catalog.clearCache()
     assert _persisted_ids(spark) - before == set()
+
+
+def test_pin_scopes_are_thread_local(spark, corpus):
+    """ADVICE r11: pins taken on a different driver thread must NOT
+    register in this thread's released_after() scope — the scope exit
+    here must not unpersist a cache the other thread still owns."""
+    import threading
+
+    from mcyj_datapipeline_spark.operators import caching
+
+    before = _persisted_ids(spark)
+    worker_df = []
+
+    def worker():
+        df = caching.pin(corpus.select("doc_id"))
+        df.count()  # materialize the worker-thread pin
+        worker_df.append(df)
+
+    with D.released_after():
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        assert worker_df
+    # the main-thread scope exited; the worker's pin must survive
+    # (it was caller-owned on that thread, no scope was active there)
+    assert len(_persisted_ids(spark) - before) >= 1
+    worker_df[0].unpersist(False)
+    assert _persisted_ids(spark) - before == set()
+
+
+def test_scope_on_worker_thread_releases_its_own_pins(spark, corpus):
+    """The converse: a released_after() scope opened ON a worker
+    thread sees that thread's pins and releases them on exit."""
+    import threading
+
+    from mcyj_datapipeline_spark.operators import caching
+
+    before = _persisted_ids(spark)
+    inside = []
+
+    def worker():
+        with caching.released_after():
+            df = caching.pin(corpus.select("doc_id"))
+            df.count()
+            inside.append(len(_persisted_ids(spark) - before))
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert inside and inside[0] >= 1  # pin registered + materialized
+    assert _persisted_ids(spark) - before == set()  # and released

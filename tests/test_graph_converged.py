@@ -324,3 +324,78 @@ def test_lpa_registry_query_shape(spark, sf_dir):
         "changed_at_stop",
     }
     assert rows[0]["iterations"] % 3 == 0 or rows[0]["iterations"] == 30
+
+
+def test_lpa_even_check_every_detects_2cycle(spark):
+    """ADVICE r11: a single mirrored edge 1-2 makes synchronous LPA
+    oscillate with period 2 forever (the two labels swap each round).
+    check_every=2 compares states two rounds apart — identical in a
+    2-cycle — and used to misreport a fixed point (changed == 0). The
+    confirm-vs-last-round check must now report NOT converged."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    labels, its, changed = label_propagation_converged(
+        edges, max_iterations=8, check_every=2
+    )
+    assert changed != 0  # the contract: 0 would claim a fixed point
+    assert its == 8  # oscillation never converges; ran to the bound
+
+
+def test_lpa_even_check_every_true_fixed_point_still_stops(spark, edges):
+    """Even check_every on a genuinely converging graph: the extra
+    confirm action must agree (changed == 0) and labels must match
+    the check_every=1 result exactly."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    l1, its1, c1 = label_propagation_converged(edges, max_iterations=50)
+    l2, its2, c2 = label_propagation_converged(
+        edges, max_iterations=50, check_every=2
+    )
+    assert c1 == 0 and c2 == 0
+    assert its1 <= its2 <= its1 + 2
+    diff = (
+        l1.alias("a")
+        .join(l2.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.label") != F.col("b.label"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_converged_parameter_guards(spark, edges):
+    """max_iterations < 1 is refused like the other guards (ADVICE
+    r11: 0 used to return delta=inf which callers feed to log10)."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    with pytest.raises(ValueError, match="max_iterations"):
+        pagerank_converged(edges, max_iterations=0)
+    with pytest.raises(ValueError, match="max_iterations"):
+        label_propagation_converged(edges, max_iterations=0)
+
+
+def test_converged_large_check_every_block_bounded(spark, edges):
+    """A large check_every (> the in-block truncation stride) still
+    returns the same answer as check_every=1 — exercises the new
+    inside-block localCheckpoint path (ADVICE r11 lineage growth)."""
+    r1, its1, _ = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, check_every=1
+    )
+    r12, its12, d12 = pagerank_converged(
+        edges, tol=TOL, max_iterations=100, check_every=12
+    )
+    assert d12 < TOL and its12 % 12 == 0
+    bound = (
+        r1.alias("a")
+        .join(r12.alias("b"), F.col("a.node") == F.col("b.node"))
+        .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+        .collect()[0]["d"]
+    )
+    # both within tol*d/(1-d) of the fixed point -> within 2x that
+    assert bound < 2 * TOL * DAMPING / (1 - DAMPING)
