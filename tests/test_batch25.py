@@ -103,3 +103,32 @@ def test_o15_plan_contains_dynamic_pruning(spark):
     }
     got = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
     assert got == direct
+
+
+def test_k8_registry_warm_path_stable_across_log_growth(spark):
+    """VERDICT r11 #2: the registry query now amortizes the table
+    build — warm invocations do ONE append (a further generation) and
+    the v1/v2 answers must be byte-stable as the log grows, with a
+    history reset (fresh overwrite, gen back to 2) once the log hits
+    8 generations, bounding scratch growth."""
+    from mcyj_datapipeline_spark import registry
+    from mcyj_datapipeline_spark.session import session_scratch
+
+    q = registry.queries()["k8_time_travel_read"]
+    ref = None
+    gens = []
+    for _ in range(8):
+        rows = sorted(map(tuple, q(spark, SF).collect()))
+        if ref is None:
+            ref = rows
+        assert rows == ref  # pinned v1/v2 reads immune to later appends
+        out = os.path.join(
+            session_scratch("timetravel"), "table_sf0.001"
+        )
+        gens.append(json.load(open(os.path.join(out, "_committed.json")))["gen"])
+    assert all(2 <= g <= 8 for g in gens)  # bounded history
+    # each warm step appends exactly one generation; a decrease is the
+    # reset (overwrite + append lands back on gen 2)
+    for a, b in zip(gens, gens[1:]):
+        assert b == a + 1 or b == 2
+    assert any(b == 2 for a, b in zip(gens, gens[1:]) if a == 8) or 8 not in gens[:-1]
