@@ -65,3 +65,4 @@ from mcyj_datapipeline_spark import registry_batch46  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch47  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch48  # noqa: E402,F401
 from mcyj_datapipeline_spark import registry_batch49  # noqa: E402,F401
+from mcyj_datapipeline_spark import registry_batch50  # noqa: E402,F401

@@ -56,10 +56,14 @@ _KCORE_EDGES_SQL = """
 """
 
 
-def _kcore_oracle_sql(k: int, rounds: int) -> str:
+def _kcore_oracle_sql(
+    k: int, rounds: int, edges_sql: str = _KCORE_EDGES_SQL
+) -> str:
     """Unrolled peel: the same fixed number of rounds the Spark loop
-    runs (the unrolled-PageRank oracle pattern)."""
-    ctes = [f"e0 AS MATERIALIZED ({_KCORE_EDGES_SQL})"]
+    runs (the unrolled-PageRank oracle pattern). ``edges_sql`` lets
+    variants (g7b's post-deletion graph, batch 50) peel a different
+    edge set with the identical unrolling."""
+    ctes = [f"e0 AS MATERIALIZED ({edges_sql})"]
     for r in range(1, rounds + 1):
         ctes.append(
             f"""k{r} AS MATERIALIZED (

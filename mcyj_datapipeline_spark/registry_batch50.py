@@ -1,0 +1,150 @@
+"""Batch 50 registry entries (round 12): warm-restart / incremental
+maintenance for the remaining iterative graph operators (VERDICT r11
+#4) — the nightly-refresh shape g1c proved for PageRank, extended to
+label propagation and the k-core peel. The reference's forever-loop
+contract (run_full_pipeline.py:202-431) is exactly this re-run-cheaply
+semantics: each cycle re-derives state from yesterday's plus a delta.
+
+``g7b`` is a VALUE-oracle query: the DuckDB twin peels TODAY's graph
+cold (the unrolled-CTE oracle g7 already uses), while the Spark side
+computes yesterday's core and peels only its induced subgraph — the
+hash match proves the deletion-maintenance theorem
+(kcore(G') == kcore(induced(old_core, G')) for G' ⊆ G) on real data.
+
+``g3c`` is rows-only like g1c (two data-dependent sweep counts). It
+runs the SEMI-SYNCHRONOUS LPA schedule: building it surfaced that the
+purchase graph is bipartite, where fully synchronous LPA provably
+oscillates (g3b honestly reports changed != 0 at its 30-round bound
+at every sf) — warm-restarting an oscillation is meaningless, so the
+convergent schedule is a precondition for the warm seam, not a
+nicety. Unlike PageRank, LPA has no unique fixed point, so the
+compensating tests (tests/test_graph_warm_restart.py) assert the
+warm result is a genuine fixed point of today's graph and the sweep
+savings are measured in SCALE.md rather than asserting warm == cold
+labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcyj_datapipeline_spark.registry import register
+from mcyj_datapipeline_spark.registry_batch11 import copurchase_edges
+from mcyj_datapipeline_spark.registry_batch35 import (
+    _KCORE_K,
+    _KCORE_ROUNDS,
+    _kcore_oracle_sql,
+)
+from mcyj_datapipeline_spark.registry_batch49 import _purchase_edges
+
+__all__ = ["g3c_lpa_warm_restart", "g7b_kcore_after_deletions"]
+
+# deterministic ~2% edge expiry, expressible identically in Spark and
+# DuckDB integer arithmetic (no engine hash involved): a*1000003+b
+# stays far below int64 for part keys at any tested sf
+_G7B_DEL_MOD = 47
+
+_G7B_EDGES_SQL = f"""
+      SELECT a, b FROM (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_quantity >= 25) l1
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_quantity >= 25) l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      ) WHERE (a * 1000003 + b) % {_G7B_DEL_MOD} <> 0
+"""
+
+
+@register(
+    "g7b_kcore_after_deletions",
+    _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS, edges_sql=_G7B_EDGES_SQL),
+    f"Incremental k-core maintenance under edge DELETIONS (k="
+    f"{_KCORE_K}): today's co-purchase graph is yesterday's minus a "
+    "deterministic ~2% of edges (integer-arithmetic expiry, same "
+    "subset in both engines). The Spark side peels yesterday's CORE-"
+    "INDUCED subgraph only — deleting edges can only shrink the core, "
+    "so kcore(G') == kcore(induced(old_core, G')) EXACTLY (proof in "
+    "operators/graph.py) — while the DuckDB oracle peels today's full "
+    "graph cold with g7's unrolled 12-round CTE. The value hash "
+    "matching IS the theorem checked on real data. The saving is a "
+    "degree-distribution property: on power-law graphs (the 100 TB "
+    "reality) the core is a small nucleus and the restriction drops "
+    "most of |E|; on this near-regular synthetic graph the 20-core "
+    "keeps ~88% of edges, so the measured saving is ~12% (SCALE.md "
+    "r12 — measured honestly, the testdata has no selective-core "
+    "graph at any k). Correctness never depends on the ratio. "
+    "Insertions can grow the core and need candidate expansion "
+    "(Sariyuce et al.) — handled by periodic cold peels, documented.",
+)
+def g7b_kcore_after_deletions(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes,
+        kcore_nodes_after_deletions,
+    )
+
+    yday = copurchase_edges(spark, sf_dir)
+    today = yday.filter(
+        (F.col("a") * 1000003 + F.col("b")) % _G7B_DEL_MOD != 0
+    )
+    old_core = kcore_nodes(yday, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return kcore_nodes_after_deletions(
+        today, old_core, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+@register(
+    "g3c_lpa_warm_restart",
+    None,  # two data-dependent sweep counts → rows-only + tests
+    "Incremental label propagation: converge on yesterday's purchase "
+    "graph (minus a deterministic ~2% of edges), then WARM-RESTART "
+    "today's run from those communities instead of from singleton "
+    "labels — g1c's nightly-refresh seam extended to LPA (VERDICT "
+    "r11 #4). Uses the SEMI-SYNCHRONOUS two-color schedule "
+    "(operators/graph.py label_propagation_semisync_converged): the "
+    "purchase graph is bipartite (customers/suppliers), where the "
+    "fully synchronous schedule provably oscillates — g3b honestly "
+    "runs to its 30-round bound with changed=10*N at every sf — "
+    "while updating one id-parity side per half-round removes the "
+    "simultaneous-flip mechanism and converges in 3 sweeps cold, 1 "
+    "sweep warm (measured, SCALE.md r12). LPA has no unique fixed "
+    "point, so the contract is: the warm result is a genuine fixed "
+    "point of TODAY's graph (changed_at_stop == 0, re-checked by a "
+    "compensating one-more-sweep test) reached in fewer sweeps; both "
+    "sweep counts ride every row so the driver pins the speedup. A "
+    "sweep touches every edge exactly once (two half-graph join + "
+    "vote + argmax passes plus a narrow label merge) — at 100 TB the "
+    "edge scan dominates and the sweep count is the knob that "
+    "matters.",
+)
+def g3c_lpa_warm_restart(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.graph import (
+        label_propagation_semisync_converged,
+    )
+
+    today = _purchase_edges(spark, sf_dir)
+    yday = today.filter(
+        F.pmod(F.xxhash64("src", "dst"), F.lit(50)) != 0
+    )
+    yday_labels, cold_its, _ = label_propagation_semisync_converged(
+        yday, max_sweeps=30
+    )
+    labels, warm_its, changed = label_propagation_semisync_converged(
+        today,
+        max_sweeps=30,
+        start_labels=yday_labels,
+    )
+
+    def _render(col):
+        return F.when(
+            F.col(col) % 2 == 0,
+            F.concat(F.lit("c"), F.shiftright(col, 1)),
+        ).otherwise(F.concat(F.lit("s"), F.shiftright(col, 1)))
+
+    return labels.select(
+        _render("node").alias("node"),
+        _render("label").alias("label"),
+        F.lit(cold_its).alias("cold_sweeps"),
+        F.lit(warm_its).alias("warm_sweeps"),
+        F.lit(changed).alias("changed_at_stop"),
+    ).orderBy("node")
