@@ -18,14 +18,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.io import read_table
-from mcyj_datapipeline_spark.operators import text_analysis as TA
 from mcyj_datapipeline_spark.operators.hashing import hash60_sql
 from mcyj_datapipeline_spark.registry import _REGISTRY, register
 
-__all__ = ["e17_corpus_release_pipeline"]
+# scoring + publish halves shared with the streaming twin e17b
+# (round 12) so the two paths cannot fork semantically
+from mcyj_datapipeline_spark.streaming.release_fold import (
+    _BUDGET_SHARE,
+    _QUALITY_FLOOR,
+    publish_release,
+    score_documents,
+)
 
-_QUALITY_FLOOR = 0.5
-_BUDGET_SHARE = 0.5
+__all__ = ["e17_corpus_release_pipeline"]
 
 
 def _scored_sql() -> str:
@@ -86,44 +91,14 @@ def _scored_sql() -> str:
 def e17_corpus_release_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
-    from mcyj_datapipeline_spark.operators.quality import token_budget_select
-    from mcyj_datapipeline_spark.operators.sampling import split_assign
-
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        TA.quality_score(F.col("text")).alias("quality"),
-        TA.token_count(F.col("text")).cast("bigint").alias("tokens"),
-    )
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    scored = score_documents(docs)
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
     deduped = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "quality", "tokens")
     )
-    gated = deduped.filter(
-        F.col("quality") >= _QUALITY_FLOOR
-    ).localCheckpoint(eager=False)
-    budget = gated.agg(
-        (F.lit(_BUDGET_SHARE) * F.sum("tokens")).alias("budget")
-    )
-    selected = token_budget_select(gated, budget)
-    split = split_assign(
-        selected.select("doc_id", "lang", "quality", "tokens"),
-        "doc_id",
-        val_fraction=0.1,
-        test_fraction=0.1,
-    )
-    return (
-        split.groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("tokens").alias("tokens"),
-            F.round(F.avg("quality"), 6).alias("mean_quality"),
-        )
-        .orderBy("split", "lang")
-    )
+    return publish_release(deduped)

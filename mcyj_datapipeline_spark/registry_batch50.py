@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcyj_datapipeline_spark.registry import register
+from mcyj_datapipeline_spark.io import read_table
+from mcyj_datapipeline_spark.registry import _REGISTRY, register
 from mcyj_datapipeline_spark.registry_batch11 import copurchase_edges
 from mcyj_datapipeline_spark.registry_batch35 import (
     _KCORE_K,
@@ -36,8 +37,13 @@ from mcyj_datapipeline_spark.registry_batch35 import (
     _kcore_oracle_sql,
 )
 from mcyj_datapipeline_spark.registry_batch49 import _purchase_edges
+from mcyj_datapipeline_spark.session import session_scratch
 
-__all__ = ["g3c_lpa_warm_restart", "g7b_kcore_after_deletions"]
+__all__ = [
+    "e17b_stream_release_fold",
+    "g3c_lpa_warm_restart",
+    "g7b_kcore_after_deletions",
+]
 
 # deterministic ~2% edge expiry, expressible identically in Spark and
 # DuckDB integer arithmetic (no engine hash involved): a*1000003+b
@@ -148,3 +154,102 @@ def g3c_lpa_warm_restart(spark, sf_dir):
         F.lit(warm_its).alias("warm_sweeps"),
         F.lit(changed).alias("changed_at_stop"),
     ).orderBy("node")
+
+
+# ===========================================================================
+# E17b: streaming twin of the corpus-release flagship (VERDICT r11 #8)
+# ===========================================================================
+
+def _stage_release_landing(spark, sf_dir, docs, root):
+    """Stage two synthetic nightly drops (doc_id 400-450, 450-500) as
+    single parquet files with ordered mtimes — e12c's landing layout,
+    executor-side writes (no driver collect), atomic stage→publish."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    landing = os.path.join(root, "landing")
+    if os.path.isdir(landing):
+        return landing
+    stage = landing + ".stage"
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    now = time.time()
+    for i, (lo, hi) in enumerate(((400, 450), (450, None))):
+        cond = F.col("doc_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        tmp = os.path.join(stage, f"_night{i + 1}_build")
+        docs.filter(cond).select("doc_id", "lang", "text").coalesce(
+            1
+        ).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        path = os.path.join(stage, f"night{i + 1}.parquet")
+        os.replace(part, path)
+        shutil.rmtree(tmp)
+        t = now - 20 + 10 * i
+        os.utime(path, (t, t))
+    os.rename(stage, landing)
+    return landing
+
+
+@register(
+    "e17b_stream_release_fold",
+    # the e17 oracle VERBATIM (batch28 registers before batch50): the
+    # folded state must publish the exact datasheet the one-shot batch
+    # plan derives from a full-corpus scan
+    _REGISTRY["e17_corpus_release_pipeline"][1],
+    "Streaming twin of the e17 corpus-release flagship — the corpus "
+    "fold and the publish half closed into one loop (e12c's pattern "
+    "lifted one level). Documents land as nightly files (bootstrap "
+    "corpus folded first, then two nights via a file-source stream, "
+    "foreachBatch + Trigger.AvailableNow + checkpoint); each fold "
+    "scores the night's text ONCE at ingest (quality/tokens/sha) and "
+    "merges winning metadata into a digest-keyed bucketed "
+    "ParquetStateTable under first-id-wins (a semilattice min-merge, "
+    "so crash/replay folds are byte-identical no-ops — same "
+    "exactly-once story as e12c). The publish half (gate → token-"
+    "budget select → hash split → datasheet) then runs on the folded "
+    "METADATA state — text is never stored and never rescanned. The "
+    "oracle is e17's DuckDB five-CTE chain VERBATIM on the full "
+    "corpus: stream-fold-then-publish must equal scan-then-publish. "
+    "At 100 TB the nightly fold is batch-sized (score the night, "
+    "rewrite touched digest buckets) while e17's one-shot form "
+    "rescans the corpus per release — this is the shape that "
+    "amortizes it.",
+)
+def e17b_stream_release_fold(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.streaming.release_fold import (
+        fold_release_batch,
+        open_release_state,
+        publish_release,
+        stream_release_fold,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = session_scratch(
+        f"e17b_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    landing = _stage_release_landing(spark, sf_dir, docs, root)
+    state_root = os.path.join(root, "state")
+    state = open_release_state(spark, state_root, num_buckets=8)
+    # bootstrap: the pre-existing corpus folded as one batch (idempotent
+    # min-merge — re-invocations rewrite nothing)
+    fold_release_batch(docs.filter(F.col("doc_id") < 400), state)
+    stream_release_fold(
+        spark,
+        landing,
+        state_root,
+        os.path.join(root, "ckpt"),
+        num_buckets=8,
+    )
+    committed = state.read().select(
+        "doc_id", "lang", "quality", "tokens"
+    )
+    return publish_release(committed)
