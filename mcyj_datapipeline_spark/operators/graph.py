@@ -678,9 +678,8 @@ def kcore_nodes_after_deletions(
     the value oracle peels today's graph cold and must hash-match.
     The peel itself is :func:`kcore_nodes`.
 
-    Edge INSERTIONS can GROW the core and need a candidate-expansion
-    traversal (Sariyüce et al.) — out of scope here; callers handle
-    inserts with a periodic cold peel (documented trade).
+    Edge INSERTIONS can GROW the core and need the candidate-expansion
+    traversal of :func:`kcore_nodes_after_insertions`.
     """
     core_a = old_core.select(F.col("node").alias(a))
     core_b = old_core.select(F.col("node").alias(b))
@@ -688,6 +687,115 @@ def kcore_nodes_after_deletions(
         core_b, b, "left_semi"
     )
     return kcore_nodes(induced, k=k, rounds=rounds, a=a, b=b)
+
+
+def kcore_nodes_after_insertions(
+    edges: DataFrame,
+    inserted: DataFrame,
+    old_core: DataFrame,
+    k: int,
+    rounds: int,
+    a: str = "a",
+    b: str = "b",
+    max_expand_rounds: int = 30,
+) -> tuple[DataFrame, int]:
+    """k-core maintenance under edge INSERTIONS — the other half of
+    :func:`kcore_nodes_after_deletions` (the Sariyüce-et-al-style
+    candidate expansion, DataFrame-shaped). ``edges`` is TODAY's full
+    edge list ``G' = G ∪ inserted``, ``inserted`` the new edges,
+    ``old_core`` yesterday's k-core of G. Returns ``(today's exact
+    k-core, expansion_rounds_run)``.
+
+    Why the candidate set is exact, not heuristic: insertions only
+    GROW the core (``kcore(G) ⊆ kcore(G')``), so the unknown is the
+    JOINER set ``S = kcore(G') \\ kcore(G)``. Two necessary facts
+    about any joining component S:
+
+    * every ``v ∈ S`` has full-graph degree ``deg_G'(v) >= k``
+      (subgraph degree is a lower bound) — the "eligible" prune;
+    * S contains an endpoint of an inserted edge: if no new edge
+      were incident to S, then every S-node's >= k new-core
+      neighbors (old-core or S members, via old edges only) existed
+      already in G, making ``kcore(G) ∪ S`` a min-degree-k subgraph
+      of G — contradicting kcore(G)'s maximality. The same argument
+      applied to S's connected components (through S) means every
+      joiner is REACHABLE from an inserted endpoint through eligible
+      non-core nodes.
+
+    So ``candidates = old_core ∪ reach(inserted endpoints, through
+    eligible non-core nodes)`` contains kcore(G'), and — as in the
+    deletion case — any min-degree-k subgraph of
+    ``induced(candidates, G')`` is one of G', hence
+    ``kcore(induced(candidates, G')) == kcore(G')`` exactly. The
+    expansion is a frontier BFS (one edge-join + anti-join per
+    round, frontiers checkpointed) that stops when the frontier
+    empties; ``max_expand_rounds`` bounds the pathological chain
+    case, and overrunning it raises rather than silently returning a
+    subset — exactness over availability. The final peel is
+    :func:`kcore_nodes` over the candidate-induced subgraph: at
+    100 TB the traversal touches the insertion's blast radius
+    (eligible non-core nodes near new edges), not the corpus-scale
+    edge list, and the peel input is old-core-plus-blast-radius
+    sized. The g7c query pins exactness with a VALUE oracle: the
+    DuckDB twin peels today's graph cold.
+    """
+    e = (
+        edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mirrored = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = mirrored.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core_nodes = old_core.select("node").localCheckpoint(eager=False)
+    # joiner candidates must be non-core with full-graph degree >= k
+    eligible = (
+        deg.filter(F.col("d") >= k)
+        .select("node")
+        .join(core_nodes, "node", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        inserted.select(F.col(a).alias("node"))
+        .union(inserted.select(F.col(b).alias("node")))
+        .distinct()
+        .join(eligible, "node", "left_semi")
+    )
+    reach = seeds.localCheckpoint(eager=False)
+    frontier = reach
+    expand_rounds = 0
+    while frontier.take(1):
+        if expand_rounds >= max_expand_rounds:
+            raise RuntimeError(
+                f"kcore_nodes_after_insertions: candidate expansion "
+                f"did not close within {max_expand_rounds} rounds — "
+                "refusing to peel a possibly-incomplete candidate set "
+                "(run a cold kcore_nodes peel instead, or raise "
+                "max_expand_rounds)"
+            )
+        nbrs = (
+            mirrored.join(
+                frontier.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            nbrs.join(eligible, "node", "left_semi")
+            .join(reach, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        reach = reach.union(frontier).distinct().localCheckpoint(
+            eager=False
+        )
+        expand_rounds += 1
+    cand = core_nodes.union(reach).distinct()
+    induced = e.join(
+        cand.select(F.col("node").alias("a")), "a", "left_semi"
+    ).join(cand.select(F.col("node").alias("b")), "b", "left_semi")
+    out = kcore_nodes(induced, k=k, rounds=rounds, a="a", b="b")
+    return out, expand_rounds
 
 
 def label_propagation(

@@ -43,6 +43,7 @@ __all__ = [
     "e17b_stream_release_fold",
     "g3c_lpa_warm_restart",
     "g7b_kcore_after_deletions",
+    "g7c_kcore_after_insertions",
 ]
 
 # deterministic ~2% edge expiry, expressible identically in Spark and
@@ -80,8 +81,8 @@ _G7B_EDGES_SQL = f"""
     "keeps ~88% of edges, so the measured saving is ~12% (SCALE.md "
     "r12 — measured honestly, the testdata has no selective-core "
     "graph at any k). Correctness never depends on the ratio. "
-    "Insertions can grow the core and need candidate expansion "
-    "(Sariyuce et al.) — handled by periodic cold peels, documented.",
+    "Insertions can grow the core and need candidate expansion — "
+    "g7c is that other half, same value-oracle pattern.",
 )
 def g7b_kcore_after_deletions(spark, sf_dir):
     from mcyj_datapipeline_spark.operators.graph import (
@@ -253,3 +254,42 @@ def e17b_stream_release_fold(spark, sf_dir):
         "doc_id", "lang", "quality", "tokens"
     )
     return publish_release(committed)
+
+
+@register(
+    "g7c_kcore_after_insertions",
+    # g7's oracle VERBATIM: today's graph is the full co-purchase
+    # graph, peeled cold by the DuckDB twin
+    _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS),
+    f"Incremental k-core maintenance under edge INSERTIONS (k="
+    f"{_KCORE_K}) — the other half of g7b, closing the maintenance "
+    "pair. Yesterday's graph is the co-purchase graph minus the same "
+    "deterministic ~2% of edges; those edges are INSERTED back and "
+    "today's core is derived from yesterday's via exact candidate "
+    "expansion (operators/graph.py kcore_nodes_after_insertions): "
+    "joiners must have full-graph degree >= k and be reachable from "
+    "an inserted endpoint through eligible non-core nodes (proof in "
+    "the docstring — maximality of the old core forces every joining "
+    "component to touch a new edge), so peeling old-core ∪ "
+    "blast-radius is EXACT. The DuckDB oracle peels today's full "
+    "graph cold with g7's unrolled CTE verbatim — the hash match is "
+    "the theorem on real data. At 100 TB the traversal is "
+    "insertion-blast-radius-sized, not corpus-sized; the expansion "
+    "refuses (raises) rather than returning a subset if it cannot "
+    "close within its round bound — exactness over availability.",
+)
+def g7c_kcore_after_insertions(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes,
+        kcore_nodes_after_insertions,
+    )
+
+    today = copurchase_edges(spark, sf_dir)
+    expired = (F.col("a") * 1000003 + F.col("b")) % _G7B_DEL_MOD
+    yday = today.filter(expired != 0)
+    inserted = today.filter(expired == 0)
+    old_core = kcore_nodes(yday, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    core, _ = kcore_nodes_after_insertions(
+        today, inserted, old_core, k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+    return core

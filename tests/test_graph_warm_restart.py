@@ -163,3 +163,96 @@ def test_g3c_registry_query_shape(spark, sf_dir):
     r = rows[0]
     assert r["changed_at_stop"] == 0  # converged (semisync schedule)
     assert 1 <= r["warm_sweeps"] <= r["cold_sweeps"]
+
+
+def test_kcore_after_insertions_joiners_found(spark):
+    """The mirror of the deletion test: yesterday clique-1 is missing
+    edge (0,1) (its nodes below k=3), today it's inserted — the warm
+    path must discover the joining clique via candidate expansion and
+    equal the cold peel."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes_after_insertions,
+    )
+
+    cl1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cl2 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    chain = [(3, 20), (20, 21), (21, 10)]
+    today = spark.createDataFrame(cl1 + cl2 + chain, ["a", "b"])
+    yday = today.filter(~((F.col("a") == 0) & (F.col("b") == 1)))
+    inserted = today.filter((F.col("a") == 0) & (F.col("b") == 1))
+    old_core = kcore_nodes(yday, k=3, rounds=6)
+    assert {r["node"] for r in old_core.collect()} == set(range(10, 14))
+    warm, expand_rounds = kcore_nodes_after_insertions(
+        today, inserted, old_core, k=3, rounds=6
+    )
+    cold = kcore_nodes(today, k=3, rounds=6)
+    assert [r["node"] for r in warm.collect()] == [
+        r["node"] for r in cold.collect()
+    ]
+    assert {r["node"] for r in warm.collect()} == set(range(4)) | set(
+        range(10, 14)
+    )
+    assert expand_rounds >= 1  # the clique really was traversed
+
+
+def test_kcore_after_insertions_multi_round_expansion(spark):
+    """A broken 6-cycle at k=2: inserting the closing edge makes the
+    WHOLE cycle join, and the joiners form a chain that needs several
+    expansion rounds to reach — the closure loop, not just the seed
+    neighborhood."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes_after_insertions,
+    )
+
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    today = spark.createDataFrame(cycle + [(6, 1)], ["a", "b"])
+    yday = spark.createDataFrame(cycle, ["a", "b"])
+    inserted = spark.createDataFrame([(6, 1)], ["a", "b"])
+    old_core = kcore_nodes(yday, k=2, rounds=6)
+    assert old_core.count() == 0  # a path has no 2-core
+    warm, expand_rounds = kcore_nodes_after_insertions(
+        today, inserted, old_core, k=2, rounds=6
+    )
+    assert {r["node"] for r in warm.collect()} == {1, 2, 3, 4, 5, 6}
+    assert expand_rounds >= 2  # chain traversal, not one hop
+
+
+def test_kcore_after_insertions_identity_cases(spark):
+    """No insertions → old core unchanged, zero expansion rounds; an
+    insertion between two core nodes (no eligible non-core seed) →
+    same."""
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes_after_insertions,
+    )
+
+    cl = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges = spark.createDataFrame(cl + [(0, 99)], ["a", "b"])
+    core = kcore_nodes(edges, k=3, rounds=5)
+    empty = spark.createDataFrame([], "a long, b long")
+    same, rounds0 = kcore_nodes_after_insertions(
+        edges, empty, core, k=3, rounds=5
+    )
+    assert rounds0 == 0
+    assert [r["node"] for r in same.collect()] == [
+        r["node"] for r in core.collect()
+    ]
+
+
+def test_kcore_after_insertions_refuses_unclosed_expansion(spark):
+    """Exactness over availability: a bound too small to close the
+    traversal must raise, never return a silently-partial core."""
+    import pytest as _pytest
+
+    from mcyj_datapipeline_spark.operators.graph import (
+        kcore_nodes_after_insertions,
+    )
+
+    cycle = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    today = spark.createDataFrame(cycle + [(6, 1)], ["a", "b"])
+    yday = spark.createDataFrame(cycle, ["a", "b"])
+    inserted = spark.createDataFrame([(6, 1)], ["a", "b"])
+    old_core = kcore_nodes(yday, k=2, rounds=6)
+    with _pytest.raises(RuntimeError, match="did not close"):
+        kcore_nodes_after_insertions(
+            today, inserted, old_core, k=2, rounds=6, max_expand_rounds=1
+        )
