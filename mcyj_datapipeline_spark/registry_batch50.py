@@ -293,3 +293,56 @@ def g7c_kcore_after_insertions(spark, sf_dir):
         today, inserted, old_core, k=_KCORE_K, rounds=_KCORE_ROUNDS
     )
     return core
+
+
+# ===========================================================================
+# TB1: incremental BM25 index maintenance (fold postings, score from state)
+# ===========================================================================
+
+@register(
+    "text_bm25_index_fold",
+    # text_bm25_topk's oracle VERBATIM (batch13 registers first):
+    # fold-then-score must equal scan-then-score on the full corpus
+    _REGISTRY["text_bm25_topk"][1],
+    "Incremental search-index maintenance: documents are folded into "
+    "a PERSISTED posting-list index (postings keyed per (term, "
+    "doc_id), doc-length table, both bucketed ParquetStateTables) in "
+    "three ingest batches — corpus bootstrap plus two nightly slices, "
+    "the e12/e17b ingest shape — and the fixed 3-term Okapi BM25 "
+    "query is answered FROM THE FOLDED STATE: no text is read or "
+    "tokenized at query time. Folds are keyed upserts of per-document "
+    "facts (tf, dl), so replays rewrite identical rows — idempotent "
+    "with no bookkeeping. The oracle is text_bm25_topk's DuckDB SQL "
+    "verbatim over the full documents table: the index answers "
+    "exactly what the from-scratch scan answers. At 100 TB this is "
+    "the difference between re-tokenizing the corpus per query (the "
+    "one-shot scan's model, and the reference's rebuilt-per-run trie, "
+    "generate_prefix_trie.py) and a nightly batch-sized fold plus "
+    "query-term-sized reads; corpus stats (N, avgdl) derive from the "
+    "metadata-grain doclen table at query time.",
+)
+def text_bm25_index_fold(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.search_index import (
+        bm25_topk_from_state,
+        fold_index_batch,
+        open_index_state,
+    )
+    from mcyj_datapipeline_spark.registry_batch13 import _BM25_TERMS
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = session_scratch(
+        f"bm25idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    postings, doclen = open_index_state(
+        spark, os.path.join(root, "state"), num_buckets=8
+    )
+    for lo, hi in ((None, 400), (400, 450), (450, None)):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        fold_index_batch(docs.filter(cond), postings, doclen)
+    return bm25_topk_from_state(postings, doclen, _BM25_TERMS)
