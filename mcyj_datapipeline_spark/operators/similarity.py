@@ -454,36 +454,129 @@ def kmeans_centroids(
     :func:`default_centroids` so the result is deterministic."""
     cents = default_centroids(corpus, n_centroids, id_col, vec_col)
     for _ in range(iters):
-        assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, cents)
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"].cast("float"),
-                ).alias("cent_vec")
-            )
-        )
-        # Keep previous centroid for clusters that lost all members.
-        prev = cents.select(
-            "centroid_id", F.col("cent_vec").alias("_prev_vec")
-        )
-        merged = prev.join(means, "centroid_id", "left").select(
-            "centroid_id",
-            F.coalesce(F.col("cent_vec"), F.col("_prev_vec")).alias("cent_vec"),
-        )
-        # Materialize: k×dim rows only; cuts the per-iteration lineage.
-        rows = merged.collect()
-        cents = corpus.sparkSession.createDataFrame(
-            [(r["centroid_id"], r["cent_vec"]) for r in rows],
-            schema=merged.schema,
+        cents, _ = _kmeans_round(
+            corpus, cents, n_centroids, id_col, vec_col
         )
     return cents
+
+
+def _kmeans_round(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, float]:
+    """ONE Lloyd round (assign → dim-wise means → empty-cluster
+    carry-over), shared by the fixed-count and converged variants.
+    Returns ``(new centroids, max L2 centroid shift)`` — the shift is
+    computed driver-side from the k×dim rows both variants already
+    materialize per round, so the convergence signal costs zero extra
+    Spark jobs."""
+    import math
+
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, cents)
+    means = (
+        assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"].cast("float"),
+            ).alias("cent_vec")
+        )
+    )
+    # Keep previous centroid for clusters that lost all members.
+    prev = cents.select(
+        "centroid_id", F.col("cent_vec").alias("_prev_vec")
+    )
+    merged = prev.join(means, "centroid_id", "left").select(
+        "centroid_id",
+        F.col("cent_vec").alias("_new_vec"),
+        "_prev_vec",
+    )
+    # Materialize: k×dim rows only; cuts the per-iteration lineage.
+    rows = merged.collect()
+    shift = 0.0
+    out_rows = []
+    for r in rows:
+        new = r["_new_vec"] if r["_new_vec"] is not None else r["_prev_vec"]
+        out_rows.append((r["centroid_id"], new))
+        if r["_new_vec"] is not None:
+            d = math.sqrt(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(r["_new_vec"], r["_prev_vec"])
+                )
+            )
+            shift = max(shift, d)
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    # id type follows the input centroids (vec ids may be int or long)
+    id_type = cents.schema["centroid_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("centroid_id", id_type),
+            StructField("cent_vec", ArrayType(FloatType())),
+        ]
+    )
+    cents = corpus.sparkSession.createDataFrame(out_rows, schema=out_schema)
+    return cents, shift
+
+
+def kmeans_centroids_converged(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    max_iters: int = 25,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_centroids: DataFrame | None = None,
+) -> tuple[DataFrame, int, float]:
+    """Lloyd's k-means run until the centroids STOP MOVING (max L2
+    shift < ``tol``) instead of a fixed count, with a warm-restart
+    seam — the nightly-refresh shape for the IVF index (the same
+    ``start_*`` contract as pagerank_converged/semisync LPA, VERDICT
+    r11 #4 family). Returns ``(centroids, iters_run, last_shift)``.
+
+    ``start_centroids`` seeds from a prior fit (yesterday's
+    centroids): on a small corpus delta the seeds are already near a
+    fixed point and reconvergence takes a round or two instead of the
+    cold run's many — and the IVF index rebuild that follows
+    (re-assign + re-bucket) is the corpus-sized cost the saved rounds
+    multiply at 100 TB. k-means has LOCAL minima, so warm and cold
+    may land on different (both valid) fixed points — the LPA
+    contract, not the PageRank one: compensating tests assert the
+    warm result has stopped moving and took no more rounds, never
+    centroid equality. Per-round cost and structure are identical to
+    :func:`kmeans_centroids` (shared round body); the convergence
+    check reads the k×dim rows the round already collects, zero extra
+    jobs. ``max_iters`` bounds oscillation-free-but-slow tails; the
+    returned shift says whether the stop was convergence (< tol) or
+    the bound."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if tol <= 0:
+        raise ValueError(f"tol must be > 0, got {tol}")
+    cents = (
+        start_centroids
+        if start_centroids is not None
+        else default_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    iters_run = 0
+    shift = float("inf")
+    while iters_run < max_iters:
+        cents, shift = _kmeans_round(
+            corpus, cents, n_centroids, id_col, vec_col
+        )
+        iters_run += 1
+        if shift < tol:
+            break
+    return cents, iters_run, shift
 
 
 def l2_normalize(vec: Column) -> Column:

@@ -44,6 +44,8 @@ __all__ = [
     "g3c_lpa_warm_restart",
     "g7b_kcore_after_deletions",
     "g7c_kcore_after_insertions",
+    "text_bm25_index_fold",
+    "v5_kmeans_warm_restart",
 ]
 
 # deterministic ~2% edge expiry, expressible identically in Spark and
@@ -346,3 +348,59 @@ def text_bm25_index_fold(spark, sf_dir):
             cond = cond & (F.col("doc_id") < hi)
         fold_index_batch(docs.filter(cond), postings, doclen)
     return bm25_topk_from_state(postings, doclen, _BM25_TERMS)
+
+
+@register(
+    "v5_kmeans_warm_restart",
+    None,  # two data-dependent iteration counts → rows-only + tests
+    "Incremental k-means maintenance for the IVF index: converge "
+    "Lloyd's on yesterday's embedding corpus (minus a deterministic "
+    "~2% of vectors), then WARM-RESTART today's fit from those "
+    "centroids — the nightly-refresh seam extended to the last "
+    "iterative family without one (operators/similarity.py "
+    "kmeans_centroids_converged; centroid-shift stopping is not "
+    "SQL-expressible, and the convergence signal is computed "
+    "driver-side from the k×dim rows every round already collects — "
+    "zero extra jobs). k-means has local minima, so the contract is "
+    "the LPA one, not the PageRank one: the warm fit has stopped "
+    "moving (shift < tol) in no more rounds than cold — never "
+    "centroid equality. Measured honestly (SCALE.md r12): warm 4 vs "
+    "cold 9-13 rounds at sf0.001/0.01, but NO saving at sf0.1 (24 vs "
+    "24) — on a near-uniform cloud with k far below the natural "
+    "cluster count, Lloyd's long boundary-migration tail dominates "
+    "and a 2% delta re-triggers it; the seam pays when the geometry "
+    "is stable night-over-night, which is the claim, not more. "
+    "Output is the final index shape at integer grain (per-centroid "
+    "member counts) plus both round counts; at 100 TB each saved "
+    "round is a full corpus assign pass, which is what the warm seam "
+    "buys the nightly IVF rebuild when it applies.",
+)
+def v5_kmeans_warm_restart(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids_converged,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    yday = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(50)) != 0)
+    ycents, cold_iters, _ = kmeans_centroids_converged(
+        yday, n_centroids=16, max_iters=40, tol=1e-3
+    )
+    cents, warm_iters, shift = kmeans_centroids_converged(
+        emb, n_centroids=16, max_iters=40, tol=1e-3,
+        start_centroids=ycents,
+    )
+    sizes = (
+        ivf_assign(emb, 16, "vec_id", "embedding", cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return sizes.select(
+        "centroid_id",
+        "n_members",
+        F.lit(cold_iters).alias("cold_iters"),
+        F.lit(warm_iters).alias("warm_iters"),
+        F.lit(bool(shift < 1e-3)).alias("warm_converged"),
+    ).orderBy("centroid_id")
