@@ -16,11 +16,12 @@ State: two :class:`ParquetStateTable`s under one root —
 
 * ``postings``: one row per ``(term, doc_id)`` with its term
   frequency, keyed by the composite ``posting_key`` (``term:doc_id``)
-  so the keyed upsert is per-posting. Bucketing hashes the composite
-  key, which balances the nightly merge; a production layout would
-  partition by term-hash so QUERY reads prune to the query terms'
-  buckets too (the Delta/Iceberg seam, same trade recorded for the
-  dedup state tables).
+  so the keyed upsert is per-posting. Two bucketings: hashing the
+  composite key balances the nightly merge but query reads open every
+  bucket; ``term_partitioned=True`` hashes the TERM instead, so query
+  reads prune to the query terms' buckets at the storage level (the
+  trade measured in SCALE.md r12; hot-term skew is the cost, bounded
+  by ``num_buckets`` and the writer's one-file-per-task split).
 * ``doclen``: one row per doc with its token count, keyed by doc_id.
   Corpus stats (N, avgdl) are derived from it at query time — one
   aggregate over a metadata-grain relation, never the corpus.
@@ -46,13 +47,47 @@ from mcyj_datapipeline_spark.streaming.incremental import ParquetStateTable
 
 
 def open_index_state(
-    spark: SparkSession, state_root: str, num_buckets: int | None = 8
+    spark: SparkSession,
+    state_root: str,
+    num_buckets: int | None = 8,
+    term_partitioned: bool = False,
 ) -> tuple[ParquetStateTable, ParquetStateTable]:
+    """``term_partitioned=True`` buckets postings by ``term`` hash
+    instead of the composite ``posting_key`` — the production layout
+    the module docstring records as the trade: QUERY reads prune to
+    the query terms' buckets at the storage level
+    (:meth:`ParquetStateTable.read_pruned` — untouched buckets
+    contribute zero input splits), at the cost of (a) a nightly fold
+    touching ~every bucket (a batch's terms spread across the hash
+    space either way) and (b) a hot term concentrating its postings
+    in one bucket (scale ``num_buckets`` with corpus vocabulary; the
+    writer still splits a hot bucket across one file per task). The
+    two layouts are disjoint on disk, so the root records its layout
+    in a ``_LAYOUT`` marker and a mismatched reopen refuses instead
+    of silently seeing misplaced state (the dedup-state precedent)."""
+    import os
+
+    layout = "term" if term_partitioned else "key"
+    marker = os.path.join(state_root, "_LAYOUT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            existing = f.read().strip()
+        if existing != layout:
+            raise ValueError(
+                f"index state at {state_root} has layout {existing!r}, "
+                f"reopened as {layout!r} — the layouts are disjoint on "
+                "disk; use a fresh root or the matching flag"
+            )
+    else:
+        os.makedirs(state_root, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(layout)
     postings = ParquetStateTable(
         spark,
         f"{state_root}/postings",
         key="posting_key",
         num_buckets=num_buckets,
+        bucket_col="term" if term_partitioned else None,
     )
     doclen = ParquetStateTable(
         spark,
@@ -109,10 +144,18 @@ def bm25_topk_from_state(
     no text is read or tokenized. Same plan shape as the scan-based
     ``text_bm25_topk`` minus the tokenize pass — postings filtered to
     the query terms, df/stats as broadcast one-or-|q|-row aggregates,
-    ``orderBy().limit()`` planning as TakeOrderedAndProject."""
+    ``orderBy().limit()`` planning as TakeOrderedAndProject.
+
+    On a term-partitioned index the postings read is PRUNED to the
+    query terms' buckets (``_bucket IN`` at partition discovery —
+    untouched buckets contribute zero input splits); the term filter
+    stays on top because a bucket holds every term that hashes to it."""
+    if postings.bucket_col == "term":
+        base = postings.read_pruned(terms)
+    else:
+        base = postings.read()
     tf = (
-        postings.read()
-        .filter(F.col("term").isin(*terms))
+        base.filter(F.col("term").isin(*terms))
         .select("doc_id", "term", F.col("tf").cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(

@@ -46,11 +46,23 @@ class ParquetStateTable:
         path: str,
         key: str,
         num_buckets: int | None = None,
+        bucket_col: str | None = None,
     ):
+        """``bucket_col`` (bucketed layout only) hashes a DIFFERENT
+        column than ``key`` into ``_bucket`` — e.g. postings upserted
+        per ``posting_key`` but partitioned by ``term`` so query reads
+        prune to the query terms' buckets (:meth:`read_pruned`).
+        CONTRACT: ``bucket_col`` must be functionally determined by
+        ``key`` (a component of a composite key) — if a key's
+        bucket-col value could change between upserts, the old row
+        would survive in its old bucket beside the new one."""
+        if bucket_col is not None and num_buckets is None:
+            raise ValueError("bucket_col requires the bucketed layout")
         self.spark = spark
         self.path = path
         self.key = key
         self.num_buckets = num_buckets
+        self.bucket_col = bucket_col if bucket_col is not None else key
 
     # -- legacy versioned-swap layout ------------------------------------
 
@@ -144,13 +156,64 @@ class ParquetStateTable:
     def write_initial(self, df: DataFrame) -> None:
         if self.num_buckets is not None:
             (
-                df.withColumn("_bucket", self._bucket_of(F.col(self.key)))
+                df.withColumn(
+                    "_bucket", self._bucket_of(F.col(self.bucket_col))
+                )
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self._data_dir())
             )
             return
         self._commit(df, 0)
+
+    def read_pruned(self, bucket_values) -> DataFrame | None:
+        """Rows whose ``bucket_col`` hashes into the buckets of the
+        given values. The read lists ONLY those buckets' partition
+        directories (explicit paths + ``basePath``), so untouched
+        buckets contribute zero input splits — and zero listing — by
+        construction, not by trusting a filter to reach partition
+        discovery (the storage-level pruning a term-partitioned
+        posting list buys query reads). The bucket list is computed
+        driver-side from the values: at most ``len(bucket_values)``
+        ints, never data-sized. A bucket can hold other values too —
+        callers keep their value-level filter on top."""
+        import os
+
+        if self.num_buckets is None:
+            raise ValueError("read_pruned requires the bucketed layout")
+        data = self._data_dir()
+        if not os.path.isdir(data):
+            return None
+        wanted = sorted(
+            {
+                r[0]
+                for r in self.spark.createDataFrame(
+                    [(v,) for v in bucket_values], [self.bucket_col]
+                )
+                .select(
+                    self._bucket_of(F.col(self.bucket_col)).alias("_b")
+                )
+                .collect()
+            }
+        )
+        paths = [
+            p
+            for b in wanted
+            if os.path.isdir(p := os.path.join(data, f"_bucket={b}"))
+        ]
+        if not paths:
+            # every wanted bucket is empty on disk: zero-row frame with
+            # the table's schema (one listing of the root, no row reads)
+            return (
+                self.spark.read.parquet(data)
+                .filter(F.lit(False))
+                .drop("_bucket")
+            )
+        return (
+            self.spark.read.option("basePath", data)
+            .parquet(*paths)
+            .drop("_bucket")
+        )
 
     def update(self, updates: DataFrame, columns: list[str]) -> DataFrame:
         if self.num_buckets is not None:
@@ -180,7 +243,7 @@ class ParquetStateTable:
         touched = [
             r[0]
             for r in updates.select(
-                self._bucket_of(F.col(self.key)).alias("_bucket")
+                self._bucket_of(F.col(self.bucket_col)).alias("_bucket")
             )
             .distinct()
             .collect()
@@ -193,7 +256,7 @@ class ParquetStateTable:
             .drop("_bucket")
         )
         merged = coalesce_merge(existing, updates, self.key, columns).withColumn(
-            "_bucket", self._bucket_of(F.col(self.key))
+            "_bucket", self._bucket_of(F.col(self.bucket_col))
         )
         # Materialize before overwriting the directory we just read.
         merged = merged.localCheckpoint(eager=True)

@@ -6,6 +6,8 @@ after its fold, ranks shift accordingly)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mcyj_datapipeline_spark.operators.search_index import (
     bm25_topk_from_state,
     fold_index_batch,
@@ -72,3 +74,82 @@ def test_incremental_growth_updates_ranking(spark, tmp_path):
     top2 = bm25_topk_from_state(postings, doclen, ("hash", "join"), top_k=3)
     ids2 = [r["doc_id"] for r in top2.collect()]
     assert ids2[0] == 3 and 1 in ids2
+
+
+# -- term-partitioned layout (storage-level query pruning) ---------------
+
+
+def test_term_pruned_read_opens_only_query_buckets(spark, tmp_path):
+    """The load-bearing claim of the term-partitioned layout: the
+    pruned postings read's input files all live under the query
+    terms' `_bucket=` dirs, and buckets holding no query term are
+    not opened at all."""
+    import re
+
+    postings, doclen = open_index_state(
+        spark, str(tmp_path / "s"), num_buckets=8, term_partitioned=True
+    )
+    rows = [(i, f"term{i % 20} filler common") for i in range(40)]
+    fold_index_batch(_docs(spark, rows), postings, doclen)
+
+    all_files = spark.read.parquet(str(tmp_path / "s/postings/data")).inputFiles()
+    all_buckets = {re.search(r"_bucket=(\d+)", f).group(1) for f in all_files}
+    assert len(all_buckets) > 2  # data actually spreads across buckets
+
+    terms = ("term3", "term7")
+    pruned = postings.read_pruned(terms)
+    got_buckets = {
+        re.search(r"_bucket=(\d+)", f).group(1) for f in pruned.inputFiles()
+    }
+    # at most one bucket per query term, and strictly fewer than all
+    assert got_buckets and len(got_buckets) <= len(terms)
+    assert got_buckets < all_buckets
+    # and the pruned slice still contains every posting of the terms
+    want = {
+        (r["term"], r["doc_id"])
+        for r in postings.read().filter(F.col("term").isin(*terms)).collect()
+    }
+    got = {
+        (r["term"], r["doc_id"])
+        for r in pruned.filter(F.col("term").isin(*terms)).collect()
+    }
+    assert got == want and len(want) == 4
+
+
+def test_term_layout_scores_equal_key_layout(spark, tmp_path):
+    """Same folds into both layouts → identical BM25 answers."""
+    rows = [
+        (1, "hash join hash filler"),
+        (2, "vector scan join"),
+        (3, "hash vector vector words"),
+        (4, "nothing relevant"),
+    ]
+    pk, dk = open_index_state(spark, str(tmp_path / "key"), 4)
+    pt, dt = open_index_state(
+        spark, str(tmp_path / "term"), 4, term_partitioned=True
+    )
+    fold_index_batch(_docs(spark, rows), pk, dk)
+    fold_index_batch(_docs(spark, rows), pt, dt)
+    terms = ("hash", "vector")
+    a = [tuple(r) for r in bm25_topk_from_state(pk, dk, terms).collect()]
+    b = [tuple(r) for r in bm25_topk_from_state(pt, dt, terms).collect()]
+    assert a == b and len(a) == 3
+
+
+def test_layout_marker_refuses_mismatched_reopen(spark, tmp_path):
+    import pytest
+
+    open_index_state(spark, str(tmp_path / "s"), 4, term_partitioned=True)
+    with pytest.raises(ValueError, match="layout"):
+        open_index_state(spark, str(tmp_path / "s"), 4)
+
+
+def test_bucket_col_requires_bucketed_layout(spark, tmp_path):
+    import pytest
+
+    from mcyj_datapipeline_spark.streaming.incremental import ParquetStateTable
+
+    with pytest.raises(ValueError, match="bucketed"):
+        ParquetStateTable(
+            spark, str(tmp_path / "s"), key="k", bucket_col="c"
+        )
