@@ -90,6 +90,17 @@ def pca_fit(
     g = np.sum(
         [np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0
     )
+    return model_from_moments(n, s, g, k)
+
+
+def model_from_moments(
+    n: int, s: np.ndarray, g: np.ndarray, k: int
+) -> PCAModel:
+    """The driver-side tail of :func:`pca_fit`, split out so the
+    incremental Gram fold (:mod:`pca_incremental`) derives the SAME
+    model from persisted moments: ``n`` row count, ``s`` (d,) dim
+    sums, ``g`` (d, d) raw Gram — sufficient statistics; the
+    eigensolve never sees data."""
     mean = s / n
     # covariance = E[xx^T] - mean mean^T  (population; n, not n-1 —
     # the eigenbasis is scale-invariant so the choice cannot change it)

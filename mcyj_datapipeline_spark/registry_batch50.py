@@ -49,6 +49,7 @@ __all__ = [
     "text_bm25_index_fold",
     "text_bm25_index_pruned",
     "v5_kmeans_warm_restart",
+    "v6_pca_gram_fold",
 ]
 
 # deterministic ~2% edge expiry, expressible identically in Spark and
@@ -289,6 +290,97 @@ def g3d_lpa_colored_schedule(spark, sf_dir):
             F.lit(n_classes).alias("n_classes"),
         )
         .orderBy("community_size")
+    )
+
+
+# ===========================================================================
+# V6: incremental PCA — fold per-batch Gram partials, derive from state
+# ===========================================================================
+
+_V6_GRAM_ORACLE = """
+    WITH q AS (
+      SELECT i.i AS i, j.j AS j,
+             CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT)
+             * CAST(floor(CAST(e.embedding[j.j] AS DOUBLE) * 1000 + 0.5)
+                    AS BIGINT) AS p
+      FROM embeddings e,
+           generate_series(1, 64) i(i),
+           generate_series(1, 64) j(j)
+      WHERE i.i <= j.j
+    )
+    SELECT kind, i, j, CAST(gq AS BIGINT) AS gq FROM (
+      SELECT 'g' AS kind, i, j, sum(p) AS gq FROM q GROUP BY i, j
+      UNION ALL
+      SELECT 's', i.i, 0,
+             sum(CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * 1000 + 0.5)
+                      AS BIGINT))
+      FROM embeddings e, generate_series(1, 64) i(i) GROUP BY i.i
+      UNION ALL
+      SELECT 'n', 0, 0, count(*) FROM embeddings
+    ) ORDER BY kind, i, j
+"""
+
+
+@register(
+    "v6_pca_gram_fold",
+    _V6_GRAM_ORACLE,
+    "Incremental PCA maintenance: each ingest batch's Gram/moment "
+    "partial (n, per-dim sums, upper-triangular raw Gram — PCA's "
+    "ADDITIVE sufficient statistics) is folded into a persisted "
+    "state table keyed (batch_id, cell), and the model derives from "
+    "the d²-grain totals with NO corpus pass "
+    "(operators/pca_incremental.py; the derivation reuses "
+    "pca.model_from_moments, the exact driver-side tail the cold fit "
+    "runs — equality pinned by tests/test_pca_incremental.py). "
+    "Per-batch keying makes replays rewrite identical rows — "
+    "additive state with no applied-batch bookkeeping and no "
+    "commit-ordering hazard. The oracle-facing numbers quantize each "
+    "coordinate to floor(x*1000+0.5) int64, so every partial is "
+    "INTEGER-exact: invariant to partitioning, batch split, and "
+    "engine — DuckDB recomputes the identical 2145 cells from the "
+    "raw parquet (a value-hash match with zero float tolerance; the "
+    "full-precision double column rides alongside for the model "
+    "path). At 100 TB the nightly refit cost drops from a full "
+    "corpus re-read to one batch pass plus a few-thousand-row "
+    "upsert — the same fold contract as the BM25 posting index.",
+)
+def v6_pca_gram_fold(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.pca_incremental import (
+        fold_gram_batch,
+        gram_totals,
+        open_gram_state,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = session_scratch(
+        f"gramfold_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    state = open_gram_state(spark, os.path.join(root, "state"))
+    for name, lo, hi in (
+        ("boot", None, 400),
+        ("night1", 400, 450),
+        ("night2", 450, None),
+    ):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("vec_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("vec_id") < hi)
+        fold_gram_batch(emb.filter(cond), name, state)
+    return (
+        gram_totals(state)
+        .select(
+            "kind",
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("gq").alias("gq"),
+        )
+        .orderBy("kind", "i", "j")
     )
 
 
