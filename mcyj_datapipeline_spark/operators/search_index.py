@@ -132,6 +132,48 @@ def fold_index_batch(
     doclen.update(dl, ["dl"])
 
 
+def stream_index_fold(
+    spark: SparkSession,
+    landing_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    num_buckets: int | None = 8,
+    term_partitioned: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The index fold as a real Structured-Streaming query: file
+    source over the landing dir → ``foreachBatch(fold_index_batch)``
+    → ``Trigger.AvailableNow`` + checkpoint — e12c/e17b's
+    exactly-once story applied to posting-list maintenance. Offsets
+    are written before a batch and commits after; a crash re-delivers
+    the batch, and the fold's keyed per-(term, doc) upserts make
+    re-delivery a rewrite of identical rows (the module's idempotency
+    contract), so restart safety needs no extra bookkeeping."""
+    postings, doclen = open_index_state(
+        spark, state_root, num_buckets, term_partitioned
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.select("doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        fold_index_batch(pinned, postings, doclen)
+
+    reader = spark.readStream.schema(
+        "doc_id long, lang string, text string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir)
+    (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def bm25_topk_from_state(
     postings: ParquetStateTable,
     doclen: ParquetStateTable,

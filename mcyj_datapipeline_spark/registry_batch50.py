@@ -48,6 +48,7 @@ __all__ = [
     "g8_greedy_coloring",
     "text_bm25_index_fold",
     "text_bm25_index_pruned",
+    "text_bm25_index_stream",
     "v5_kmeans_warm_restart",
     "v6_pca_gram_fold",
 ]
@@ -291,6 +292,60 @@ def g3d_lpa_colored_schedule(spark, sf_dir):
         )
         .orderBy("community_size")
     )
+
+
+@register(
+    "text_bm25_index_stream",
+    # text_bm25_topk's oracle VERBATIM a third time: landing-stream
+    # maintenance must answer exactly what the from-scratch scan answers
+    _REGISTRY["text_bm25_topk"][1],
+    "The BM25 index fold as a REAL Structured-Streaming query — "
+    "e12c/e17b's landing loop applied to posting-list maintenance: "
+    "the pre-existing corpus is folded as a bootstrap batch, then "
+    "two nightly document drops land as files and a file-source "
+    "stream (foreachBatch + Trigger.AvailableNow + checkpoint) folds "
+    "each night's postings and doc lengths into the persisted index "
+    "state; the fixed 3-term Okapi query is answered from the folded "
+    "state. Exactly-once without bookkeeping: offsets commit after "
+    "the fold, a crash re-delivers the night, and the fold's keyed "
+    "per-(term, doc) upserts rewrite identical rows on re-delivery. "
+    "The oracle is text_bm25_topk's DuckDB SQL verbatim over the "
+    "full corpus: stream-fold-then-score == scan-then-score. This "
+    "closes the retrieval loop the way e17b closed the release loop "
+    "— at 100 TB the index tracks the landing stream at nightly-"
+    "batch cost, no corpus re-tokenize, no rebuild-per-run trie "
+    "(the reference's generate_prefix_trie.py shape).",
+)
+def text_bm25_index_stream(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.search_index import (
+        bm25_topk_from_state,
+        fold_index_batch,
+        open_index_state,
+        stream_index_fold,
+    )
+    from mcyj_datapipeline_spark.registry_batch13 import _BM25_TERMS
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = session_scratch(
+        f"bm25idx_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    landing = _stage_release_landing(spark, sf_dir, docs, root)
+    state_root = os.path.join(root, "state")
+    postings, doclen = open_index_state(spark, state_root, num_buckets=8)
+    fold_index_batch(
+        docs.filter(F.col("doc_id") < 400).select("doc_id", "text"),
+        postings,
+        doclen,
+    )
+    stream_index_fold(
+        spark, landing, state_root, os.path.join(root, "ckpt"),
+        num_buckets=8,
+    )
+    return bm25_topk_from_state(postings, doclen, _BM25_TERMS)
 
 
 # ===========================================================================

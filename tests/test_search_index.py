@@ -153,3 +153,52 @@ def test_bucket_col_requires_bucketed_layout(spark, tmp_path):
         ParquetStateTable(
             spark, str(tmp_path / "s"), key="k", bucket_col="c"
         )
+
+
+# -- streaming fold (landing files -> foreachBatch -> state) -------------
+
+
+def test_stream_fold_equals_batch_fold_and_restart_noop(spark, tmp_path):
+    """Folding nights via the file-source stream lands the same state
+    as folding them as plain batches, and re-running the stream with
+    an intact checkpoint re-delivers nothing."""
+    import os
+
+    from mcyj_datapipeline_spark.operators.search_index import (
+        stream_index_fold,
+    )
+
+    rows = [
+        (1, "en", "hash join hash"),
+        (2, "en", "vector scan join"),
+        (3, "en", "hash vector words"),
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, lang string, text string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(landing / f"_b{i}"))
+        import glob
+        (part,) = glob.glob(str(landing / f"_b{i}" / "part-*.parquet"))
+        os.replace(part, str(landing / f"night{i}.parquet"))
+        import shutil
+        shutil.rmtree(str(landing / f"_b{i}"))
+
+    stream_index_fold(
+        spark, str(landing), str(tmp_path / "st"), str(tmp_path / "ck"), 4
+    )
+    ps, ds = open_index_state(spark, str(tmp_path / "st"), 4)
+    streamed = _state_snapshot(ps, ds)
+
+    pb, db = open_index_state(spark, str(tmp_path / "batch"), 4)
+    fold_index_batch(
+        _docs(spark, [(d, t) for d, _, t in rows]), pb, db
+    )
+    assert streamed == _state_snapshot(pb, db)
+
+    # restart with intact checkpoint: no new files, state unchanged
+    stream_index_fold(
+        spark, str(landing), str(tmp_path / "st"), str(tmp_path / "ck"), 4
+    )
+    assert _state_snapshot(ps, ds) == streamed
