@@ -2030,6 +2030,12 @@ def text_tfidf_top_terms(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(TA.tokens(F.col("text"))).alias("term")
     )
+    # tf feeds BOTH the idf aggregate and the join left side, and the
+    # executed plan tokenizes the corpus twice (no ReusedExchange
+    # across the aggregate). Pinning tf was A/B-measured and REJECTED:
+    # materializing the (doc, term, tf) relation costs more than the
+    # second codegen tokenize pass (sf1 warm min 3.48 s plain vs
+    # 4.70 s pinned; sf0.1 a wash — SCALE.md r12 adjudication).
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = _W.partitionBy("doc_id").orderBy(
