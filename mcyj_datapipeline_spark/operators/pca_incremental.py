@@ -128,6 +128,56 @@ def fold_gram_batch(
     state.update(partial, ["batch_id", "kind", "i", "j", "val_q", "val"])
 
 
+def stream_gram_fold(
+    spark: SparkSession,
+    landing_dir: str,
+    state_root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    num_buckets: int | None = 4,
+) -> None:
+    """The Gram fold as a Structured-Streaming query over a landing
+    dir (foreachBatch + Trigger.AvailableNow + checkpoint). One
+    subtlety the keyed BM25/release folds don't have: this state is
+    ADDITIVE PER BATCH, so the batch identity must survive not just
+    crash-replay (epoch ids do) but checkpoint LOSS — a fresh
+    checkpoint re-delivers old files, possibly re-grouped into
+    different epochs, and epoch-keyed partials would double-count.
+    So the fold keys partials by the landing FILE NAME
+    (``input_file_name()``, split within the micro-batch): re-folding
+    a file under any grouping rewrites its own cells. The per-batch
+    file list is a driver-side collect bounded by files-per-trigger,
+    never data-sized."""
+    import os
+
+    state = open_gram_state(spark, state_root, num_buckets)
+
+    def _fold(batch_df: DataFrame, _epoch: int) -> None:
+        pinned = batch_df.withColumn(
+            "_file", F.input_file_name()
+        ).localCheckpoint(eager=True)
+        files = sorted(
+            r[0] for r in pinned.select("_file").distinct().collect()
+        )
+        for f in files:
+            fold_gram_batch(
+                pinned.filter(F.col("_file") == f),
+                os.path.basename(f),
+                state,
+                vec_col,
+            )
+
+    (
+        spark.readStream.schema(f"vec_id long, {vec_col} array<float>")
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def gram_totals(state: ParquetStateTable) -> DataFrame:
     """Moments summed across every folded batch — ``(kind, i, j,
     gq, g)`` at d²-grain, never data-sized."""

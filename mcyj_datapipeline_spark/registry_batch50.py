@@ -51,6 +51,7 @@ __all__ = [
     "text_bm25_index_stream",
     "v5_kmeans_warm_restart",
     "v6_pca_gram_fold",
+    "v6b_pca_gram_stream",
 ]
 
 # deterministic ~2% edge expiry, expressible identically in Spark and
@@ -427,6 +428,97 @@ def v6_pca_gram_fold(spark, sf_dir):
         if hi is not None:
             cond = cond & (F.col("vec_id") < hi)
         fold_gram_batch(emb.filter(cond), name, state)
+    return (
+        gram_totals(state)
+        .select(
+            "kind",
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("gq").alias("gq"),
+        )
+        .orderBy("kind", "i", "j")
+    )
+
+
+def _stage_embedding_landing(spark, sf_dir, emb, root):
+    """Two synthetic nightly embedding drops (vec_id 400-450,
+    450-end) as single parquet files with ordered mtimes — the
+    release-landing layout for the vector table."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    landing = os.path.join(root, "landing")
+    if os.path.isdir(landing):
+        return landing
+    stage = landing + ".stage"
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    now = time.time()
+    for i, (lo, hi) in enumerate(((400, 450), (450, None))):
+        cond = F.col("vec_id") >= lo
+        if hi is not None:
+            cond = cond & (F.col("vec_id") < hi)
+        tmp = os.path.join(stage, f"_night{i + 1}_build")
+        emb.filter(cond).select("vec_id", "embedding").coalesce(
+            1
+        ).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        path = os.path.join(stage, f"night{i + 1}.parquet")
+        os.replace(part, path)
+        shutil.rmtree(tmp)
+        t = now - 20 + 10 * i
+        os.utime(path, (t, t))
+    os.rename(stage, landing)
+    return landing
+
+
+@register(
+    "v6b_pca_gram_stream",
+    # v6's oracle VERBATIM: landing-stream maintenance must produce
+    # the identical integer-exact moment cells
+    _V6_GRAM_ORACLE,
+    "The PCA Gram fold as a REAL Structured-Streaming query: the "
+    "bootstrap embedding corpus folds as a batch, then two nightly "
+    "vector drops land as files and a file-source stream "
+    "(foreachBatch + Trigger.AvailableNow + checkpoint) folds each "
+    "night's moment partial into the persisted state; output is the "
+    "summed d²-grain cells. The exactly-once design point the keyed "
+    "folds don't need: this state is ADDITIVE PER BATCH, and epoch "
+    "ids only survive crash-replay within one checkpoint lineage — "
+    "a rebuilt checkpoint re-delivers old files possibly re-grouped, "
+    "so epoch-keyed partials would double-count. The fold therefore "
+    "keys partials by LANDING FILE NAME (input_file_name(), split "
+    "inside the micro-batch): re-folding any file under any grouping "
+    "rewrites its own cells (pinned by a fresh-checkpoint replay "
+    "test). Oracle: v6's integer-exact DuckDB twin verbatim — "
+    "maintenance mode changes the 2145 cells by exactly nothing.",
+)
+def v6b_pca_gram_stream(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.pca_incremental import (
+        fold_gram_batch,
+        gram_totals,
+        open_gram_state,
+        stream_gram_fold,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = session_scratch(
+        f"gramstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    landing = _stage_embedding_landing(spark, sf_dir, emb, root)
+    state_root = os.path.join(root, "state")
+    state = open_gram_state(spark, state_root)
+    fold_gram_batch(emb.filter(F.col("vec_id") < 400), "boot", state)
+    stream_gram_fold(
+        spark, landing, state_root, os.path.join(root, "ckpt")
+    )
     return (
         gram_totals(state)
         .select(

@@ -78,3 +78,40 @@ def test_empty_state_refuses(spark, tmp_path):
     state = open_gram_state(spark, str(tmp_path / "s"))
     with pytest.raises((ValueError, AttributeError)):
         pca_model_from_state(state)
+
+
+def test_stream_fold_survives_checkpoint_loss(spark, tmp_path):
+    """The additive-state design point: partials are keyed by landing
+    FILE NAME, so re-streaming with a REBUILT checkpoint (which
+    re-delivers and may re-group every file) rewrites identical cells
+    instead of double-counting."""
+    import glob
+    import os
+    import shutil
+
+    from mcyj_datapipeline_spark.operators.pca_incremental import (
+        stream_gram_fold,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, (lo, hi) in enumerate(((0, 250), (250, 500))):
+        tmp = str(landing / f"_b{i}")
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        os.replace(part, str(landing / f"night{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    state_root = str(tmp_path / "st")
+    stream_gram_fold(spark, str(landing), state_root, str(tmp_path / "ck"))
+    state = open_gram_state(spark, state_root)
+    first = _totals_q(state)
+    assert first[("n", 0, 0)] == 500
+
+    # checkpoint lost: everything re-delivered under a new lineage
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream_gram_fold(spark, str(landing), state_root, str(tmp_path / "ck"))
+    assert _totals_q(state) == first
