@@ -659,6 +659,7 @@ def greedy_coloring(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 60,
+    start_colors: DataFrame | None = None,
 ) -> tuple[DataFrame, int]:
     """Distributed greedy graph coloring (speculative/conflict-fix,
     Gebremedhin–Manne style, with deterministic hash priorities):
@@ -692,6 +693,17 @@ def greedy_coloring(
     Determinism: priorities and tie-breaks are pure functions of node
     ids, so the coloring is reproducible across runs and partitioning
     (the partition-invariance gate covers the registered query).
+
+    ``start_colors`` warm-restarts from a prior coloring (nightly
+    edge churn): colors still proper on today's graph are KEPT
+    verbatim; for each now-monochromatic edge only the lower-priority
+    endpoint is evicted, and the evicted plus brand-new nodes form
+    the work set — recoloring cost tracks the insertion blast radius,
+    not the graph. The warm result is proper by the same loop
+    invariant; its color count is bounded by
+    ``max(old colors, today's max_degree + 1)`` (kept colors are
+    inherited, new ones mex-bounded) — the standard incremental-
+    coloring contract, pinned by tests.
     """
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
@@ -705,7 +717,7 @@ def greedy_coloring(
         .repartition("node")
         .localCheckpoint(eager=False)
     )
-    uncolored = (
+    all_nodes = (
         adj.select("node")
         .distinct()
         .select(
@@ -715,6 +727,39 @@ def greedy_coloring(
         .localCheckpoint(eager=False)
     )
     colors: DataFrame | None = None
+    uncolored = all_nodes
+    if start_colors is not None:
+        # warm restart: keep yesterday's colors where they are still
+        # proper on TODAY's graph. For each now-monochromatic edge the
+        # LOWER-priority endpoint is evicted (the higher keeps its
+        # color, so an edge never evicts both); evicted nodes plus
+        # nodes absent from the start coloring form the work set —
+        # blast-radius-sized, not graph-sized.
+        sc = all_nodes.join(
+            start_colors.select("node", "color"), "node"
+        ).select("node", "key", "color")
+        losers = (
+            adj.join(sc, "node")
+            .join(
+                sc.select(
+                    F.col("node").alias("nbr"),
+                    F.col("key").alias("nkey"),
+                    F.col("color").alias("ncolor"),
+                ),
+                "nbr",
+            )
+            .filter(
+                (F.col("color") == F.col("ncolor"))
+                & (F.col("key") < F.col("nkey"))
+            )
+            .select("node")
+            .distinct()
+        )
+        kept = sc.join(losers, "node", "left_anti").select("node", "color")
+        colors = kept.localCheckpoint(eager=False)
+        uncolored = all_nodes.join(
+            kept, "node", "left_anti"
+        ).localCheckpoint(eager=False)
     rounds = 0
     while uncolored.count() > 0:
         if rounds >= max_rounds:

@@ -46,6 +46,7 @@ __all__ = [
     "g7b_kcore_after_deletions",
     "g7c_kcore_after_insertions",
     "g8_greedy_coloring",
+    "g8b_coloring_maintenance",
     "text_bm25_index_fold",
     "text_bm25_index_pruned",
     "text_bm25_index_stream",
@@ -437,6 +438,72 @@ def v6_pca_gram_fold(spark, sf_dir):
             F.col("gq").alias("gq"),
         )
         .orderBy("kind", "i", "j")
+    )
+
+
+@register(
+    "g8b_coloring_maintenance",
+    None,  # data-dependent round counts + hash-priority assignment → rows-only + tests
+    "Greedy-coloring maintenance under edge INSERTIONS — the warm "
+    "seam for the schedule preprocessing itself (every other "
+    "iterative family already has one: PageRank g1c, LPA g3c, k-core "
+    "g7b/c, k-means v5, and now the coloring that schedules LPA). "
+    "Yesterday's sparse co-purchase graph (minus a deterministic "
+    "~2% of edges) is colored cold; the expired edges are inserted "
+    "back and the coloring is REPAIRED, not recomputed: colors still "
+    "proper today are kept verbatim, only the lower-priority "
+    "endpoint of each now-monochromatic edge plus brand-new nodes "
+    "re-enter the speculative rounds — recolor work tracks the "
+    "insertion blast radius, not the graph "
+    "(operators/graph.py greedy_coloring(start_colors=)). Output is "
+    "the per-color class-size histogram with the in-engine "
+    "conflict_edges=0 properness validation plus cold/warm round "
+    "counts and the work-set size; compensating tests pin properness "
+    "after repair, untouched-nodes-keep-exact-colors, and the "
+    "no-conflict no-op (tests/test_graph_coloring.py).",
+)
+def g8b_coloring_maintenance(spark, sf_dir):
+    from mcyj_datapipeline_spark.operators.graph import greedy_coloring
+
+    today = _sparse_copurchase(spark, sf_dir)
+    expired = (F.col("src") * 1000003 + F.col("dst")) % _G7B_DEL_MOD
+    yday = today.filter(expired != 0)
+    ycolors, cold_rounds = greedy_coloring(yday)
+    colors, warm_rounds = greedy_coloring(
+        today, start_colors=ycolors
+    )
+    conflicts = (
+        today.join(
+            colors.select(F.col("node").alias("src"), F.col("color").alias("cs")),
+            "src",
+        )
+        .join(
+            colors.select(F.col("node").alias("dst"), F.col("color").alias("cd")),
+            "dst",
+        )
+        .filter(F.col("cs") == F.col("cd"))
+        .count()
+    )
+    changed = (
+        colors.alias("a")
+        .join(ycolors.alias("b"), F.col("a.node") == F.col("b.node"), "left")
+        .filter(
+            F.col("b.color").isNull() | (F.col("a.color") != F.col("b.color"))
+        )
+        .count()
+    )
+    return (
+        colors.groupBy("color")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "color",
+            "n_nodes",
+            F.lit(cold_rounds).alias("cold_rounds"),
+            F.lit(warm_rounds).alias("warm_rounds"),
+            F.lit(conflicts).alias("conflict_edges"),
+            F.lit(changed).alias("n_recolored"),
+        )
+        .orderBy("color")
     )
 
 

@@ -146,3 +146,63 @@ def test_colored_warm_restart_fixed_point(spark):
     )
     assert cch == 0 and wch == 0
     assert warm_sweeps <= cold_sweeps
+
+
+# -- warm restart / maintenance under edge insertions --------------------
+
+
+def test_warm_recolor_proper_and_untouched_nodes_keep_colors(spark):
+    """Insert edges into a colored graph: the warm recolor is proper,
+    and every node outside the blast radius keeps its exact color."""
+    import random
+
+    rng = random.Random(11)
+    pairs = list(
+        {
+            (a, b)
+            for _ in range(200)
+            for a, b in [sorted(rng.sample(range(50), 2))]
+        }
+    )
+    yday = _mirror(spark, pairs)
+    c0, _ = greedy_coloring(yday)
+    _assert_proper(yday, c0)
+
+    inserted = [(0, 49), (1, 48), (2, 47)]
+    today = _mirror(spark, pairs + [p for p in inserted if p not in pairs])
+    cw, warm_rounds = greedy_coloring(today, start_colors=c0)
+    _assert_proper(today, cw)
+    assert cw.select("node").distinct().count() == 50
+
+    # blast radius: endpoints of inserted edges (at most); everyone
+    # else keeps yesterday's color verbatim
+    touched = {a for a, _ in inserted} | {b for _, b in inserted}
+    old = {r["node"]: r["color"] for r in c0.collect()}
+    new = {r["node"]: r["color"] for r in cw.collect()}
+    for n in old:
+        if n not in touched:
+            assert new[n] == old[n], f"untouched node {n} recolored"
+
+    # warm work is blast-radius-sized: far fewer rounds than cold
+    _, cold_rounds = greedy_coloring(today)
+    assert warm_rounds <= cold_rounds
+
+
+def test_warm_recolor_with_new_nodes(spark):
+    """Nodes absent from the start coloring are colored fresh."""
+    yday = _mirror(spark, [(1, 2), (2, 3)])
+    c0, _ = greedy_coloring(yday)
+    today = _mirror(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (4, 1)])
+    cw, _ = greedy_coloring(today, start_colors=c0)
+    _assert_proper(today, cw)
+    assert cw.select("node").distinct().count() == 5
+
+
+def test_warm_recolor_noop_when_still_proper(spark):
+    """No conflicts after the edge change → zero recolor rounds and
+    colors identical."""
+    yday = _mirror(spark, [(1, 2), (2, 3), (1, 3)])
+    c0, _ = greedy_coloring(yday)
+    cw, rounds = greedy_coloring(yday, start_colors=c0)
+    assert rounds == 0
+    assert sorted(map(tuple, cw.collect())) == sorted(map(tuple, c0.collect()))
