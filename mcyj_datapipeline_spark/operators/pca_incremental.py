@@ -113,6 +113,12 @@ def fold_gram_batch(
     delivered batch rewrites identical rows (the int column exactly;
     the double column up to partial-sum order) — idempotent with no
     applied-batch bookkeeping."""
+    if ":" in batch_id:
+        # cell keys are colon-joined (batch_id:kind:i:j); a colon in
+        # the id could alias another batch's cells
+        raise ValueError(
+            f"batch_id must not contain ':', got {batch_id!r}"
+        )
     partial = gram_partial_long(batch, vec_col).select(
         F.concat_ws(
             ":", F.lit(batch_id), "kind", F.col("i").cast("string"),

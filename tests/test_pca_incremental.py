@@ -115,3 +115,13 @@ def test_stream_fold_survives_checkpoint_loss(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "ck"))
     stream_gram_fold(spark, str(landing), state_root, str(tmp_path / "ck"))
     assert _totals_q(state) == first
+
+
+def test_colon_batch_id_refused(spark, tmp_path):
+    from mcyj_datapipeline_spark.operators.pca_incremental import (
+        fold_gram_batch,
+    )
+
+    state = open_gram_state(spark, str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="batch_id"):
+        fold_gram_batch(_emb(spark), "a:b", state)
