@@ -47,6 +47,7 @@ __all__ = [
     "g7c_kcore_after_insertions",
     "g8_greedy_coloring",
     "g8b_coloring_maintenance",
+    "sim_ivf_from_state",
     "text_bm25_index_fold",
     "text_bm25_index_pruned",
     "text_bm25_index_stream",
@@ -504,6 +505,93 @@ def g8b_coloring_maintenance(spark, sf_dir):
             F.lit(changed).alias("n_recolored"),
         )
         .orderBy("color")
+    )
+
+
+@register(
+    "sim_ivf_from_state",
+    """
+    SELECT count(*) AS n_queries,
+           5 * count(*) AS n_pairs_exact,
+           CAST(0.3 AS DOUBLE) AS recall_floor,
+           true AS recall_ok,
+           true AS state_matches_inmemory
+    FROM embeddings WHERE vec_id < 8
+    """,
+    "ANN from a PERSISTED IVF index (operators/ann_index.py — the "
+    "BM25 posting-index shape applied to vectors): k-means centroids "
+    "and the inverted lists live in ParquetStateTables, the lists "
+    "bucketed BY CENTROID so a probe reads only the nprobe probed "
+    "lists' partition dirs (read_pruned — untouched lists cost zero "
+    "input splits, pinned by an inputFiles test). The index builds "
+    "once (bootstrap rebuild + one nightly fold against FROZEN "
+    "centroids — frozen is what keeps vec->list functional so keyed "
+    "upserts stay idempotent; refits go through the full-rewrite "
+    "path) and the query answers from state. Two in-query contracts "
+    "ride the oracle row: recall@5 vs the in-plan brute-force "
+    "baseline >= 0.3 (the q1b epsilon pattern — float k-means "
+    "centroids make exact lists engine-specific), and "
+    "state_matches_inmemory — the from-state answers equal "
+    "similarity.ivf_topk's on the identical centroids, so "
+    "persistence changes answers by exactly nothing. At 100 TB the "
+    "one-shot ivf_topk re-assigns the corpus per query batch; this "
+    "shape pays assignment once per ingest and each query touches "
+    "nprobe/n_centroids of the index.",
+)
+def sim_ivf_from_state(spark, sf_dir):
+    import os
+
+    from mcyj_datapipeline_spark.operators.ann_index import (
+        ann_topk_from_state,
+        fold_ivf_batch,
+        open_ivf_state,
+        rebuild_ivf_state,
+    )
+    from mcyj_datapipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = session_scratch(
+        f"ivfstate_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2)
+    cst, ast = open_ivf_state(spark, os.path.join(root, "state"))
+    boot = emb.filter(F.col("vec_id") < 400)
+    rebuild_ivf_state(boot, cents, cst, ast)
+    fold_ivf_batch(emb.filter(F.col("vec_id") >= 400), cst, ast)
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    from_state = ann_topk_from_state(cst, ast, queries, k=5, nprobe=4)
+    in_memory = ivf_topk(emb, queries, k=5, nprobe=4, centroids=cents)
+    same = (
+        from_state.select("query_id", "neighbor_id", "rank")
+        .exceptAll(in_memory.select("query_id", "neighbor_id", "rank"))
+        .count()
+        == 0
+        and in_memory.select("query_id", "neighbor_id", "rank")
+        .exceptAll(from_state.select("query_id", "neighbor_id", "rank"))
+        .count()
+        == 0
+    )
+    approx = from_state.select(
+        "query_id", "neighbor_id", F.lit(1).alias("_m")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_pairs_exact"),
+        F.lit(0.3).alias("recall_floor"),
+        (
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            / F.count(F.lit(1))
+            >= 0.3
+        ).alias("recall_ok"),
+        F.lit(bool(same)).alias("state_matches_inmemory"),
     )
 
 
