@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mcyj_datapipeline_spark.functions.numerics import stable6
+from mcyj_datapipeline_spark.operators.caching import pin_partitioned
 
 
 def pagerank(
@@ -102,7 +103,13 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("w")).alias("mass"))
         )
         # left join back onto the full node set so in-edge-less nodes
-        # keep their teleport share instead of silently dropping out
+        # keep their teleport share instead of silently dropping out.
+        # (r12 note: a fused union-of-zero-rows + single groupBy variant
+        # was A/B-measured here and REVERTED — it raised per-query
+        # executor CPU 25-58% at sf0.1 because this left join runs as a
+        # cheap AQE broadcast join of the node-sized contribs, while the
+        # fused shape defeats the exchange-reuse the two-step plan gets;
+        # see OPTIMIZATION_r12.md.)
         ranks = nodes.join(
             contribs, nodes["node"] == contribs["dst"], "left"
         ).select(
@@ -620,19 +627,14 @@ def _lpa_scheduled_sweeps(
     while sweeps < max_sweeps:
         prev = labels
         for half in halves:
+            # single deterministic-mode aggregate (r12): most frequent
+            # neighbor label, ties to the LOWEST — identical to the
+            # former count + min(struct(-votes,label)) cascade, one
+            # exchange instead of two (see label_propagation)
             new = (
                 half.join(labels, half["src"] == labels["node"])
-                .groupBy(half["dst"].alias("node"), "label")
-                .agg(F.count(F.lit(1)).alias("votes"))
-                .groupBy("node")
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("votes")).alias("nv"), F.col("label")
-                        )
-                    ).alias("m")
-                )
-                .select("node", F.col("m.label").alias("_new"))
+                .groupBy(half["dst"].alias("node"))
+                .agg(F.mode("label", True).alias("_new"))
             )
             labels = (
                 labels.join(new, "node", "left")
@@ -1090,15 +1092,19 @@ def label_propagation(
     vote count, and a groupBy(node) argmax — label state never exceeds
     one row per node, and the plan stays constant-size via
     ``localCheckpoint`` (swap for ``checkpoint`` on a real cluster).
-    The argmax is ``min(struct(-votes, label))`` (negate the numeric
-    vote count, never the label, so string labels survive and ties
-    break to the smallest label) — no per-node window, so partial
-    aggregation applies map-side.
+    The neighbor-majority argmax is ONE ``mode(label,
+    deterministic=true)`` aggregate (r12): Spark's deterministic mode
+    returns the most frequent value with ties to the LOWEST — exactly
+    the count-then-``min(struct(-votes, label))`` two-aggregate cascade
+    it replaces, for any orderable label type, but in a single
+    groupBy(dst): one exchange per round instead of two (the
+    (dst,label) vote-count exchange is gone), with the per-mapper
+    label->count maps still merging partially map-side
+    (ObjectHashAggregate).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    e = pin_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        "src",
     )
     labels = (
         e.select(F.col("src").alias("node"))
@@ -1106,25 +1112,10 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
     )
     for _ in range(iterations):
-        votes = (
-            e.join(labels, e["src"] == labels["node"])
-            .groupBy(e["dst"].alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("votes"))
-        )
         labels = (
-            votes.groupBy("node")
-            # argmax votes, tie -> SMALLEST label, as min(struct(-votes,
-            # label)): negating the numeric VOTE count (never the label)
-            # keeps the tie-break correct for any orderable label type —
-            # the former -label spelling silently cast string labels to
-            # null (ADVICE r6) — and stays a plain min aggregate, so
-            # partial aggregation remains map-side (no per-node window).
-            .agg(
-                F.min(
-                    F.struct((-F.col("votes")).alias("nv"), F.col("label"))
-                ).alias("m")
-            )
-            .select("node", F.col("m.label").alias("label"))
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.mode("label", True).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels
@@ -1152,7 +1143,8 @@ def label_propagation_converged(
     ``check_every=k`` folds k vote rounds into one job between
     checks, same amortization trade as :func:`pagerank_converged`.
     Per-round cost is identical to the fixed-count operator: one
-    join + vote groupBy + argmax groupBy on the cached edge list.
+    join + one deterministic-mode vote groupBy on the cached edge
+    list.
 
     2-cycle safety: the block check compares labels k rounds apart,
     and for EVEN k the two states of a period-2 oscillation compare
@@ -1216,21 +1208,14 @@ def label_propagation_converged(
         second_last = labels
         for _ in range(min(check_every, max_iterations - iterations_run)):
             second_last = labels
-            votes = (
-                e.join(labels, e["src"] == labels["node"])
-                .groupBy(e["dst"].alias("node"), "label")
-                .agg(F.count(F.lit(1)).alias("votes"))
-            )
+            # single deterministic-mode aggregate (r12): most frequent
+            # neighbor label, ties to the LOWEST — identical to the
+            # former count + min(struct(-votes,label)) cascade, one
+            # exchange instead of two (see label_propagation)
             labels = (
-                votes.groupBy("node")
-                .agg(
-                    F.min(
-                        F.struct(
-                            (-F.col("votes")).alias("nv"), F.col("label")
-                        )
-                    ).alias("m")
-                )
-                .select("node", F.col("m.label").alias("label"))
+                e.join(labels, e["src"] == labels["node"])
+                .groupBy(e["dst"].alias("node"))
+                .agg(F.mode("label", True).alias("label"))
                 .localCheckpoint(eager=False)
             )
             iterations_run += 1
