@@ -11,21 +11,110 @@ across keys with one shuffle, and per-group memory is the group's row
 count.
 
 100 TB notes: group cardinality (user x type) grows with users, not
-with time-per-user, so groups stay small and numerous — ideal for the
-grouped-map path. A single pathological key with millions of rows
-would pin one task: cap it upstream (the same valve as the dedup
-bucket caps) or window the recurrence by time-slicing with carried
-state (streaming/stateful.py runs THIS logic incrementally with
-timeouts; these batch forms are its replay/backfill twins).
+with time-per-user, so groups stay small and numerous. That is
+exactly why these run as ONE ``mapInPandas`` pass over key-partitioned,
+key-sorted partitions instead of ``groupBy().applyInPandas`` (r12):
+the grouped-map path pays one Arrow batch + one Python call + one
+pandas-frame construction PER GROUP, and with tens of thousands of
+tiny groups that fixed overhead was 95% of the operator (measured:
+ev_throttle_chained 29.5 summed task-seconds at 0.7s CPU — 18s wall
+at sf0.1 — for a recurrence whose actual work is a single pass over
+200k rows). The partition map runs the same hash exchange the groupBy
+did, sorts within partitions by (key, order), and walks each partition
+once in numpy with group-boundary resets — per-GROUP state and
+semantics unchanged, per-group overhead gone. A single pathological
+key with millions of rows pins one task in either form: cap it
+upstream (the same valve as the dedup bucket caps) or window the
+recurrence by time-slicing with carried state (streaming/stateful.py
+runs THIS logic incrementally with timeouts; these batch forms are its
+replay/backfill twins).
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Callable, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _group_starts(pdf: pd.DataFrame, key_cols: list[str]):
+    """Boolean ndarray: True where a new key group begins (frame sorted
+    by ``key_cols``, so groups are contiguous). Null-safe: NaN == NaN
+    for this purpose, matching groupBy's null-is-a-group semantics."""
+    import numpy as np
+
+    n = len(pdf)
+    starts = np.zeros(n, dtype=bool)
+    if n:
+        starts[0] = True
+        for c in key_cols:
+            s = pdf[c]
+            same = (s == s.shift()) | (s.isna() & s.shift().isna())
+            starts |= ~same.to_numpy(dtype=bool)
+    return starts
+
+
+def _ordered_partition_map(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema,
+) -> DataFrame:
+    """Run ``fn`` over pandas frames of COMPLETE, (key, order)-sorted
+    groups — the grouped-recurrence execution shape that amortizes the
+    per-group Python overhead of applyInPandas across a whole
+    partition.
+
+    Same exchange the groupBy would do (hash on ``key_cols``), plus a
+    partition-local sort; ``mapInPandas`` then streams Arrow batches in
+    partition order. A group can span batches, so rows of each batch's
+    LAST key are buffered and prepended to the next batch — ``fn``
+    always sees every row of a group together, exactly like the grouped
+    map, with per-group state reset at the boundaries ``_group_starts``
+    reports."""
+    sorted_df = df.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, *order_cols
+    )
+
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            n = len(pdf)
+            if not n:
+                continue
+            # contiguous tail run sharing the last row's key stays
+            # buffered (null-safe equality, same as _group_starts)
+            tail = pd.Series(True, index=pdf.index)
+            for c in key_cols:
+                v = pdf[c].iloc[-1]
+                col = pdf[c]
+                tail &= (col == v) | (col.isna() & pd.isna(v))
+            n_tail = 0
+            t = tail.to_numpy(dtype=bool)
+            i = n - 1
+            while i >= 0 and t[i]:
+                n_tail += 1
+                i -= 1
+            if n_tail == n:
+                buf = pdf
+                continue
+            head = pdf.iloc[: n - n_tail].reset_index(drop=True)
+            buf = pdf.iloc[n - n_tail :].reset_index(drop=True)
+            out = fn(head)
+            if len(out):
+                yield out
+        if buf is not None and len(buf):
+            out = fn(buf)
+            if len(out):
+                yield out
+
+    return sorted_df.mapInPandas(run, schema=out_schema)
 
 
 def throttle_keep_chain(
@@ -47,24 +136,32 @@ def throttle_keep_chain(
     (t+40m is just 20m past its suppressed predecessor). Output schema
     == input schema (kept rows only).
     """
+    import numpy as np
+
     key_cols = list(key_cols)
     schema = df.schema
+    cols = [f.name for f in schema.fields]
 
     def keep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak_col])
-        ts = pd.to_datetime(pdf[ts_col])
-        kept_idx = []
-        last_kept = None
-        for i, t in zip(pdf.index, ts):
-            if (
-                last_kept is None
-                or (t - last_kept).total_seconds() > cooldown_seconds
-            ):
-                kept_idx.append(i)
-                last_kept = t
-        return pdf.loc[kept_idx]
+        ts_ns = (
+            pd.to_datetime(pdf[ts_col])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .to_numpy()
+        )
+        starts = _group_starts(pdf, key_cols)
+        kept = np.zeros(len(pdf), dtype=bool)
+        last_ns = 0
+        for i in range(len(pdf)):
+            # same arithmetic as Timedelta.total_seconds(): ns / 1e9
+            if starts[i] or (ts_ns[i] - last_ns) / 1e9 > cooldown_seconds:
+                kept[i] = True
+                last_ns = ts_ns[i]
+        return pdf.loc[kept, cols]
 
-    return df.groupBy(*key_cols).applyInPandas(keep, schema=schema)
+    return _ordered_partition_map(
+        df, key_cols, [ts_col, tiebreak_col], keep, schema
+    )
 
 
 def ewma_per_key(
@@ -95,15 +192,25 @@ def ewma_per_key(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
     )
 
+    import numpy as np
+
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        # per-group Cython ewm in ONE call: groups are contiguous and
+        # in order, so the concatenated groupby result aligns with the
+        # frame rows positionally
+        gid = np.cumsum(_group_starts(pdf, key_cols))
+        pdf = pdf.copy()
         pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False, ignore_na=True)
+            pdf.groupby(gid, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False, ignore_na=True)
             .mean()
+            .to_numpy()
         )
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)
+    return _ordered_partition_map(
+        df, key_cols, [ts_col, tiebreak_col], smooth, out_schema
+    )
 
 
 def holt_linear_per_key(
@@ -126,8 +233,8 @@ def holt_linear_per_key(
 
     Appends ``level``, ``trend``, ``fitted`` (NULL on each key's first
     row — nothing to forecast from). Like the EWMA/throttle ops this
-    depends on previous OUTPUTS, so it is a grouped ``applyInPandas``
-    recurrence (one shuffle on the key, O(rows) per group) with a
+    depends on previous OUTPUTS, so it is a sequential recurrence (one
+    shuffle on the key, one ordered partition-map pass) with a
     recursive-CTE DuckDB twin; the arithmetic is written in exactly
     this operation order so the float paths agree across engines."""
     import numpy as np
@@ -144,15 +251,16 @@ def holt_linear_per_key(
     )
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
         y = pdf[value_col].to_numpy(dtype=np.float64)
         n = len(y)
+        starts = _group_starts(pdf, key_cols)
         level = np.empty(n)
         trend = np.empty(n)
         fitted = np.full(n, np.nan)
-        if n:
-            level[0], trend[0] = y[0], 0.0
-            for i in range(1, n):
+        for i in range(n):
+            if starts[i]:
+                level[i], trend[i] = y[i], 0.0
+            else:
                 f = level[i - 1] + trend[i - 1]
                 fitted[i] = f
                 level[i] = alpha * y[i] + (1.0 - alpha) * f
@@ -160,10 +268,13 @@ def holt_linear_per_key(
                     beta * (level[i] - level[i - 1])
                     + (1.0 - beta) * trend[i - 1]
                 )
+        pdf = pdf.copy()
         pdf["level"], pdf["trend"], pdf["fitted"] = level, trend, fitted
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(smooth, schema=out_schema)
+    return _ordered_partition_map(
+        df, key_cols, [ts_col, tiebreak_col], smooth, out_schema
+    )
 
 
 def cusum_per_key(
@@ -186,8 +297,8 @@ def cusum_per_key(
 
     Like the EWMA/Holt recurrences this depends on previous OUTPUTS
     (the max(0, .) clamp kills any prefix-sum rewrite), so it is a
-    grouped ``applyInPandas`` pass — one shuffle on the key, O(rows)
-    per group — with a recursive-CTE DuckDB twin written in the same
+    key-partitioned ordered recurrence — one shuffle on the key, one
+    partition-map pass — with a recursive-CTE DuckDB twin written in the same
     operation order so the float paths agree bit-for-bit. ``mu`` is
     sum/n (exact for integer inputs). At 100 TB the input is already
     a per-key day-grain rollup (thousands of rows per key), never the
@@ -211,17 +322,27 @@ def cusum_per_key(
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         y = pdf[value_col].to_numpy(dtype=np.float64)
         n = len(y)
-        mu = float(y.sum()) / n if n else 0.0
-        k = k_frac * mu
-        h = h_frac * mu
+        starts = _group_starts(pdf, key_cols)
+        bounds = np.flatnonzero(starts).tolist() + [n]
+        mu_arr = np.empty(n)
+        # per-group mu via the slice's own np.sum — the identical
+        # pairwise summation the grouped form used, so the float path
+        # (and the bit-for-bit oracle note above) is unchanged
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = y[s:e]
+            mu_arr[s:e] = float(seg.sum()) / len(seg)
         sp = np.empty(n)
         sm = np.empty(n)
         prev_p = 0.0
         prev_m = 0.0
         for i in range(n):
+            if starts[i]:
+                prev_p = 0.0
+                prev_m = 0.0
+            mu = mu_arr[i]
+            k = k_frac * mu
             prev_p = prev_p + ((y[i] - mu) - k)
             if prev_p < 0.0:
                 prev_p = 0.0
@@ -229,10 +350,11 @@ def cusum_per_key(
             if prev_m < 0.0:
                 prev_m = 0.0
             sp[i], sm[i] = prev_p, prev_m
-        pdf["mu"] = mu
+        pdf = pdf.copy()
+        pdf["mu"] = mu_arr
         pdf["sp"] = sp
         pdf["sm"] = sm
-        pdf["alarm"] = (sp > h) | (sm > h)
+        pdf["alarm"] = (sp > h_frac * mu_arr) | (sm > h_frac * mu_arr)
         return pdf
 
-    return df.groupBy(*key_cols).applyInPandas(walk, schema=out_schema)
+    return _ordered_partition_map(df, key_cols, [ts_col], walk, out_schema)

@@ -161,7 +161,7 @@ def ts2_linear_interpolation(spark, sf_dir):
     "purchase series: TWO recurrences chained through each other "
     "(level needs the previous level+trend, trend needs the new "
     "level), the case one window pass cannot express even with "
-    "prefix tricks. Grouped applyInPandas, one shuffle on the key; "
+    "prefix tricks. Ordered partition-map, one shuffle on the key; "
     "the DuckDB twin walks the same chain as a recursive CTE with "
     "the arithmetic in the same operation order, and output rounding "
     "is the cross-engine-stable floor(x*1e6+0.5)/1e6 formula.",

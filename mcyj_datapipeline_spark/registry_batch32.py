@@ -90,7 +90,7 @@ _CUSUM_H_FRAC = 1.0  # alarm threshold h = mu
     "daily event counts: allowance k=0.25*mu, threshold h=mu — the "
     "sequential detector that flags sustained ingest-volume drift "
     "long before a fixed-threshold alert would. The max(0,.) clamp "
-    "kills any prefix-sum rewrite, so it is the grouped-applyInPandas "
+    "kills any prefix-sum rewrite, so it is the ordered-partition-map "
     "recurrence (one shuffle on event_type over the DAY-GRAIN rollup, "
     "never the raw stream) with a recursive-CTE DuckDB twin in the "
     "identical operation order; counts are exact integers so mu and "

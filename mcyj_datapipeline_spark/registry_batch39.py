@@ -8,7 +8,7 @@ surface (new in Spark 4) and two remaining engine behaviors —
 - ``sql_recursive_ewma``: a sequential recurrence (EWMA over daily
   counts) expressed ENTIRELY in Spark's recursive SQL — the exact
   shape this repo's DuckDB oracles have used all along, now runnable
-  on the engine side too. The grouped-applyInPandas operator remains
+  on the engine side too. The batch partition-map operator remains
   the scale path (recursion depth = series length); this pins the
   declarative twin at day grain where depth is bounded.
 - ``w9_session_window_tvf``: batch ``session_window`` aggregation —
@@ -151,7 +151,7 @@ def _ewma_recursive_sql(daily_src: str, date_expr: str) -> str:
     "(modulo the date cast) and must agree bit-for-bit before the "
     "6dp floor. Day-grain input keeps recursion depth bounded "
     "(= series length) and each level is a tiny keyed join; the "
-    "grouped-applyInPandas ewma_per_key remains the 100 TB path for "
+    "partition-map ewma_per_key remains the 100 TB path for "
     "row-grain series.",
 )
 def sql_recursive_ewma(spark, sf_dir):

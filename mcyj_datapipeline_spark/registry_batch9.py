@@ -567,7 +567,7 @@ def j18_null_safe_join(spark, sf_dir):
     None,
     "Throttle with previous-KEPT semantics (the alerting rate-limit "
     "that actually chains): within (user, type), keep an event iff "
-    ">30min after the last KEPT one. Grouped applyInPandas recurrence "
+    ">30min after the last KEPT one. Ordered partition-map recurrence "
     "— one shuffle on the compound key, O(group) sequential pass, "
     "state never crosses keys. The batch/backfill twin of the "
     "stateful-streaming updater; the window-lag form "
@@ -592,7 +592,7 @@ def ev_throttle_chained(spark, sf_dir):
     "Per-user EWMA of purchase values (alpha=0.3, adjust=False "
     "recurrence): the recursive smoother that window functions cannot "
     "express without numerically-explosive a^(-j) prefix tricks. "
-    "Grouped applyInPandas; NULL values carry the smoother forward. "
+    "Ordered partition-map; NULL values carry the smoother forward. "
     "Verified against the closed-form Python recurrence in tests.",
 )
 def ev_ewma_value(spark, sf_dir):
