@@ -58,8 +58,15 @@ def pin(df: DataFrame) -> DataFrame:
 
 def pin_partitioned(df: DataFrame, key: str) -> DataFrame:
     """Pin a relation an ITERATIVE operator joins on ``key`` every
-    round (edge lists in PageRank/LPA/CC/BFS), keyed layout chosen by
-    ``SPARK_GRAFT_EDGE_LAYOUT``:
+    round, keyed layout chosen by ``SPARK_GRAFT_EDGE_LAYOUT``. Callers
+    (r13): the LPA family's edge lists — fixed-iteration
+    ``label_propagation``, ``label_propagation_converged``, and the
+    scheduled-sweep builders (ADVICE r12: the converged/scheduled
+    variants used to hardcode the checkpoint layout while this
+    docstring claimed coverage). PageRank/CC/BFS edge lists keep their
+    own r11-adjudicated shapes (plain ``repartition`` + checkpoint, or
+    distinct-partitioned) — routing them here would CHANGE their
+    default plan, which the r12 layout A/B measured as a local loss.
 
     - ``checkpoint`` (default): ``repartition(key)`` + lazy
       ``localCheckpoint`` — the historical shape. The LogicalRDD loses

@@ -587,10 +587,11 @@ def label_propagation_semisync_converged(
     """
     if max_sweeps < 1:
         raise ValueError(f"max_sweeps must be >= 1, got {max_sweeps}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    # edge-layout seam (ADVICE r12): default byte-identical to the
+    # former inline repartition+localCheckpoint
+    e = pin_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        "src",
     )
     halves = [
         e.filter(F.pmod("dst", F.lit(2)) == p).localCheckpoint(
@@ -627,14 +628,11 @@ def _lpa_scheduled_sweeps(
     while sweeps < max_sweeps:
         prev = labels
         for half in halves:
-            # single deterministic-mode aggregate (r12): most frequent
-            # neighbor label, ties to the LOWEST — identical to the
-            # former count + min(struct(-votes,label)) cascade, one
-            # exchange instead of two (see label_propagation)
-            new = (
-                half.join(labels, half["src"] == labels["node"])
-                .groupBy(half["dst"].alias("node"))
-                .agg(F.mode("label", True).alias("_new"))
+            # one deterministic-mode vote round (see _neighbor_vote)
+            new = _neighbor_vote(
+                half.join(labels, half["src"] == labels["node"]),
+                half["dst"],
+                out="_new",
             )
             labels = (
                 labels.join(new, "node", "left")
@@ -880,15 +878,16 @@ def label_propagation_colored_converged(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if colors is None:
         colors, _ = greedy_coloring(edges, src, dst)
-    ec = (
+    # edge-layout seam (ADVICE r12), default byte-identical to the
+    # former inline repartition+localCheckpoint
+    ec = pin_partitioned(
         e.join(
             colors.select(
                 F.col("node").alias("dst"), F.col("color").alias("_c")
             ),
             "dst",
-        )
-        .repartition("src")
-        .localCheckpoint(eager=False)
+        ),
+        "src",
     )
     # one int per class — ≤ max_degree + 1, never data-sized
     classes = sorted(r[0] for r in ec.select("_c").distinct().collect())
@@ -1069,6 +1068,41 @@ def kcore_nodes_after_insertions(
     return out, expand_rounds
 
 
+def _neighbor_vote(joined: DataFrame, dst, out: str = "label") -> DataFrame:
+    """One LPA vote round over an (edges ⋈ labels) relation: the most
+    frequent neighbor label per destination node, ties to the LOWEST
+    label, as column ``out``.
+
+    Default is the r12 single deterministic-mode aggregate — one
+    exchange per round (``mode(label, deterministic=true)`` is exactly
+    "most frequent, ties to lowest" for any orderable label type).
+    ``SPARK_GRAFT_LPA_VOTE=two_stage`` restores the r11
+    count + ``min(struct(-votes, label))`` cascade (two exchanges per
+    round) — kept as a measurement seam so the r12 rewrite stays
+    A/B-able cold-JVM at the driver's bench regime (VERDICT r12 #1).
+    Results are identical in both shapes by construction; the oracle
+    and tests pin the default path.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LPA_VOTE", "mode") == "two_stage":
+        votes = joined.groupBy(dst.alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("votes")
+        )
+        return (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("votes")).alias("nv"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias(out))
+        )
+    return joined.groupBy(dst.alias("node")).agg(
+        F.mode("label", True).alias(out)
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
@@ -1112,12 +1146,9 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
     )
     for _ in range(iterations):
-        labels = (
-            e.join(labels, e["src"] == labels["node"])
-            .groupBy(e["dst"].alias("node"))
-            .agg(F.mode("label", True).alias("label"))
-            .localCheckpoint(eager=False)
-        )
+        labels = _neighbor_vote(
+            e.join(labels, e["src"] == labels["node"]), e["dst"]
+        ).localCheckpoint(eager=False)
     return labels
 
 
@@ -1175,10 +1206,13 @@ def label_propagation_converged(
         raise ValueError(
             f"max_iterations must be >= 1, got {max_iterations}"
         )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    # same edge-layout seam as the fixed-iteration operator (ADVICE
+    # r12: SPARK_GRAFT_EDGE_LAYOUT was honored only there); default
+    # layout is byte-identical to the former inline
+    # repartition+localCheckpoint
+    e = pin_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        "src",
     )
     base = e.select(F.col("src").alias("node")).distinct()
     if start_labels is None:
@@ -1208,16 +1242,10 @@ def label_propagation_converged(
         second_last = labels
         for _ in range(min(check_every, max_iterations - iterations_run)):
             second_last = labels
-            # single deterministic-mode aggregate (r12): most frequent
-            # neighbor label, ties to the LOWEST — identical to the
-            # former count + min(struct(-votes,label)) cascade, one
-            # exchange instead of two (see label_propagation)
-            labels = (
-                e.join(labels, e["src"] == labels["node"])
-                .groupBy(e["dst"].alias("node"))
-                .agg(F.mode("label", True).alias("label"))
-                .localCheckpoint(eager=False)
-            )
+            # one deterministic-mode vote round (see _neighbor_vote)
+            labels = _neighbor_vote(
+                e.join(labels, e["src"] == labels["node"]), e["dst"]
+            ).localCheckpoint(eager=False)
             iterations_run += 1
         changed = _flips(labels, prev)
         if changed == 0:

@@ -74,43 +74,72 @@ def _ordered_partition_map(
     LAST key are buffered and prepended to the next batch — ``fn``
     always sees every row of a group together, exactly like the grouped
     map, with per-group state reset at the boundaries ``_group_starts``
-    reports."""
+    reports. The buffer is a LIST of frames concatenated once at the
+    group boundary (ADVICE r12: re-concatenating a growing buffer into
+    every batch made one key spanning many batches cost quadratic
+    copying on top of pinning one task)."""
     sorted_df = df.repartition(*key_cols).sortWithinPartitions(
         *key_cols, *order_cols
     )
 
     def run(batches):
-        buf = None
-        for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
-            n = len(pdf)
-            if not n:
-                continue
-            # contiguous tail run sharing the last row's key stays
-            # buffered (null-safe equality, same as _group_starts)
+        # frames of ONE key's batch-spanning tail run; concat deferred
+        # to the group boundary so a key spanning k batches copies its
+        # rows O(1) times, not O(k) (quadratic overall)
+        buf: list[pd.DataFrame] = []
+
+        def _tail_run(pdf: pd.DataFrame) -> int:
+            """Length of the contiguous tail run sharing the last
+            row's key (null-safe equality, same as _group_starts)."""
             tail = pd.Series(True, index=pdf.index)
             for c in key_cols:
                 v = pdf[c].iloc[-1]
                 col = pdf[c]
                 tail &= (col == v) | (col.isna() & pd.isna(v))
-            n_tail = 0
             t = tail.to_numpy(dtype=bool)
-            i = n - 1
+            n_tail = 0
+            i = len(pdf) - 1
             while i >= 0 and t[i]:
                 n_tail += 1
                 i -= 1
+            return n_tail
+
+        def _continues_buffer(pdf: pd.DataFrame) -> bool:
+            """True if pdf's FIRST row shares the buffered key."""
+            last = buf[-1]
+            for c in key_cols:
+                a = pdf[c].iloc[0]
+                b = last[c].iloc[-1]
+                if not ((a == b) or (pd.isna(a) and pd.isna(b))):
+                    return False
+            return True
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            n_tail = _tail_run(pdf)
+            if buf and n_tail == n and _continues_buffer(pdf):
+                buf.append(pdf)  # whole batch extends the spanning key
+                continue
+            if buf:
+                pdf = pd.concat(buf + [pdf], ignore_index=True)
+                buf = []
+                n = len(pdf)
+                n_tail = _tail_run(pdf)
             if n_tail == n:
-                buf = pdf
+                buf = [pdf]
                 continue
             head = pdf.iloc[: n - n_tail].reset_index(drop=True)
-            buf = pdf.iloc[n - n_tail :].reset_index(drop=True)
+            buf = [pdf.iloc[n - n_tail :].reset_index(drop=True)]
             out = fn(head)
             if len(out):
                 yield out
-        if buf is not None and len(buf):
-            out = fn(buf)
+        if buf:
+            last_pdf = (
+                pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            )
+            out = fn(last_pdf)
             if len(out):
                 yield out
 
@@ -143,12 +172,20 @@ def throttle_keep_chain(
     cols = [f.name for f in schema.fields]
 
     def keep(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts_ns = (
-            pd.to_datetime(pdf[ts_col])
-            .astype("datetime64[ns]")
-            .astype("int64")
-            .to_numpy()
-        )
+        ts = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]")
+        if ts.isna().any():
+            # explicit, overflow-free behavior for null timestamps
+            # (ADVICE r12): NaT.astype(int64) yields INT64_MIN, so the
+            # cooldown subtraction would wrap — and a null has no
+            # defined position in a keep chain ordered by time. Fail
+            # fast instead of silently keeping/dropping garbage; mask
+            # or impute upstream if nulls are expected.
+            raise ValueError(
+                f"throttle_keep_chain: null {ts_col!r} in group input — "
+                "null timestamps have no position in the keep chain; "
+                "filter or impute them upstream"
+            )
+        ts_ns = ts.astype("int64").to_numpy()
         starts = _group_starts(pdf, key_cols)
         kept = np.zeros(len(pdf), dtype=bool)
         last_ns = 0
