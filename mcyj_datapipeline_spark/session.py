@@ -106,6 +106,16 @@ def get_spark(
         # timestamps at the scan boundary.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Measurement seam: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies
+    # session confs without code edits — used for interleaved conf
+    # A/Bs (fresh JVM per variant) where editing the factory between
+    # reps would invalidate the comparison. Unset by default; explicit
+    # extra_conf (below) wins over it.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -247,3 +247,63 @@ def test_holt_linear_state_never_crosses_keys(spark):
     assert rows[("b", 1)]["level"] == 99.0  # b's chain starts fresh
     assert rows[("b", 1)]["fitted"] is None
     assert rows[("a", 2)]["fitted"] == 10.0  # a's chain ignores b
+
+
+def test_spanning_key_buffering_across_tiny_arrow_batches(spark):
+    """r13 regression test for _ordered_partition_map's list-buffered
+    carryover (ADVICE r12: the old growing-buffer concat was quadratic
+    for a key spanning many batches). Forcing 37-row Arrow batches
+    makes every key span ~dozens of batches; the recurrence must still
+    see each group whole and in order."""
+    from pyspark.sql import functions as F
+
+    from mcyj_datapipeline_spark.operators.sequential import ewma_per_key
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        n = 3000
+        df = spark.range(n).select(
+            (F.col("id") % 3).alias("k"),
+            F.col("id").alias("eid"),
+            (F.col("id") * 1000).cast("timestamp").alias("ts"),
+            (F.col("id") % 17).cast("double").alias("v"),
+        )
+        out = {
+            (r["k"], r["eid"]): r["ewma"]
+            for r in ewma_per_key(df, ["k"], "ts", "v", 0.3, "eid").collect()
+        }
+        state: dict = {}
+        for i in range(n):  # plain-Python reference, same (k, eid) order
+            k, v = i % 3, float(i % 17)
+            state[k] = v if k not in state else 0.3 * v + 0.7 * state[k]
+            assert abs(out[(k, i)] - state[k]) < 1e-9, (k, i)
+        assert len(out) == n
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_throttle_chain_rejects_null_timestamps(spark):
+    """r13 (ADVICE r12): a null ts has no position in a keep chain and
+    NaT.astype(int64) would wrap — the operator now fails fast instead
+    of emitting garbage keep decisions."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from mcyj_datapipeline_spark.operators.sequential import (
+        throttle_keep_chain,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("eid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, __import__("datetime").datetime(2024, 1, 1))],
+        schema,
+    )
+    with pytest.raises(Exception, match="null 'ts'"):
+        throttle_keep_chain(df, ["k"], "ts", 1800, "eid").collect()
