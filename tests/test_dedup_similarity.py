@@ -836,6 +836,7 @@ def test_minhash_signatures_hash_expression_evaluates_once(spark):
     assert count_hash60_in_plan(plan) == 1, plan
 
 
+@pytest.mark.heavytier
 def test_prefix_filter_filters_never_drop_true_pairs(spark):
     """The r10 length/positional prunes are exact by theorem — fuzz
     it: random near-dup-rich corpora at thresholds that exercise the

@@ -126,6 +126,7 @@ def test_colored_schedule_on_triangle_communities(spark):
     assert got[11] == got[12] == got[13]
 
 
+@pytest.mark.heavytier
 def test_colored_warm_restart_fixed_point(spark):
     """Warm restart from yesterday's converged labels on today's
     slightly-changed graph: lands on a fixed point of TODAY's graph

@@ -95,6 +95,7 @@ def test_residual_decays_geometrically(spark, edges):
     assert deltas[0] > deltas[1] > deltas[2] > 0
 
 
+@pytest.mark.heavytier
 def test_check_every_amortization_same_answer(spark, edges):
     """check_every=3 measures the 3-round block residual — about
     (1-d^3)/(1-d) = 2.57x the single-round one — so it legitimately
@@ -130,6 +131,7 @@ def test_check_every_amortization_same_answer(spark, edges):
     assert dist(r3) <= dist(r1) + 1e-12
 
 
+@pytest.mark.heavytier
 def test_relative_tol_is_scale_invariant(spark, edges):
     """Doubling the graph (two disjoint copies) halves every rank, so
     an ABSOLUTE tol stops earlier on the bigger graph, while
@@ -172,6 +174,7 @@ def test_invalid_params_refused(spark, edges):
         pagerank_converged(edges, tol=0.0)
 
 
+@pytest.mark.heavytier
 def test_warm_restart_same_fixed_point(spark, edges):
     """Start-independence: warm-starting from a PERTURBED graph's
     converged ranks must land on the same fixed point as a cold run.
@@ -217,6 +220,7 @@ def test_warm_restart_near_fixed_point_is_fast(spark, edges):
     assert warm_its <= max(3, cold_its // 4), (warm_its, cold_its)
 
 
+@pytest.mark.heavytier
 def test_warm_restart_new_nodes_get_uniform_start(spark, edges):
     """Nodes missing from start_ranks (newly appeared) begin at the
     uniform mass and still converge — no nulls, full node set."""
@@ -380,6 +384,7 @@ def test_converged_parameter_guards(spark, edges):
         label_propagation_converged(edges, max_iterations=0)
 
 
+@pytest.mark.heavytier
 def test_converged_large_check_every_block_bounded(spark, edges):
     """A large check_every (> the in-block truncation stride) still
     returns the same answer as check_every=1 — exercises the new

@@ -115,6 +115,7 @@ def test_semisync_guards(spark, community_edges):
         label_propagation_semisync_converged(community_edges, max_sweeps=0)
 
 
+@pytest.mark.heavytier
 def test_kcore_after_deletions_exact_vs_cold(spark):
     """Deletions that genuinely shrink the core: two 4-cliques joined
     by a chain; k=3. Deleting one clique edge demotes two nodes out
@@ -138,6 +139,7 @@ def test_kcore_after_deletions_exact_vs_cold(spark):
     assert {r["node"] for r in warm.collect()} == set(range(10, 14))
 
 
+@pytest.mark.heavytier
 def test_kcore_after_deletions_no_deletions_is_identity(spark):
     cl = [(i, j) for i in range(5) for j in range(i + 1, 5)]
     edges = spark.createDataFrame(cl + [(0, 99)], ["a", "b"])
@@ -148,6 +150,7 @@ def test_kcore_after_deletions_no_deletions_is_identity(spark):
     ]
 
 
+@pytest.mark.heavytier
 def test_g3c_registry_query_shape(spark, sf_dir):
     from mcyj_datapipeline_spark import registry
 
@@ -165,6 +168,7 @@ def test_g3c_registry_query_shape(spark, sf_dir):
     assert 1 <= r["warm_sweeps"] <= r["cold_sweeps"]
 
 
+@pytest.mark.heavytier
 def test_kcore_after_insertions_joiners_found(spark):
     """The mirror of the deletion test: yesterday clique-1 is missing
     edge (0,1) (its nodes below k=3), today it's inserted — the warm

@@ -39,6 +39,7 @@ def test_converged_stops_below_tol_and_is_absorbing(spark, emb):
     assert its2 == 1 and shift2 < TOL
 
 
+@pytest.mark.heavytier
 def test_warm_restart_no_more_rounds_than_cold(spark, emb):
     yday = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(50)) != 0)
     ycents, _, yshift = kmeans_centroids_converged(

@@ -39,6 +39,7 @@ def test_weak_labels_band_structure(corpus):
     assert labeled.count() < corpus.count() or corpus.count() == labeled.count()
 
 
+@pytest.mark.heavytier
 def test_classifier_separates_constructed_corpus(corpus):
     labeled = weak_quality_labels(corpus)
     model = train_quality_classifier(labeled, num_features=1 << 12)
@@ -73,6 +74,7 @@ def test_train_and_score_deterministic(corpus):
     assert len(ra) == 80
 
 
+@pytest.mark.heavytier
 def test_model_persistence_roundtrip(corpus, tmp_path):
     """Production pattern: train ONCE, persist, score many batches —
     a loaded PipelineModel must reproduce byte-identical scores (the

@@ -131,6 +131,7 @@ _INTENTIONAL_CROSS = {
 }
 
 
+@pytest.mark.heavytier
 def test_no_unintended_cartesian_products(spark, sf_dir):
     """Sweep every registered query's physical plan: a CartesianProduct
     outside the intentional broadcast-cross set is a planning bug (an
@@ -389,6 +390,7 @@ def test_e9_acquisition_is_shuffle_free(spark, sf_dir):
     assert plan.count("MapInPandas") == 3  # synth, WARC, HTML
 
 
+@pytest.mark.heavytier
 def test_registry_has_no_unpartitioned_windows_on_scale_paths(spark, sf_dir):
     """Registry-wide scale gate: NO query outside registry.TEST_SCALE_ONLY
     may contain an unpartitioned window (empty PARTITION BY = Spark

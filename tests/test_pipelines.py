@@ -500,6 +500,7 @@ def test_e12_nightly_fold_is_idempotent_and_screens_exact_dups(
         assert c == min(members)
 
 
+@pytest.mark.heavytier
 def test_e12b_two_night_fold_sequence_state_evolution(spark, sf_dir):
     """E12b contract: (a) re-running the two-night sequence against the
     already-folded state returns the identical map (retry-safe);
@@ -551,6 +552,7 @@ def test_e12b_two_night_fold_sequence_state_evolution(spark, sf_dir):
         assert c == min(members), (c, sorted(members)[:5])
 
 
+@pytest.mark.heavytier
 def test_e12_state_tables_stay_one_row_per_key_across_three_nights(
     spark, sf_dir
 ):

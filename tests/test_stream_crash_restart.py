@@ -165,6 +165,7 @@ def test_sigkill_mid_batch_then_restart_is_exactly_once(tmp_path):
         assert manifest["epoch_rows"][epoch] == actual
 
 
+@pytest.mark.heavytier
 def test_sigkill_after_sink_commit_before_engine_commit(tmp_path):
     """The NARROWER crash window: the jsonl_atomic manifest already
     holds epoch N (sink commit published) but the engine's commits/N

@@ -154,6 +154,7 @@ def _assert_state_equals_clean(spark, state_root: str, tmp_path) -> None:
     assert _rows(sigs.read(), ["doc_id"]) == _rows(cs.read(), ["doc_id"])
 
 
+@pytest.mark.heavytier
 def test_stream_fold_equals_batch_fold(spark, tmp_path):
     """No crash: the availableNow stream over three landing files must
     land exactly the clean sequential batch fold's state, and a second
@@ -177,6 +178,7 @@ def test_stream_fold_equals_batch_fold(spark, tmp_path):
     _assert_state_equals_clean(spark, state_root, tmp_path)
 
 
+@pytest.mark.heavytier
 def test_sigkill_mid_fold_then_restart_state_is_exactly_once(
     spark, tmp_path
 ):
@@ -260,6 +262,7 @@ def _inventory(data_dir: str) -> dict[str, tuple]:
     return inv
 
 
+@pytest.mark.heavytier
 def test_untouched_buckets_byte_identical_across_fold(spark, tmp_path):
     """The r10 touched-component commit contract: folding a night that
     touches none of the saved components must leave every cluster-map
@@ -443,6 +446,7 @@ class _CrashAfter(Exception):
     pass
 
 
+@pytest.mark.heavytier
 def test_partial_commit_replay_idempotent(spark, tmp_path):
     """Deterministic twin of the SIGKILL test: the fold commits THREE
     tables in sequence (clusters -> digests -> signatures), so a crash
